@@ -1,0 +1,163 @@
+"""Dense (embedding) search operators — Q1/Q2/Q3/Q17 of SURVEY.md §2.
+
+The reference serves these with exact FAISS flat indexes
+(utils/faiss_processing.py); here each is a declarative DataFrame plan:
+
+scan embeddings → [semi-join id subset] → score expression → top-k.
+
+Why this scales to 100 TB: the scan is embarrassingly parallel across
+parquet row groups; `ORDER BY score DESC LIMIT k` compiles to
+TakeOrderedAndProject (per-partition heap top-k + driver merge of
+k-row heads), so no global sort and no shuffle of the scored corpus —
+only num_partitions × k rows ever move. The id-subset restriction is a
+semi-join placed *before* scoring so Catalyst prunes work exactly like
+FAISS's IDSelectorArray (faiss_processing.py:154-166), and at parquet
+level it can become a Bloom/DPP filter on the scan.
+
+Every top-k appends `id ASC` as the tiebreaker: NumPy's argsort is
+stable on row order, SQL sort is not (SURVEY.md §4 item 3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark.functions.vector import (
+    cosine_sim,
+    dot,
+    l2_dist,
+    lit_vec,
+)
+
+
+def restrict_ids(df: DataFrame, subset: DataFrame | None, id_col: str) -> DataFrame:
+    """Id-subset restriction (reference: IDSelectorArray / `M[index,:]`
+    row-slice) as a LEFT SEMI join placed before any scoring."""
+    if subset is None:
+        return df
+    return df.join(subset.select(F.col(subset.columns[0]).alias(id_col)), on=id_col, how="left_semi")
+
+
+def topk_cosine(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    subset: DataFrame | None = None,
+    normalized: bool = False,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Q1 — text→image dense top-k (reference text_search,
+    utils/faiss_processing.py:118-173). `normalized=True` assumes the
+    ingest-time L2-normalization invariant (cosine == dot), matching
+    IndexFlatIP over pre-normalized vectors. `round_to` rounds the
+    score *before* the sort so oracle comparisons are float-noise-proof."""
+    q = lit_vec(query_vec)
+    score = dot(vec_col, q) if normalized else cosine_sim(vec_col, q)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = restrict_ids(emb, subset, id_col).select(
+        F.col(id_col), score.alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def knn_by_id(
+    emb: DataFrame,
+    query_id: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    subset: DataFrame | None = None,
+    include_self: bool = True,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Q2 — image→image KNN by stored example (reference image_search,
+    utils/faiss_processing.py:106-116: reconstruct row + search).
+
+    The "reconstruct" is a 1-row broadcast joined against the corpus —
+    no driver collect, so the plan is a single distributed pass."""
+    q = F.broadcast(
+        emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qvec"))
+    )
+    base = restrict_ids(emb, subset, id_col)
+    if not include_self:
+        base = base.filter(F.col(id_col) != query_id)
+    score = cosine_sim(vec_col, "__qvec")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = base.crossJoin(q).select(F.col(id_col), score.alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def rocchio_rerank(
+    emb: DataFrame,
+    candidates: DataFrame,
+    votes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Q3 — relevance-feedback rerank (reference `reranking`,
+    utils/faiss_processing.py:280-335).
+
+    candidates: (id, score) of the previous result;
+    votes: (id, sign) with sign=+1 positive / -1 negative.
+
+    Semantics preserved from the reference: negative-voted ids are
+    removed from the candidate set (:299-301); each remaining candidate
+    accumulates prev_score + Σ sign·cos(vote_vec, cand_vec) (:317-323).
+
+    Plan shape: votes ⋈ embeddings (tiny, broadcast) × candidates ⋈
+    embeddings → per-pair dot → groupBy(candidate) sum. The only
+    shuffle is the final aggregation over |candidates| rows."""
+    cand_id, prev = candidates.columns[0], candidates.columns[1]
+    vote_id, sign = votes.columns[0], votes.columns[1]
+    neg = votes.filter(F.col(sign) < 0).select(F.col(vote_id).alias(cand_id))
+    kept = candidates.select(
+        F.col(cand_id).alias(id_col), F.col(prev).alias("prev_score")
+    ).join(neg.withColumnRenamed(cand_id, id_col), on=id_col, how="left_anti")
+
+    vote_vecs = F.broadcast(
+        votes.join(emb, votes[vote_id] == emb[id_col], "inner").select(
+            F.col(sign).alias("__sign"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    cand_vecs = kept.join(emb.select(id_col, vec_col), on=id_col, how="inner")
+    pairs = cand_vecs.crossJoin(vote_vecs).select(
+        F.col(id_col),
+        F.col("prev_score"),
+        (F.col("__sign") * cosine_sim(vec_col, "__qvec")).alias("__delta"),
+    )
+    score = F.col("prev_score") + F.col("__d")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    out = (
+        pairs.groupBy(id_col, "prev_score")
+        .agg(F.sum(F.col("__delta").cast("decimal(38,12)")).cast("double").alias("__d"))
+        .select(F.col(id_col), score.alias("score"))
+    )
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def vocab_knn_l2(
+    vocab: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Q17 — tag recommendation: L2 top-k over the vocabulary table
+    (reference tag_retrieval, utils/semantic_embed/tag_retrieval.py:48-56
+    — note the reference uses IndexFlat**L2** here, not IP)."""
+    dist = l2_dist(vec_col, lit_vec(query_vec))
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    scored = vocab.select(F.col(key_col), dist.alias("dist"))
+    return scored.orderBy(F.asc("dist"), F.asc(key_col)).limit(k)

@@ -1,0 +1,66 @@
+"""Shared helpers for the oracle-checked query suite."""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+SCORE_DECIMALS = 6
+
+# Deterministic pseudo-random query vector (pure function of index; no
+# RNG state) shared verbatim by the Spark plan and the DuckDB oracle.
+QUERY_VEC = [round(math.sin(i * 12.9898 + 78.233) * 0.5, 6) for i in range(EMB_DIM)]
+QUERY_VEC_B = [round(math.cos(i * 3.1717 + 1.618) * 0.5, 6) for i in range(EMB_DIM)]
+
+
+def sql_vec(vec: Sequence[float]) -> str:
+    """Render a vector as a DuckDB DOUBLE[] literal."""
+    return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+
+def r6(col: Column) -> Column:
+    """Round a double score to the shared comparison precision."""
+    return F.round(col, SCORE_DECIMALS)
+
+
+def dsum(col: Column, scale: int = 6) -> Column:
+    """Order-independent, engine-independent sum of a double expression.
+
+    Two hazards make a plain SUM(double) un-comparable across engines:
+    (1) float addition is not associative, so Spark's partial-agg order
+    vs DuckDB's sequential order diverge; (2) double→DECIMAL casts
+    round differently (Spark goes through the shortest string repr via
+    BigDecimal.valueOf, DuckDB through the binary value), so even
+    decimal sums drift by an ulp.
+
+    Fix: quantize each addend with FLOOR(x·10^s + 0.5) — multiply, add,
+    floor are all exact IEEE ops with bit-identical results in any
+    engine — then sum exactly as DECIMAL(38,0) (commutative), and
+    divide back to double. Valid while |x|·10^s < 2^53 per row."""
+    m = float(10**scale)
+    q = F.floor(col * m + F.lit(0.5)).cast("decimal(38,0)")
+    return (F.sum(q).cast("double") / F.lit(m))
+
+
+def sql_dsum(expr: str, scale: int = 6) -> str:
+    m = f"1e{scale}"
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * {m} + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / {m})"
+    )
+
+
+def det_round(col: Column, scale: int = 6) -> Column:
+    """Engine-portable rounding of a double: FLOOR(x·10^s + 0.5)/10^s
+    using only IEEE ops (plain ROUND differs between Spark and DuckDB
+    on shortest-repr boundary values)."""
+    m = float(10**scale)
+    return F.floor(col * m + F.lit(0.5)).cast("double") / F.lit(m)
+
+
+def sql_det_round(expr: str, scale: int = 6) -> str:
+    m = f"1e{scale}"
+    return f"(CAST(FLOOR(({expr}) * {m} + 0.5) AS DOUBLE) / {m})"

@@ -1,0 +1,134 @@
+"""Oracle-checked dense-search queries (SURVEY.md §2 Q1/Q2/Q3/Q17)
+over the driver's `embeddings` table (vec_id BIGINT,
+embedding ARRAY<FLOAT> 64-d, label INT).
+
+DuckDB's `list_dot_product` is a sequential double fold — verified
+bit-identical to the Spark `aggregate(zip_with(...))` expression — so
+scores agree to the last bit; ROUND(…,6) before the sort is belt and
+braces."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark.operators import dense
+from multi_search_retrival_big_data_spark.queries import query
+from multi_search_retrival_big_data_spark.queries.common import (
+    QUERY_VEC,
+    sql_vec,
+)
+
+_QV = sql_vec(QUERY_VEC)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+_EMB = "CAST(embedding AS DOUBLE[])"
+
+ROCCHIO_VOTES = [(3, 1.0), (7, 1.0), (11, -1.0)]
+
+
+@query(
+    "dense_topk_cosine",
+    oracle=f"""
+    SELECT vec_id, ROUND({_cos_sql(_EMB, _QV)}, 6) AS score
+    FROM embeddings
+    ORDER BY score DESC, vec_id
+    LIMIT 100
+    """,
+)
+def dense_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return dense.topk_cosine(emb, QUERY_VEC, k=100, round_to=6)
+
+
+@query(
+    "dense_topk_cosine_subset",
+    oracle=f"""
+    SELECT vec_id, ROUND({_cos_sql(_EMB, _QV)}, 6) AS score
+    FROM embeddings
+    WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE label < 5)
+    ORDER BY score DESC, vec_id
+    LIMIT 100
+    """,
+)
+def dense_topk_cosine_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 with id-subset restriction — the reference's IDSelectorArray
+    path (faiss_processing.py:154-166) as a left-semi join pushed
+    below the score expression."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    subset = emb.filter(F.col("label") < 5).select("vec_id")
+    return dense.topk_cosine(emb, QUERY_VEC, k=100, subset=subset, round_to=6)
+
+
+@query(
+    "dense_knn_by_id",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 42)
+    SELECT e.vec_id, ROUND({_cos_sql('CAST(e.embedding AS DOUBLE[])', 'q.v')}, 6) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 50
+    """,
+)
+def dense_knn_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return dense.knn_by_id(emb, query_id=42, k=50, round_to=6)
+
+
+@query(
+    "dense_rocchio_rerank",
+    oracle=f"""
+    WITH cand AS (
+      SELECT vec_id, ROUND({_cos_sql(_EMB, _QV)}, 6) AS score
+      FROM embeddings
+      ORDER BY score DESC, vec_id
+      LIMIT 20
+    ),
+    votes(vid, sign) AS (VALUES {", ".join(f"({i}, {s})" for i, s in ROCCHIO_VOTES)}),
+    kept AS (
+      SELECT c.vec_id, c.score FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vid FROM votes WHERE sign < 0)
+    ),
+    pairs AS (
+      SELECT k.vec_id, k.score AS prev_score,
+             v.sign * {_cos_sql('CAST(e.embedding AS DOUBLE[])', 'CAST(ev.embedding AS DOUBLE[])')} AS delta
+      FROM kept k
+      JOIN embeddings e ON e.vec_id = k.vec_id
+      CROSS JOIN votes v
+      JOIN embeddings ev ON ev.vec_id = v.vid
+    )
+    SELECT vec_id,
+           ROUND(prev_score + CAST(SUM(CAST(delta AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+    FROM pairs
+    GROUP BY vec_id, prev_score
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """,
+)
+def dense_rocchio_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, "embeddings", sf_dir)
+    candidates = dense.topk_cosine(emb, QUERY_VEC, k=20, round_to=6)
+    votes = spark.createDataFrame(ROCCHIO_VOTES, "vec_id BIGINT, sign DOUBLE")
+    return dense.rocchio_rerank(emb, candidates, votes, k=10, round_to=6)
+
+
+@query(
+    "dense_vocab_knn_l2",
+    oracle=f"""
+    SELECT vec_id, ROUND(list_distance({_EMB}, {_QV}), 6) AS dist
+    FROM embeddings
+    ORDER BY dist ASC, vec_id
+    LIMIT 50
+    """,
+)
+def dense_vocab_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return dense.vocab_knn_l2(emb, QUERY_VEC, k=50, round_to=6)

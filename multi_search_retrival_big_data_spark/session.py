@@ -1,0 +1,43 @@
+"""SparkSession factory.
+
+Defaults target the driver harness (local[$SPARK_GRAFT_CPUS], 32 shuffle
+partitions) but every knob here is chosen to survive a 1000-executor /
+100 TB deployment unchanged:
+
+- AQE on: runtime join-strategy switching, skew-join splitting, and
+  partition coalescing replace hand-tuned shuffle counts at scale.
+- Arrow on: every pandas-UDF boundary (multimodal decode, model encode)
+  moves columnar batches, not pickled rows.
+- UTC session timezone: timestamp semantics identical to the DuckDB
+  oracle and to any multi-region cluster.
+- ANSI off: we want permissive SQL-2003 null/cast semantics matching
+  the DuckDB oracle (Spark 4 flips the default to on).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "msrbd-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    return builder.getOrCreate()
