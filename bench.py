@@ -38,7 +38,9 @@ BENCH_QUERIES = [
 OPTIONAL_QUERIES = [
     "sparse_tfidf_topk",
     "sparse_bm25_topk",
-    "fusion_minmax_add",
+    "sparse_multichannel_context",
+    "fusion_dual_model_ensemble",
+    "fusion_hybrid_sparse_dense",
     "bridge_interval_join",
     "group_hits_by_source",
     "dedup_exact",

@@ -1,0 +1,101 @@
+"""Score-fusion operators — Q8 (min-max + additive) and Q9 (L2 +
+dedup-max), the reference's utils/combine_utils.py.
+
+Both take a list of (id, score) DataFrames — one per source/channel —
+and return a single fused (id, score) ranking. Fusion is where the
+reference's multi-modal character lives: every multi-channel /
+dual-model / tri-modal query funnels through these (SURVEY.md Q6, Q7,
+Q12, Q13).
+
+Scale shape: per-source min/max are scalar aggregates (one tiny
+all-reduce each, broadcast back into the plan — no window over the
+full source, no sort); the fuse itself is union → groupBy(id), a
+single shuffle proportional to the candidate count, not the corpus.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINMAX_EPS = 1e-6  # the reference's denominator epsilon (combine_utils.py:41)
+
+
+def _as_id_score(df: DataFrame) -> DataFrame:
+    id_col, score_col = df.columns[0], df.columns[1]
+    return df.select(F.col(id_col).alias("id"), F.col(score_col).cast("double").alias("score"))
+
+
+def minmax_normalize(df: DataFrame) -> DataFrame:
+    """(s - min) / (max - min + 1e-6) over one source
+    (combine_utils.py:40-43). Scalar agg + broadcast cross join — at
+    100 TB this is two numbers moving, not a re-sort of the source."""
+    d = _as_id_score(df)
+    mm = d.agg(F.min("score").alias("__mn"), F.max("score").alias("__mx"))
+    return d.crossJoin(F.broadcast(mm)).select(
+        "id",
+        ((F.col("score") - F.col("__mn")) / (F.col("__mx") - F.col("__mn") + F.lit(MINMAX_EPS))).alias(
+            "score"
+        ),
+    )
+
+
+def merge_by_addition(
+    sources: list[DataFrame],
+    k: int | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Q8 — merge_searching_results_by_addition (combine_utils.py:29-65):
+    min-max normalize each source, then SUM scores per id across
+    sources (ids present in several sources get boosted — the quirk the
+    reference's dict.get(idx, False) guard preserves, harmless because
+    0 + x == x). Single-source input returns raw scores unchanged
+    (the reference's shortcut at :33-38)."""
+    if len(sources) == 1:
+        out = _as_id_score(sources[0])
+    else:
+        normed = [minmax_normalize(s) for s in sources]
+        unioned = reduce(lambda a, b: a.unionByName(b), normed)
+        # few addends per id (≤ #sources): quantized exact sum keeps
+        # Spark's agg order and the oracle's sequential order identical
+        score = (
+            F.sum(F.floor(F.col("score") * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / F.lit(1e12)
+        )
+        out = unioned.groupBy("id").agg(score.alias("score"))
+    if round_to is not None:
+        m = float(10 ** round_to)
+        out = out.select("id", (F.floor(F.col("score") * m + F.lit(0.5)).cast("double") / m).alias("score"))
+    out = out.orderBy(F.desc("score"), F.asc("id"))
+    return out.limit(k) if k is not None else out
+
+
+def merge_l2_dedup_max(
+    sources: list[DataFrame],
+    k: int | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Q9 — legacy merge_searching_results (combine_utils.py:4-27):
+    scale each source by the L2 norm of its score vector, concatenate,
+    keep the best-scored occurrence per id (np.unique keeps the first
+    hit of the desc-sorted concat == max per id)."""
+    normed = []
+    for s in sources:
+        d = _as_id_score(s)
+        nrm = d.agg(F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("__l2"))
+        normed.append(
+            d.crossJoin(F.broadcast(nrm)).select(
+                "id", (F.col("score") / F.col("__l2")).alias("score")
+            )
+        )
+    unioned = reduce(lambda a, b: a.unionByName(b), normed)
+    out = unioned.groupBy("id").agg(F.max("score").alias("score"))
+    if round_to is not None:
+        m = float(10 ** round_to)
+        out = out.select("id", (F.floor(F.col("score") * m + F.lit(0.5)).cast("double") / m).alias("score"))
+    out = out.orderBy(F.desc("score"), F.asc("id"))
+    return out.limit(k) if k is not None else out

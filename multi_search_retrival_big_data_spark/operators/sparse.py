@@ -1,0 +1,253 @@
+"""Sparse (lexical) retrieval — S14/S15 index build + Q4/Q5/Q6 scoring.
+
+The reference stores one sklearn `TfidfVectorizer` + CSR doc-term
+matrix per channel and scores queries with a CSR dot product
+(utils/object_retrieval_engine/object_retrieval.py:221-255, 303-325;
+utils/ocr_retrieval_engine/ocr_retrieval.py:27-77;
+utils/semantic_embed/speech_retrieval.py:56-131). The Spark-native
+equivalent is a **posting-list inverted index** — a DataFrame
+`(term, doc_id, weight)` — because:
+
+- it IS the sparse representation: the q·Mᵀ CSR dot product becomes
+  `query_terms ⋈ postings ON term → groupBy(doc_id).sum(qw·w)`,
+  touching exactly the nnz entries of matched terms (never densified);
+- at 100 TB it shards naturally: bucket postings by `term` and the
+  scoring join co-locates without a shuffle of the index; the query
+  side is a handful of rows, always broadcast;
+- the aggregation is partial (map-side combine), so per-executor
+  traffic is ~|matched docs|, not |postings|.
+
+Weighting replicates sklearn's defaults for score parity with the
+reference (SURVEY.md §4 "needs custom work" item 1):
+    tf      = raw term count in doc
+    idf     = ln((1+N)/(1+df)) + 1          (smooth_idf=True)
+    w_raw   = tf · idf
+    weight  = w_raw / ||w_raw||₂ over the doc   (norm='l2')
+Query vectors get the same treatment with the *corpus* idf, so the
+score is the exact TF-IDF cosine sklearn produces.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark.functions.text import (
+    tokenize,
+    word_ngrams_range,
+)
+
+TOKEN_RE = re.compile(r"\w+")
+
+# rank_bm25.BM25Okapi defaults, the reference's legacy scorer
+# (utils/object_retrieval_engine/bm25.py:24-57)
+BM25_K1 = 1.5
+BM25_B = 0.75
+BM25_EPSILON = 0.25
+
+
+def _terms_col(text_col: str, ngram_range: tuple[int, int]) -> Column:
+    toks = tokenize(F.col(text_col))
+    if ngram_range == (1, 1):
+        return toks
+    return word_ngrams_range(toks, ngram_range[0], ngram_range[1])
+
+
+def term_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_range: tuple[int, int] = (1, 1),
+) -> DataFrame:
+    """(doc_id, term, tf) — the raw doc-term matrix in COO form."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), _terms_col(text_col, ngram_range).alias("__terms"))
+        .select("doc_id", F.explode("__terms").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+
+def doc_frequencies(tf: DataFrame) -> DataFrame:
+    """(term, df) — (doc_id, term) pairs are unique post-groupBy, so a
+    plain count is the document frequency (no countDistinct shuffle)."""
+    return tf.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def _corpus_size(docs: DataFrame, id_col: str) -> DataFrame:
+    """1-row (n) DataFrame kept lazy — broadcast-cross-joined into the
+    plan instead of a driver-side collect."""
+    return docs.agg(F.count(F.col(id_col)).alias("n"))
+
+
+def fit_tfidf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_range: tuple[int, int] = (1, 1),
+) -> DataFrame:
+    """S14 — build the sklearn-parity TF-IDF posting lists:
+    (term, doc_id, weight, idf). Persist/bucket this by `term` for
+    repeated querying; recompute cost is one pass over the corpus."""
+    tf = term_counts(docs, id_col, text_col, ngram_range)
+    dfreq = doc_frequencies(tf)
+    n = _corpus_size(docs, id_col)
+    raw = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("idf", F.log((F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0))
+        .withColumn("w_raw", F.col("tf") * F.col("idf"))
+    )
+    norms = raw.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("__norm"))
+    return (
+        raw.join(norms, "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            (F.col("w_raw") / F.col("__norm")).alias("weight"),
+            "idf",
+        )
+    )
+
+
+def query_terms(query: str, ngram_range: tuple[int, int] = (1, 1)) -> list[tuple[str, int]]:
+    """Driver-side query compilation (the reference encodes queries on
+    the serving thread too — object_retrieval.py:303-311): lowercase,
+    `\\w+` tokens, optional word n-grams, term counts."""
+    toks = TOKEN_RE.findall(query.lower())
+    grams: list[str] = []
+    for nlen in range(ngram_range[0], ngram_range[1] + 1):
+        grams += [" ".join(toks[i : i + nlen]) for i in range(len(toks) - nlen + 1)]
+    return sorted(Counter(grams).items())
+
+
+def tfidf_score(
+    postings: DataFrame,
+    qterms: list[tuple[str, int]],
+    k: int,
+    subset: DataFrame | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Q4/Q5 — score docs against a compiled query: the CSR q·Mᵀ dot
+    re-expressed as an inverted-index join. Returns (doc_id, score)
+    top-k, `score` = TF-IDF cosine.
+
+    The subset path (`M[index,:]` row-slice in the reference,
+    object_retrieval.py:320-323) is a semi-join applied *before*
+    aggregation, so non-candidate postings never reach the shuffle."""
+    spark = postings.sparkSession
+    q = spark.createDataFrame([(t, float(c)) for t, c in qterms], "term STRING, qtf DOUBLE")
+    idf = postings.select("term", "idf").distinct()
+    qv = q.join(idf, "term")  # OOV query terms drop out (corpus vector space)
+    qnorm = qv.agg(F.sqrt(F.sum((F.col("qtf") * F.col("idf")) ** 2)).alias("__qnorm"))
+    qv = qv.crossJoin(F.broadcast(qnorm)).select(
+        "term", ((F.col("qtf") * F.col("idf")) / F.col("__qnorm")).alias("qw")
+    )
+    base = postings
+    if subset is not None:
+        base = base.join(
+            subset.select(F.col(subset.columns[0]).alias("doc_id")), "doc_id", "left_semi"
+        )
+    # exact order-independent accumulation (see queries/common.dsum)
+    addend = F.col("qw") * F.col("weight")
+    score = (
+        F.sum(F.floor(addend * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")).cast("double")
+        / F.lit(1e12)
+    )
+    if round_to is not None:
+        score = F.floor(score * F.lit(float(10 ** round_to)) + F.lit(0.5)).cast("double") / F.lit(
+            float(10 ** round_to)
+        )
+    scored = (
+        base.join(F.broadcast(qv), "term")
+        .groupBy("doc_id")
+        .agg(score.alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def fit_bm25(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_range: tuple[int, int] = (1, 1),
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    epsilon: float = BM25_EPSILON,
+) -> DataFrame:
+    """S15 — BM25Okapi posting lists (term, doc_id, score_w) where
+    score_w is the full per-term BM25 contribution for tf in that doc;
+    query scoring is then Σ over query terms (bm25.py:80-109 scores
+    whole-corpus per query the same way).
+
+    Okapi idf = ln((N - df + 0.5)/(df + 0.5)); rank_bm25 floors
+    negative idf (common terms, df > N/2) to epsilon · avg(idf) —
+    replicated here as a conditional against the vocabulary average."""
+    tf = term_counts(docs, id_col, text_col, ngram_range)
+    dfreq = doc_frequencies(tf)
+    n = _corpus_size(docs, id_col)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf_raw",
+            F.log((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))),
+        )
+    )
+    avg_idf = idf.agg(F.avg("idf_raw").alias("avg_idf"))
+    idf = idf.crossJoin(F.broadcast(avg_idf)).select(
+        "term",
+        F.when(F.col("idf_raw") < 0, F.lit(epsilon) * F.col("avg_idf"))
+        .otherwise(F.col("idf_raw"))
+        .alias("idf"),
+    )
+    return (
+        tf.join(idf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "term",
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(k1) * (1 - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score_w"),
+        )
+    )
+
+
+def bm25_score(
+    bm25_postings: DataFrame,
+    qterms: list[tuple[str, int]],
+    k: int,
+    subset: DataFrame | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Score = Σ_t qtf(t) · score_w(t, doc) over matched terms.
+    (BM25Okapi.get_scores counts each query occurrence — bm25.py:99.)"""
+    spark = bm25_postings.sparkSession
+    q = spark.createDataFrame([(t, float(c)) for t, c in qterms], "term STRING, qtf DOUBLE")
+    base = bm25_postings
+    if subset is not None:
+        base = base.join(
+            subset.select(F.col(subset.columns[0]).alias("doc_id")), "doc_id", "left_semi"
+        )
+    addend = F.col("qtf") * F.col("score_w")
+    score = (
+        F.sum(F.floor(addend * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")).cast("double")
+        / F.lit(1e12)
+    )
+    if round_to is not None:
+        score = F.floor(score * F.lit(float(10 ** round_to)) + F.lit(0.5)).cast("double") / F.lit(
+            float(10 ** round_to)
+        )
+    scored = base.join(F.broadcast(q), "term").groupBy("doc_id").agg(score.alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,136 @@
+"""Oracle-checked fusion queries (SURVEY.md §2 Q8/Q9/Q12/Q13).
+
+Inputs are dense top-k lists over `embeddings` (two query vectors ≈
+the reference's two CLIP variants) and sparse TF-IDF lists over
+`documents` — the same fusion algebra the reference funnels every
+multi-modal query through (utils/combine_utils.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark.operators import dense, fusion, sparse
+from multi_search_retrival_big_data_spark.queries import query
+from multi_search_retrival_big_data_spark.queries.common import (
+    QUERY_VEC,
+    QUERY_VEC_B,
+    sql_vec,
+)
+from multi_search_retrival_big_data_spark.queries.sparse_queries import (
+    QUERY_TEXT,
+    tfidf_cte,
+)
+
+_QV_A = sql_vec(QUERY_VEC)
+_QV_B = sql_vec(QUERY_VEC_B)
+_EMB = "CAST(embedding AS DOUBLE[])"
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def _dense_top_cte(name: str, qvec: str, k: int) -> str:
+    return f"""
+    {name} AS (
+      SELECT vec_id AS id, ROUND({_cos(_EMB, qvec)}, 6) AS score
+      FROM embeddings ORDER BY score DESC, vec_id LIMIT {k}
+    )"""
+
+
+def _fuse_add_sql(ctes: list[str], k: int, id_name: str = "id") -> str:
+    parts = []
+    for i, cte in enumerate(ctes):
+        parts.append(f"""
+    mm{i} AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM {cte}),
+    nrm{i} AS (
+      SELECT id, (score - mm.mn) / (mm.mx - mm.mn + 1e-6) AS score
+      FROM {cte} CROSS JOIN mm{i} mm
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM nrm{i}" for i in range(len(ctes)))
+    return (
+        ",".join(parts)
+        + f""",
+    fused AS (
+      SELECT id,
+             CAST(SUM(CAST(FLOOR(score * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS s
+      FROM ({union}) u GROUP BY 1
+    )
+    SELECT id AS {id_name}, CAST(FLOOR(s * 1e6 + 0.5) AS DOUBLE) / 1e6 AS score
+    FROM fused ORDER BY score DESC, {id_name} LIMIT {k}
+    """
+    )
+
+
+@query(
+    "fusion_dual_model_ensemble",
+    oracle=f"""
+    WITH {_dense_top_cte('lista', _QV_A, 100)},
+    {_dense_top_cte('listb', _QV_B, 100)},
+    {_fuse_add_sql(['lista', 'listb'], 50, 'vec_id').lstrip().removeprefix(',')}
+    """,
+)
+def fusion_dual_model_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 + Q8 — the reference's clip+clipv2 ensemble (/textsearch
+    with both models, app.py:330-357): two dense searches fused by
+    min-max addition."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    a = dense.topk_cosine(emb, QUERY_VEC, k=100, round_to=6)
+    b = dense.topk_cosine(emb, QUERY_VEC_B, k=100, round_to=6)
+    return fusion.merge_by_addition([a, b], k=50, round_to=6).withColumnRenamed("id", "vec_id")
+
+
+@query(
+    "fusion_l2_dedup_max",
+    oracle=f"""
+    WITH {_dense_top_cte('lista', _QV_A, 100)},
+    {_dense_top_cte('listb', _QV_B, 100)},
+    n0 AS (SELECT sqrt(SUM(score * score)) AS l2 FROM lista),
+    n1 AS (SELECT sqrt(SUM(score * score)) AS l2 FROM listb),
+    u AS (
+      SELECT id, score / n0.l2 AS score FROM lista CROSS JOIN n0
+      UNION ALL
+      SELECT id, score / n1.l2 AS score FROM listb CROSS JOIN n1
+    ),
+    dedup AS (SELECT id, MAX(score) AS s FROM u GROUP BY 1)
+    SELECT id AS vec_id, CAST(FLOOR(s * 1e6 + 0.5) AS DOUBLE) / 1e6 AS score
+    FROM dedup ORDER BY score DESC, vec_id LIMIT 50
+    """,
+)
+def fusion_l2_dedup_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 — legacy merge_searching_results (combine_utils.py:4-27):
+    L2-scale each list, dedup keeping the max-scored occurrence."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    a = dense.topk_cosine(emb, QUERY_VEC, k=100, round_to=6)
+    b = dense.topk_cosine(emb, QUERY_VEC_B, k=100, round_to=6)
+    return fusion.merge_l2_dedup_max([a, b], k=50, round_to=6).withColumnRenamed("id", "vec_id")
+
+
+_QSPARSE = sparse.query_terms(QUERY_TEXT, (1, 1))
+
+
+@query(
+    "fusion_hybrid_sparse_dense",
+    oracle=f"""
+    WITH {tfidf_cte('sp_', (1, 1), _QSPARSE)},
+    sp_top AS (SELECT doc_id AS id, score FROM sp_topk ORDER BY score DESC, doc_id LIMIT 100),
+    {_dense_top_cte('dn_top', _QV_A, 100).lstrip().removeprefix(',')},
+    {_fuse_add_sql(['sp_top', 'dn_top'], 50, 'doc_id').lstrip().removeprefix(',')}
+    """,
+)
+def fusion_hybrid_sparse_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 — hybrid keyword+semantic retrieval (reference
+    speech_retrieval.__call__, speech_retrieval.py:70-131): sparse
+    TF-IDF list fused with a dense embedding list over the same id
+    space (documents ↔ embeddings share ids in the testdata corpus)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    emb = tables.load(spark, "embeddings", sf_dir)
+    sparse_list = sparse.tfidf_score(sparse.fit_tfidf(docs), _QSPARSE, k=100, round_to=6)
+    dense_list = dense.topk_cosine(emb, QUERY_VEC, k=100, round_to=6)
+    return fusion.merge_by_addition([sparse_list, dense_list], k=50, round_to=6).withColumnRenamed(
+        "id", "doc_id"
+    )

@@ -1,0 +1,224 @@
+"""Oracle-checked sparse-retrieval queries (SURVEY.md §2 S14/S15,
+Q4/Q5/Q6) over the driver's `documents` table.
+
+The DuckDB oracles rebuild the same sklearn-parity TF-IDF / BM25
+posting lists in SQL CTEs, so both engines compute the identical
+weighting math end-to-end. Shared determinism tricks: quantized
+addend sums (1e-12) + floor-based output rounding (1e-6), see
+queries/common.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark.operators import fusion, sparse
+from multi_search_retrival_big_data_spark.queries import query
+
+QUERY_TEXT = "fast query join merge window"
+QUERY_TEXT_NGRAM = "batch window scan order"
+
+_NGRAM_SETS = {(1, 1): "[1]", (2, 2): "[2]", (1, 3): "[1,2,3]", (3, 3): "[3]"}
+
+
+def _values(qterms: list[tuple[str, float | int]]) -> str:
+    return ", ".join(f"('{t}', {float(c)})" for t, c in qterms)
+
+
+def tfidf_cte(prefix: str, ngram_range: tuple[int, int], qterms: list[tuple[str, int]],
+              table: str = "documents", subset_where: str = "") -> str:
+    """CTE chain building sklearn-parity postings + normalized query
+    vector + per-doc scores, namespaced by `prefix`."""
+    p = prefix
+    grams = _NGRAM_SETS[ngram_range]
+    return f"""
+    {p}toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM {table}),
+    {p}pos AS (SELECT CAST(unnest(range(1, (SELECT MAX(len(t)) FROM {p}toks) + 1)) AS INT) AS s),
+    {p}grams AS (SELECT unnest({grams}) AS g),
+    {p}tok AS (
+      SELECT doc_id, array_to_string(t[s:s+g-1], ' ') AS term
+      FROM {p}toks, {p}pos, {p}grams WHERE s <= len(t) - g + 1
+    ),
+    {p}tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM {p}tok GROUP BY 1, 2),
+    {p}dfreq AS (SELECT term, COUNT(*) AS df FROM {p}tf GROUP BY 1),
+    {p}n AS (SELECT COUNT(*) AS n FROM {table}),
+    {p}raw AS (
+      SELECT f.doc_id, f.term,
+             f.tf * (ln((1.0 + n.n) / (1.0 + d.df)) + 1.0) AS w_raw,
+             ln((1.0 + n.n) / (1.0 + d.df)) + 1.0 AS idf
+      FROM {p}tf f JOIN {p}dfreq d USING(term) CROSS JOIN {p}n n
+    ),
+    {p}norms AS (SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS nrm FROM {p}raw GROUP BY 1),
+    {p}post AS (
+      SELECT r.term, r.doc_id, r.w_raw / s.nrm AS weight, r.idf
+      FROM {p}raw r JOIN {p}norms s USING(doc_id)
+    ),
+    {p}q(term, qtf) AS (VALUES {_values(qterms)}),
+    {p}qv0 AS (
+      SELECT q.term, q.qtf * i.idf AS w
+      FROM {p}q q JOIN (SELECT DISTINCT term, idf FROM {p}post) i USING(term)
+    ),
+    {p}qn AS (SELECT sqrt(SUM(w * w)) AS qn FROM {p}qv0),
+    {p}qv AS (SELECT term, w / qn.qn AS qw FROM {p}qv0, {p}qn qn),
+    {p}scored AS (
+      SELECT p.doc_id,
+             CAST(SUM(CAST(FLOOR(v.qw * p.weight * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS s
+      FROM {p}post p JOIN {p}qv v USING(term)
+      {subset_where}
+      GROUP BY 1
+    ),
+    {p}topk AS (
+      SELECT doc_id, CAST(FLOOR(s * 1e6 + 0.5) AS DOUBLE) / 1e6 AS score
+      FROM {p}scored
+    )"""
+
+
+_Q11 = sparse.query_terms(QUERY_TEXT, (1, 1))
+_Q13 = sparse.query_terms(QUERY_TEXT_NGRAM, (1, 3))
+
+
+@query(
+    "sparse_tfidf_topk",
+    oracle=f"""
+    WITH {tfidf_cte('', (1, 1), _Q11)}
+    SELECT doc_id, score FROM topk ORDER BY score DESC, doc_id LIMIT 50
+    """,
+)
+def sparse_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — TF-IDF cosine scoring via inverted-index join
+    (reference find_similar_score, object_retrieval.py:303-325)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    postings = sparse.fit_tfidf(docs)
+    return sparse.tfidf_score(postings, _Q11, k=50, round_to=6)
+
+
+@query(
+    "sparse_tfidf_topk_subset",
+    oracle=f"""
+    WITH {tfidf_cte('', (1, 1), _Q11,
+                    subset_where="WHERE p.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")}
+    SELECT doc_id, score FROM topk ORDER BY score DESC, doc_id LIMIT 50
+    """,
+)
+def sparse_tfidf_topk_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 subset path — the reference's `M[index,:]` row-slice
+    (object_retrieval.py:320-323) as a pre-aggregation semi-join."""
+    docs = tables.load(spark, "documents", sf_dir)
+    postings = sparse.fit_tfidf(docs)
+    subset = docs.filter(F.col("lang") == "en").select("doc_id")
+    return sparse.tfidf_score(postings, _Q11, k=50, subset=subset, round_to=6)
+
+
+@query(
+    "sparse_tfidf_ngram13_topk",
+    oracle=f"""
+    WITH {tfidf_cte('', (1, 3), _Q13)}
+    SELECT doc_id, score FROM topk ORDER BY score DESC, doc_id LIMIT 50
+    """,
+)
+def sparse_tfidf_ngram13_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 — the OCR/ASR channel shape: word (1,3) n-grams
+    (ocr_retrieval.py:27-41; speech_retrieval.py:56-68)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    postings = sparse.fit_tfidf(docs, ngram_range=(1, 3))
+    return sparse.tfidf_score(postings, _Q13, k=50, round_to=6)
+
+
+@query(
+    "sparse_bm25_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+    idf0 AS (
+      SELECT term, ln((n.n - d.df + 0.5) / (d.df + 0.5)) AS idf_raw
+      FROM dfreq d CROSS JOIN n
+    ),
+    avgidf AS (SELECT AVG(idf_raw) AS avg_idf FROM idf0),
+    idf AS (
+      SELECT term, CASE WHEN idf_raw < 0 THEN 0.25 * a.avg_idf ELSE idf_raw END AS idf
+      FROM idf0 CROSS JOIN avgidf a
+    ),
+    post AS (
+      SELECT f.term, f.doc_id,
+             i.idf * (f.tf * 2.5) / (f.tf + 1.5 * (1 - 0.75 + 0.75 * l.dl / a.avgdl)) AS score_w
+      FROM tf f JOIN idf i USING(term) JOIN dl l USING(doc_id) CROSS JOIN avgdl a
+    ),
+    q(term, qtf) AS (VALUES {_values(_Q11)}),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(SUM(CAST(FLOOR(q.qtf * p.score_w * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS s
+      FROM post p JOIN q USING(term) GROUP BY 1
+    )
+    SELECT doc_id, CAST(FLOOR(s * 1e6 + 0.5) AS DOUBLE) / 1e6 AS score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 50
+    """,
+)
+def sparse_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 — BM25Okapi (k1=1.5, b=0.75, epsilon idf floor) as a SQL
+    expression over posting lists (reference bm25.py:24-57, 80-109)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    postings = sparse.fit_bm25(docs)
+    return sparse.bm25_score(postings, _Q11, k=50, round_to=6)
+
+
+def _minmax_fuse_sql(list_ctes: list[str], k: int) -> str:
+    """Q8 fusion over named CTEs each exposing (doc_id, score)."""
+    normed = []
+    for i, cte in enumerate(list_ctes):
+        normed.append(f"""
+    mm{i} AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM {cte}),
+    nrm{i} AS (
+      SELECT doc_id, (score - mm.mn) / (mm.mx - mm.mn + 1e-6) AS score
+      FROM {cte} CROSS JOIN mm{i} mm
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM nrm{i}" for i in range(len(list_ctes)))
+    return (
+        ",".join(normed)
+        + f""",
+    fused AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(FLOOR(score * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS s
+      FROM ({union}) u GROUP BY 1
+    )
+    SELECT doc_id, CAST(FLOOR(s * 1e6 + 0.5) AS DOUBLE) / 1e6 AS score
+    FROM fused ORDER BY score DESC, doc_id LIMIT {k}
+    """
+    )
+
+
+_QW = sparse.query_terms(QUERY_TEXT_NGRAM, (1, 1))
+_QB = sparse.query_terms(QUERY_TEXT_NGRAM, (2, 2))
+_QT = sparse.query_terms(QUERY_TEXT_NGRAM, (3, 3))
+
+
+@query(
+    "sparse_multichannel_context",
+    oracle=f"""
+    WITH {tfidf_cte('w_', (1, 1), _QW)},
+    {tfidf_cte('b_', (2, 2), _QB)},
+    {tfidf_cte('t_', (3, 3), _QT)},
+    w_top AS (SELECT doc_id, score FROM w_topk ORDER BY score DESC, doc_id LIMIT 50),
+    b_top AS (SELECT doc_id, score FROM b_topk ORDER BY score DESC, doc_id LIMIT 50),
+    t_top AS (SELECT doc_id, score FROM t_topk ORDER BY score DESC, doc_id LIMIT 50),
+    {_minmax_fuse_sql(['w_top', 'b_top', 't_top'], 20).lstrip().removeprefix(',')}
+    """,
+)
+def sparse_multichannel_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 — multi-channel context search: per-channel TF-IDF top-k
+    fused by min-max addition (reference object_retrieval.__call__,
+    object_retrieval.py:286-301 → combine_utils Q8). Channels here are
+    three n-gram views of the corpus (the reference's channels are
+    separate token corpora over the same ids)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    lists = []
+    for ngr, qt in (((1, 1), _QW), ((2, 2), _QB), ((3, 3), _QT)):
+        postings = sparse.fit_tfidf(docs, ngram_range=ngr)
+        lists.append(sparse.tfidf_score(postings, qt, k=50, round_to=6))
+    return fusion.merge_by_addition(lists, k=20, round_to=6).withColumnRenamed("id", "doc_id")

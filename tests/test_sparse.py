@@ -1,0 +1,83 @@
+"""Sparse engine vs a NumPy re-implementation of sklearn's TF-IDF
+math (smooth idf + L2 doc norm) — SURVEY.md §5 golden-math strategy."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark.operators import sparse
+
+
+def py_tfidf_scores(texts: dict[int, str], query: str) -> dict[int, float]:
+    """Reference math: sklearn TfidfVectorizer(token_pattern=r'\\w+',
+    lowercase=True, smooth_idf=True, norm='l2') cosine scores."""
+    tok = lambda s: re.findall(r"\w+", s.lower())
+    tfs = {d: Counter(tok(t)) for d, t in texts.items()}
+    n = len(texts)
+    df = Counter()
+    for c in tfs.values():
+        df.update(set(c))
+    idf = {t: math.log((1 + n) / (1 + df[t])) + 1.0 for t in df}
+    docvecs = {}
+    for d, c in tfs.items():
+        w = {t: tf * idf[t] for t, tf in c.items()}
+        nrm = math.sqrt(sum(v * v for v in w.values()))
+        docvecs[d] = {t: v / nrm for t, v in w.items()}
+    qc = Counter(tok(query))
+    qw = {t: c * idf[t] for t, c in qc.items() if t in idf}
+    qn = math.sqrt(sum(v * v for v in qw.values()))
+    qv = {t: v / qn for t, v in qw.items()}
+    return {d: sum(qv[t] * docvecs[d].get(t, 0.0) for t in qv) for d in texts}
+
+
+@pytest.fixture(scope="module")
+def docs_py(spark, sf_dir):
+    rows = tables.load(spark, "documents", sf_dir).select("doc_id", "text").collect()
+    return {r.doc_id: r.text for r in rows}
+
+
+def test_tfidf_scores_match_reference_math(spark, sf_dir, docs_py):
+    query = "fast query join merge window"
+    docs = tables.load(spark, "documents", sf_dir)
+    postings = sparse.fit_tfidf(docs)
+    got = sparse.tfidf_score(postings, sparse.query_terms(query), k=30).collect()
+    exp = py_tfidf_scores(docs_py, query)
+    exp_rank = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    assert [r.doc_id for r in got] == [d for d, _ in exp_rank]
+    for r, (_, s) in zip(got, exp_rank):
+        assert abs(r.score - s) < 1e-9
+
+
+def test_tfidf_subset_equals_filtered_full(spark, sf_dir):
+    docs = tables.load(spark, "documents", sf_dir)
+    postings = sparse.fit_tfidf(docs)
+    qt = sparse.query_terms("slow scan table")
+    subset = docs.filter("lang = 'en'").select("doc_id")
+    sub = sparse.tfidf_score(postings, qt, k=20, subset=subset).collect()
+    full = sparse.tfidf_score(postings, qt, k=10**6).collect()
+    allowed = {r.doc_id for r in subset.collect()}
+    expected = [r.doc_id for r in full if r.doc_id in allowed][:20]
+    assert [r.doc_id for r in sub] == expected
+
+
+def test_bm25_prefers_rarer_terms(spark, sf_dir, docs_py):
+    docs = tables.load(spark, "documents", sf_dir)
+    post = sparse.fit_bm25(docs)
+    got = sparse.bm25_score(post, sparse.query_terms("vector stream"), k=10).collect()
+    assert len(got) == 10
+    assert all(got[i].score >= got[i + 1].score for i in range(9))
+    top_text = docs_py[got[0].doc_id].lower()
+    assert "vector" in top_text or "stream" in top_text
+
+
+def test_ngram_postings_contain_bigrams(spark, sf_dir):
+    docs = tables.load(spark, "documents", sf_dir)
+    postings = sparse.fit_tfidf(docs, ngram_range=(1, 2))
+    sample = postings.filter("term LIKE '% %'").limit(5).collect()
+    assert len(sample) == 5
+    assert all(" " in r.term for r in sample)
