@@ -1,0 +1,104 @@
+"""Temporal / sequence operators — S3 (range-join assignment),
+Q16 (temporal-neighborhood re-query), Q19 (±N neighborhood browse).
+
+Reference shapes:
+- S3: assign each keyframe to the shot whose [start, end] frame range
+  contains it, then enumerate a dense global id in (collection, video,
+  frame) order (data_preparation.ipynb cells 5-6).
+- Q16: for each shot in a previous result, take the next/previous R
+  shots of the same video, re-run the search restricted to them, and
+  rank by current + previous best (utils/search_utils.py:96-221).
+- Q19: sibling items of the selected shot ±5 (app.py:499-541).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def range_assign(
+    items: DataFrame,
+    ranges: DataFrame,
+    item_point: str,
+    range_start: str,
+    range_end: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """S3 — containment join: item.point BETWEEN range.start AND
+    range.end (inclusive, like the reference's pointer loop). With
+    `keys`, the range predicate rides on an equi-join, so Catalyst
+    plans a hash join + filter, not a nested loop."""
+    keys = keys or []
+    cond = (F.col(item_point) >= F.col(range_start)) & (F.col(item_point) <= F.col(range_end))
+    for k in keys:
+        cond = (items[k] == ranges[k]) & cond
+    out = items.join(ranges, cond)
+    return out.drop(*(ranges[k] for k in keys)) if keys else out
+
+
+def dense_global_ids(df: DataFrame, order_cols: list[str], id_col: str = "global_id") -> DataFrame:
+    """S3 step 2 — the reference's `dict(enumerate(...))` dense id:
+    row_number over a global order. NOTE: a single un-partitioned
+    window is a scale anti-pattern (one task sees every row); use
+    zipWithIndex-style monotonic ids + per-partition offsets for real
+    100 TB runs — kept here as the exact-parity variant for ids that
+    must match an enumeration order."""
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(id_col, F.row_number().over(w) - F.lit(1))
+
+
+def sequence_rank(
+    df: DataFrame, keys: list[str], order_cols: list[str], rank_col: str = "seq"
+) -> DataFrame:
+    """Ordinal position within a group — the 'shot number inside a
+    video' analogue used by Q16/Q19."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(rank_col, F.row_number().over(w))
+
+
+def temporal_neighborhood(
+    anchors: DataFrame,
+    sequenced: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    mode: int = 1,
+    range_filter: int = 3,
+) -> DataFrame:
+    """Q16 window step — for each anchor (keys…, seq), the rows of the
+    same group in the next `range_filter` positions (mode=1) or the
+    previous ones (mode=2), excluding the anchor itself
+    (search_utils.py:151-158). Equi-join on keys + bounded BETWEEN on
+    seq; duplicates collapse via distinct on the target id, matching
+    the reference's `sorted(set(...))` at :161."""
+    a = anchors.select(*[F.col(k) for k in keys], F.col(seq_col).alias("__aseq"))
+    if mode == 1:
+        cond = (F.col(seq_col) > F.col("__aseq")) & (
+            F.col(seq_col) <= F.col("__aseq") + range_filter
+        )
+    else:
+        cond = (F.col(seq_col) < F.col("__aseq")) & (
+            F.col(seq_col) >= F.col("__aseq") - range_filter
+        )
+    joined = sequenced.join(a, on=keys, how="inner").filter(cond).drop("__aseq")
+    return joined.distinct()
+
+
+def neighborhood_browse(
+    sequenced: DataFrame,
+    keys: list[str],
+    anchor: dict,
+    seq_col: str = "seq",
+    radius: int = 5,
+) -> DataFrame:
+    """Q19 — the ±radius window around one selected position
+    (app.py:511-513 `shot BETWEEN sel-5 AND sel+5`)."""
+    cond = F.lit(True)
+    for k, v in anchor.items():
+        if k != seq_col:
+            cond = cond & (F.col(k) == F.lit(v))
+    sel = anchor[seq_col]
+    return sequenced.filter(
+        cond & (F.col(seq_col) >= sel - radius) & (F.col(seq_col) <= sel + radius)
+    )

@@ -1,0 +1,235 @@
+"""Oracle-checked temporal / search-space / grouping queries
+(SURVEY.md §2 S3, Q14/Q15/Q16/Q18/Q19/Q23).
+
+Entity mapping onto the driver tables: `user_id` plays the video,
+the row_number of an event in its user's timeline plays the shot
+ordinal, `documents.source` plays the video for grouping/ignore
+algebra, and orders' date windows play shot frame ranges."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark.operators import filters, grouping, sparse, temporal
+from multi_search_retrival_big_data_spark.queries import query
+from multi_search_retrival_big_data_spark.queries.sparse_queries import tfidf_cte
+
+_SEQ = """
+    seqd AS (
+      SELECT event_id, user_id, ts, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+      FROM events
+    )"""
+
+
+@query(
+    "range_assign_items_to_windows",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(*) AS n_in_window
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def range_assign_items_to_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — keyframe→shot containment assignment
+    (data_preparation.ipynb cell 5): items fall into their parent's
+    [start, end] range; the equality key keeps it a hash join."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    o = tables.load(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    assigned = temporal.range_assign(
+        li.select("l_orderkey", "l_shipdate"),
+        o.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_orderdate").alias("w_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("w_end"),
+        ),
+        item_point="l_shipdate",
+        range_start="w_start",
+        range_end="w_end",
+        keys=["l_orderkey"],
+    )
+    return (
+        assigned.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count("*").alias("n_in_window"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "search_space_algebra",
+    oracle="""
+    WITH ignored AS (SELECT source FROM documents WHERE doc_id IN (1, 5, 9)),
+    removed AS (SELECT doc_id FROM documents WHERE source IN (SELECT source FROM ignored)),
+    keep AS (SELECT doc_id FROM documents WHERE lang IN ('en', 'de')),
+    space AS (SELECT doc_id FROM documents WHERE n_chars > 200)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+      AND d.doc_id IN (SELECT doc_id FROM keep)
+      AND d.doc_id IN (SELECT doc_id FROM space)
+    ORDER BY d.doc_id
+    """,
+)
+def search_space_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 — ignore-expansion + complement + intersections
+    (app.py:192-203, 318-328): ignored ids expand to their whole
+    source group (the 'whole shot'), complement is an anti-join,
+    intersections are semi-joins."""
+    docs = tables.load(spark, "documents", sf_dir)
+    ignore = spark.createDataFrame([(1,), (5,), (9,)], "doc_id BIGINT")
+    keep = docs.filter(F.col("lang").isin("en", "de")).select("doc_id")
+    space = docs.filter(F.col("n_chars") > 200).select("doc_id")
+    allowed = filters.build_search_space(
+        docs, "doc_id", ["source"], ignore_ids=ignore, keep_ids=keep, space=space
+    )
+    return allowed.orderBy("doc_id")
+
+
+_QTXT = sparse.query_terms("slow scan table filter")
+
+
+@query(
+    "group_hits_by_source",
+    oracle=f"""
+    WITH {tfidf_cte('', (1, 1), _QTXT)},
+    hits AS (SELECT doc_id, score FROM topk ORDER BY score DESC, doc_id LIMIT 100),
+    hyd AS (SELECT h.doc_id, h.score, d.source FROM hits h JOIN documents d USING(doc_id)),
+    grouped AS (
+      SELECT source, MAX(score) AS best_score, COUNT(*) AS hit_count
+      FROM hyd GROUP BY source
+    ),
+    best AS (
+      SELECT h.source, MIN(h.doc_id) AS best_id
+      FROM hyd h JOIN grouped g ON h.source = g.source AND h.score = g.best_score
+      GROUP BY h.source
+    )
+    SELECT g.source, g.best_score, g.hit_count, b.best_id
+    FROM grouped g JOIN best b ON g.source = b.source
+    ORDER BY g.best_score DESC, g.source
+    """,
+)
+def group_hits_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 + Q18 — hydrate hits with dimension attrs (broadcast inner
+    join drops unknown ids, `_gather_infos` semantics) and group by
+    the parent entity ranked by best hit (search_utils.py:62-93)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    hits = sparse.tfidf_score(sparse.fit_tfidf(docs), _QTXT, k=100, round_to=6)
+    hyd = grouping.hydrate(hits, docs, "doc_id", ["source"])
+    return grouping.group_hits(hyd, ["source"], "doc_id", "score")
+
+
+@query(
+    "hydrate_dense_hits",
+    oracle="""
+    WITH hits AS (
+      SELECT vec_id, label FROM embeddings WHERE label >= 8
+    )
+    SELECT h.vec_id, h.label, d.lang, d.source, d.n_chars
+    FROM hits h JOIN documents d ON d.doc_id = h.vec_id
+    ORDER BY h.vec_id
+    """,
+)
+def hydrate_dense_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 standalone — metadata enrichment via broadcast inner join;
+    embedding ids missing from `documents` drop out exactly like the
+    reference's dict-miss skip (faiss_processing.py:61-82)."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    docs = tables.load(spark, "documents", sf_dir)
+    hits = emb.filter(F.col("label") >= 8).select("vec_id", "label")
+    out = grouping.hydrate(hits, docs.withColumnRenamed("doc_id", "vec_id"),
+                           "vec_id", ["lang", "source", "n_chars"])
+    return out.orderBy("vec_id")
+
+
+@query(
+    "temporal_requery_next_shots",
+    oracle=f"""
+    WITH {_SEQ},
+    anchors AS (
+      SELECT * FROM seqd WHERE event_type = 'view'
+      ORDER BY value DESC, event_id LIMIT 20
+    ),
+    cands AS (
+      SELECT DISTINCT s.user_id, s.event_id, s.value
+      FROM seqd s JOIN anchors a
+        ON s.user_id = a.user_id AND s.seq > a.seq AND s.seq <= a.seq + 3
+    ),
+    prevb AS (SELECT user_id, MAX(value) AS prev_best FROM anchors GROUP BY 1),
+    curb AS (SELECT user_id, MAX(value) AS cur_best FROM cands GROUP BY 1)
+    SELECT c.user_id, c.cur_best + p.prev_best AS combined
+    FROM curb c JOIN prevb p USING(user_id)
+    ORDER BY combined DESC, user_id
+    """,
+)
+def temporal_requery_next_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 — 'filter video' temporal re-query
+    (search_utils.py:96-221): anchors from a previous result expand to
+    the next R=3 positions in their group's timeline; candidates are
+    re-scored and the group's final rank is current best + previous
+    best (:216-220)."""
+    ev = tables.load(spark, "events", sf_dir)
+    seqd = temporal.sequence_rank(ev, ["user_id"], ["ts", "event_id"])
+    anchors = (
+        seqd.filter(F.col("event_type") == "view")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+    )
+    cands = temporal.temporal_neighborhood(
+        anchors.select("user_id", "seq"), seqd.select("user_id", "event_id", "value", "seq"),
+        keys=["user_id"], mode=1, range_filter=3,
+    ).select("user_id", "event_id", "value").distinct()
+    prevb = anchors.groupBy("user_id").agg(F.max("value").alias("prev_best"))
+    curb = cands.groupBy("user_id").agg(F.max("value").alias("cur_best"))
+    return (
+        curb.join(prevb, "user_id")
+        .select("user_id", (F.col("cur_best") + F.col("prev_best")).alias("combined"))
+        .orderBy(F.desc("combined"), F.asc("user_id"))
+    )
+
+
+@query(
+    "neighborhood_browse",
+    oracle=f"""
+    WITH {_SEQ},
+    anchor AS (SELECT user_id, seq FROM seqd WHERE event_id = 500)
+    SELECT s.event_id, s.user_id, s.seq, s.event_type
+    FROM seqd s JOIN anchor a
+      ON s.user_id = a.user_id AND s.seq BETWEEN a.seq - 5 AND a.seq + 5
+    ORDER BY s.seq
+    """,
+)
+def neighborhood_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 — shot-context browse (/getvideoshot, app.py:511-513): the
+    ±5 positions around a selected item in its group timeline."""
+    ev = tables.load(spark, "events", sf_dir)
+    seqd = temporal.sequence_rank(ev, ["user_id"], ["ts", "event_id"]).select(
+        "event_id", "user_id", "seq", "event_type"
+    )
+    anchor_row = seqd.filter(F.col("event_id") == 500).select(
+        F.col("user_id").alias("a_user"), F.col("seq").alias("a_seq")
+    )
+    return (
+        seqd.join(F.broadcast(anchor_row), on=F.col("user_id") == F.col("a_user"))
+        .filter(
+            (F.col("seq") >= F.col("a_seq") - 5) & (F.col("seq") <= F.col("a_seq") + 5)
+        )
+        .select("event_id", "user_id", "seq", "event_type")
+        .orderBy("seq")
+    )
+
+
+@query(
+    "browse_first_n",
+    oracle="SELECT doc_id, source FROM documents ORDER BY doc_id LIMIT 500",
+)
+def browse_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q23 — pagination browse (/data, app.py:260-268): first 500 by
+    id (the reference's dict iteration order is id order)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.select("doc_id", "source").orderBy("doc_id").limit(500)
