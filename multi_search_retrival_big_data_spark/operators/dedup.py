@@ -1,0 +1,222 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference engine dedupes implicitly (dense keyframe ids, `np.unique`
+fusion at utils/combine_utils.py:20-24, `sorted(set(...))` at
+utils/search_utils.py:161); a 100 TB corpus pipeline needs document-level
+dedup as a first-class operator. Four families, all shuffle-conscious:
+
+- **exact**: hash-groupBy on normalized content. One shuffle on a
+  16-byte key; partial aggregation map-side. Scales linearly.
+- **MinHash + LSH**: char-shingle → P-permutation minhash signature →
+  band buckets → equi-join on (band, bucket) for candidates → exact
+  Jaccard verify on candidates only. The all-pairs O(n²) comparison
+  collapses to O(candidates); every join is an equi-join Catalyst can
+  hash-partition, no cross join anywhere.
+- **n-gram Jaccard (exact)**: all-pairs ground truth; intersections
+  built by an equi-join on the shingle value (NOT a cross join), so
+  cost is O(sum of posting-list² per shingle) — only viable as an
+  oracle/verification path or on a pre-filtered candidate set.
+- **embedding near-dup**: see operators/ann.py (cosine threshold
+  pairs with optional LSH pruning).
+
+Hash function: md5 hex strings. A fixed-width lowercase hex string
+compares lexicographically exactly as its unsigned numeric value, so
+`MIN(md5(...))` is a valid minhash permutation and is bit-identical in
+Spark and DuckDB (both emit lowercase UTF-8 hex) — that is what makes
+the driver's oracle gate able to verify these operators value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# MinHash defaults shared with the oracle-SQL generators in
+# queries/pipeline_queries.py — keep in sync.
+SHINGLE_K = 5
+NUM_PERM = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace,
+    trim. Pure Catalyst expressions (regex is `\\s+` which means the
+    same thing in Java regex and RE2)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def content_hash(col: Column) -> Column:
+    return F.md5(normalize_text(col))
+
+
+def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate grouping: every doc annotated with its content
+    hash, the canonical (minimum) doc id sharing that hash, and the
+    group size. One hash-partition shuffle on the 16-byte digest; the
+    window aggregates run inside each partition."""
+    hashed = docs.select(F.col(id_col), content_hash(F.col(text_col)).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .select(id_col, "content_hash", "canonical_id", "group_size")
+    )
+
+
+def char_shingles(
+    docs: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K
+) -> DataFrame:
+    """Distinct lowercase char k-grams per document → (id, shingle).
+    Docs shorter than k yield no rows (they cannot participate in
+    shingle-based similarity). `sequence` is guarded by the length
+    filter — Spark generates descending ranges when stop < start."""
+    s = F.lower(F.col(text_col))
+    return (
+        docs.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length(s) - F.lit(k - 1))).alias("__pos"),
+            s.alias("__s"),
+        )
+        .select(F.col(id_col), F.col("__s").substr(F.col("__pos"), F.lit(k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """P-permutation minhash signature as P columns h0..h{P-1}.
+
+    Permutation i = md5 seeded with the permutation index; the min over
+    the doc's shingles of a uniform hash is the classic minhash
+    estimator. Computed as P parallel MIN aggregates in ONE groupBy —
+    map-side partial aggregation keeps shuffle volume at
+    O(docs × P × 32 bytes) regardless of shingle count, and there is no
+    per-permutation explode."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_buckets(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS,
+) -> DataFrame:
+    """Band the signature: bucket id = md5 of the band's concatenated
+    components → (id, band, bucket). Docs agreeing on all rows of any
+    band land in the same (band, bucket) key."""
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("e")
+    ).select(id_col, "e.band", "e.bucket")
+
+
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """Distinct unordered candidate pairs from shared (band, bucket)
+    keys. Equi-join on the bucket key — the shuffle partitions by
+    bucket, so skew only appears if one bucket is huge (i.e. a real
+    duplicate cluster, which is exactly the data we want)."""
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    shingles: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard similarity for given candidate pairs →
+    (id_a, id_b, intersection, size_a, size_b, jaccard). The candidate
+    set is usually tiny relative to the corpus → broadcast it to both
+    shingle joins so no extra shuffle of the shingle table happens."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    bp = F.broadcast(pairs)
+    inter = (
+        sa.join(bp, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("size_a"))), "id_a")
+        .join(F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("size_b"))), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection")).cast("double"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int = SHINGLE_K,
+    num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS,
+) -> DataFrame:
+    """Full MinHash-LSH near-duplicate pipeline: shingle → signature →
+    bucket → candidate pairs → exact-Jaccard verify ≥ threshold.
+    Returns (id_a, id_b, jaccard). Deterministic end to end (md5
+    permutations), so recall misses are reproducible and mirrored by
+    the DuckDB oracle."""
+    sh = char_shingles(docs, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col, num_perm)
+    cand = lsh_candidate_pairs(lsh_buckets(sig, id_col, bands, rows_per_band), id_col)
+    verified = jaccard_for_pairs(sh, cand, id_col)
+    return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, threshold: float, k: int = SHINGLE_K
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold (the ground truth the
+    LSH path approximates). Pairs are generated by equi-joining on the
+    shingle VALUE — never a cross join — so only documents sharing at
+    least one shingle ever meet. Still quadratic in the worst case; at
+    scale use minhash_near_duplicates and keep this for audits."""
+    sh = char_shingles(docs, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("size_a"))), "id_a")
+        .join(F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("size_b"))), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

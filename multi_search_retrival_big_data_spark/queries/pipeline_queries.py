@@ -1,0 +1,154 @@
+"""Oracle-checked training-data pipeline queries over `documents` —
+deduplication (exact / MinHash-LSH / exact n-gram Jaccard), run
+against the driver's synthetic corpus which contains planted
+near-duplicate pairs (Jaccard ≈ 0.99).
+
+Every hash both engines compute is md5 over identical UTF-8 bytes, and
+minhash minima are taken over fixed-width lowercase hex strings (whose
+lexicographic order equals their numeric order), so the Spark plan and
+the DuckDB oracle agree value-for-value — see operators/dedup.py.
+
+The oracle SQL is *generated* from the same constants
+(SHINGLE_K/NUM_PERM/LSH_BANDS/LSH_ROWS) the Spark operators use, so
+the two sides cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark.operators import dedup
+from multi_search_retrival_big_data_spark.operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    NUM_PERM,
+    SHINGLE_K,
+)
+from multi_search_retrival_big_data_spark.queries import query
+from multi_search_retrival_big_data_spark.queries.common import det_round, sql_det_round
+
+JACCARD_THRESHOLD = 0.8
+
+
+def _shingles_cte(k: int = SHINGLE_K) -> str:
+    """DuckDB CTE mirroring dedup.char_shingles (distinct lowercase
+    char k-grams; range() end is exclusive → last start = len-k+1)."""
+    return f"""
+    shingles AS (
+      SELECT DISTINCT doc_id, substring(lower(text), CAST(i AS INTEGER), {k}) AS shingle
+      FROM documents, unnest(range(1, length(text) - {k - 2})) AS t(i)
+      WHERE length(text) >= {k}
+    )"""
+
+
+def _jaccard_tail(threshold: float, pair_src: str) -> str:
+    """Shared verify stage: exact Jaccard over `{pair_src}` (id_a, id_b)."""
+    j = sql_det_round("i.i / CAST(sa.n + sb.n - i.i AS DOUBLE)")
+    return f"""
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM {pair_src} c
+      JOIN shingles x ON x.doc_id = c.id_a
+      JOIN shingles y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b, {j} AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.i / CAST(sa.n + sb.n - i.i AS DOUBLE) >= {threshold}
+    ORDER BY jaccard DESC, id_a, id_b"""
+
+
+def _minhash_oracle() -> str:
+    perms = ",\n        ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(NUM_PERM)
+    )
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
+            b=b,
+            cols=", ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH {_shingles_cte()},
+    sig AS (
+      SELECT doc_id,
+        {perms}
+      FROM shingles GROUP BY doc_id
+    ),
+    buckets AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    {_jaccard_tail(JACCARD_THRESHOLD, "cand")}
+    """
+
+
+def _exact_jaccard_oracle() -> str:
+    return f"""
+    WITH {_shingles_cte()},
+    cand AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM shingles x JOIN shingles y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    {_jaccard_tail(JACCARD_THRESHOLD, "cand")}
+    """
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+      FROM documents
+    )
+    SELECT doc_id, content_hash,
+           min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+           count(*)   OVER (PARTITION BY content_hash) AS group_size
+    FROM h
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: every doc annotated with content hash, canonical id
+    and duplicate-group size (group_size 1 = unique)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return dedup.exact_dedup(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified at
+    threshold 0.8. Finds the corpus's planted ~0.99-Jaccard pairs with
+    no all-pairs comparison."""
+    docs = tables.load(spark, "documents", sf_dir)
+    out = dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", JACCARD_THRESHOLD
+    )
+    return (
+        out.select("id_a", "id_b", det_round(F.col("jaccard")).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+    )
+
+
+@query("dedup_ngram_jaccard_exact", oracle=_exact_jaccard_oracle())
+def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs char-5-gram Jaccard ≥ 0.8 — the ground truth the
+    LSH path approximates (audit-path operator)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
+    return (
+        out.select("id_a", "id_b", det_round(F.col("jaccard")).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+    )

@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The  quick brown fox jumps over the lazy dog "),  # exact dup after normalize
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "tiny"),  # shorter than shingle k → excluded from shingle ops
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["doc_id"]: r for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[1]["canonical_id"] == 1 and out[1]["group_size"] == 2
+    assert out[2]["canonical_id"] == 1 and out[2]["group_size"] == 2
+    assert out[2]["content_hash"] == out[1]["content_hash"]
+    assert out[3]["group_size"] == 1
+    assert out[4]["group_size"] == 1
+
+
+def test_char_shingles_short_doc_excluded(docs):
+    sh = dedup.char_shingles(docs, "doc_id", "text", k=5)
+    ids = {r["doc_id"] for r in sh.select("doc_id").distinct().collect()}
+    assert 5 not in ids
+    # shingle count of doc 1 == distinct 5-grams of its lowercased text
+    text = "the quick brown fox jumps over the lazy dog"
+    expected = {text[i : i + 5] for i in range(len(text) - 4)}
+    got = {r["shingle"] for r in sh.filter(F.col("doc_id") == 1).collect()}
+    assert got == expected
+
+
+def test_minhash_signature_identical_for_identical_shingle_sets(docs):
+    sig = dedup.minhash_signatures(
+        dedup.char_shingles(docs.withColumn("text", dedup.normalize_text(F.col("text"))), "doc_id", "text"),
+        "doc_id",
+    )
+    rows = {r["doc_id"]: r for r in sig.collect()}
+    # docs 1 and 2 normalize to the same text → identical signatures
+    assert all(rows[1][f"h{i}"] == rows[2][f"h{i}"] for i in range(dedup.NUM_PERM))
+
+
+def test_lsh_candidates_superset_check_and_verify(docs):
+    """LSH-verified pairs ⊆ exact all-pairs result; the near-dup pair
+    (1,3) has high Jaccard and must survive both paths."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_duplicates(docs, "doc_id", "text", 0.5).collect()
+    }
+    assert lsh <= exact
+    assert (1, 3) in lsh
+
+
+def test_jaccard_value_matches_python(docs):
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 0.5)
+    row = out.filter((F.col("id_a") == 1) & (F.col("id_b") == 3)).collect()[0]
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox jumps over the lazy cat"
+    sa = {a[i : i + 5] for i in range(len(a) - 4)}
+    sb = {b[i : i + 5] for i in range(len(b) - 4)}
+    expected = len(sa & sb) / len(sa | sb)
+    assert abs(row["jaccard"] - expected) < 1e-12
