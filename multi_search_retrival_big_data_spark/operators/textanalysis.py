@@ -1,0 +1,275 @@
+"""Text-analysis operators for training-data pipelines: SimHash
+fingerprints, winnowing (rolling-hash) document fingerprints,
+stopword-list language identification, quality scoring, token counting.
+
+The reference's text path is TF-IDF retrieval (SURVEY.md §2 Q4-Q7);
+a corpus-preparation pipeline additionally needs per-document analysis
+operators. Everything here is pure Catalyst expressions (no Python in
+the hot path) and every hash is md5-hex so the DuckDB oracle can
+reproduce values bit-for-bit (see operators/dedup.py for why hex-string
+MIN == numeric MIN).
+
+Scale notes:
+- SimHash: one groupBy(doc, token) for tf + one groupBy(doc) with 64
+  parallel SUM aggregates — two shuffles total, both with map-side
+  partial aggregation; no explode over bit positions.
+- SimHash near-dup pairs: 8-chunk pigeonhole banding — any two
+  fingerprints within Hamming distance 7 agree exactly on at least one
+  8-bit chunk, so candidates come from an equi-join on (chunk_idx,
+  chunk_value), never an all-pairs scan.
+- Winnowing: window-function MIN over a w-row frame inside each doc
+  partition; one shuffle on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from multi_search_retrival_big_data_spark.functions.text import tokenize
+
+HEX_CHARS = "0123456789abcdef"
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 8  # pigeonhole: guarantees recall for hamming <= 7
+WINNOW_K = 5  # char-gram size
+WINNOW_W = 4  # window length (rows of consecutive grams)
+
+
+def _hex_digit_val(h: Column, d: int) -> Column:
+    """Numeric value of hex digit d (0-based) of a lowercase hex string."""
+    return F.instr(F.lit(HEX_CHARS), F.substring(h, d + 1, 1)) - F.lit(1)
+
+
+def simhash_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document as a 64-char '0'/'1' string
+    (bit p = sign of Σ_tokens tf · (±1 from bit p of md5(token))).
+
+    Bit p lives in hex digit p//4 of the token's md5, sub-bit p%4
+    (LSB-first within the digit). Ties (sum == 0) encode as '1' in both
+    engines."""
+    toks = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    h = F.md5(F.col("tok"))
+    vals = tf.select(
+        F.col(id_col),
+        F.col("tf"),
+        *[_hex_digit_val(h, d).alias(f"v{d}") for d in range(16)],
+    )
+    sums = vals.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * (F.shiftright(F.col(f"v{p // 4}"), p % 4).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{p}")
+            for p in range(SIMHASH_BITS)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"s{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(SIMHASH_BITS)
+    ]
+    return sums.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Hamming distance between two equal-length bit strings — a
+    higher-order filter over positions, portable to the oracle's
+    list_filter form."""
+    return F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda p: a.substr(p, F.lit(1)) != b.substr(p, F.lit(1)),
+        )
+    )
+
+
+def simhash_near_duplicates(
+    fingerprints: DataFrame,
+    id_col: str,
+    max_hamming: int = SIMHASH_CHUNKS - 1,
+    chunks: int = SIMHASH_CHUNKS,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: candidates share at least one
+    exact 8-bit chunk (pigeonhole guarantees 100% recall for distance
+    ≤ chunks-1), then verified hamming ≤ max_hamming.
+    Returns (id_a, id_b, hamming)."""
+    width = SIMHASH_BITS // chunks
+    chunked = fingerprints.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.substring("simhash", c * width + 1, width).alias("chunk"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "simhash", "e.chunk_idx", "e.chunk")
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk"
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk"
+    )
+    cand = (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every char k-gram, slide a w-gram window, keep each window's
+    minimum hash, dedupe → the document's fingerprint set
+    (id, fingerprint). Only full windows are kept (pos + w - 1 ≤ last
+    gram position), so every engine sees identical frames."""
+    s = F.lower(F.col(text_col))
+    grams = (
+        docs.filter(F.length(text_col) >= k + w - 1)
+        .select(
+            F.col(id_col),
+            F.length(s).alias("__len"),
+            F.explode(F.sequence(F.lit(1), F.length(s) - F.lit(k - 1))).alias("pos"),
+            s.alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.col("__len"),
+            F.md5(F.col("__s").substr(F.col("pos"), F.lit(k))).alias("gh"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("wmin", F.min("gh").over(win))
+        .filter(F.col("pos") <= F.col("__len") - F.lit(k - 1) - F.lit(w - 1))
+        .select(F.col(id_col), F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )
+
+
+# Small multilingual stopword lists (public common function words) —
+# shared verbatim with the oracle SQL via queries/text_queries.py.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "ist"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du", "que", "pour"),
+    "zh": ("de", "le", "shi", "zai", "you", "wo", "ta", "men", "zhe", "bu"),
+}
+
+
+def language_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language identification: tokenize, count hits per
+    candidate language, pick argmax with deterministic (hits DESC,
+    lang ASC) tie-break; zero-hit docs get 'und'.
+    Returns (id, predicted_lang, hits, n_tokens, hit_ratio).
+
+    The stopword table is a literal inline dimension — broadcast join,
+    no shuffle of the token stream beyond the groupBy."""
+    spark = docs.sparkSession
+    sw = spark.createDataFrame(
+        [(lang, word) for lang, words in STOPWORDS.items() for word in words],
+        "lang STRING, word STRING",
+    )
+    toks = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word"))
+    ntok = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    hits = (
+        toks.join(F.broadcast(sw), "word")
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("hits"), F.asc("lang"))
+    best = hits.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return (
+        docs.select(F.col(id_col))
+        .join(best.select(id_col, "lang", "hits"), id_col, "left")
+        .join(ntok, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lang"), F.lit("und")).alias("predicted_lang"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.when(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_tokens").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("hit_ratio"),
+        )
+    )
+
+
+def quality_features(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features and a composite score, all as
+    rational IEEE arithmetic (no transcendentals — libm log/exp can
+    differ by an ulp across engines, breaking oracle parity):
+    n_chars, n_tokens, word_char_ratio, punct_ratio, digit_ratio,
+    stopword_ratio (en), quality ∈ [0,1]."""
+    t = F.col(text_col)
+    toks = tokenize(t)
+    en = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    word_chars = F.length(F.regexp_replace(t, r"[^\w]", ""))
+    punct_chars = F.length(F.regexp_replace(t, r"[\w\s]", ""))
+    digit_chars = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
+    nz = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
+    nt = F.when(n_tokens > 0, n_tokens.cast("double")).otherwise(F.lit(1.0))
+    stop_ratio = stop_hits / nt
+    punct_ratio = punct_chars / nz
+    digit_ratio = digit_chars / nz
+    quality = (
+        stop_ratio
+        + (F.lit(1.0) - punct_ratio)
+        + F.least(n_tokens, F.lit(100)).cast("double") / F.lit(100.0)
+    ) / F.lit(3.0)
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        (word_chars / nz).alias("word_char_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token-count estimators: whitespace-split tokens, word tokens
+    (`\\w+`), and BPE-ish pre-tokens (letter runs / digit runs /
+    single punctuation — the GPT-style pre-tokenizer shape)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(t), r"\s+")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(t), F.lit(r"\w+"), 0))
+        .cast("bigint")
+        .alias("word_tokens"),
+        F.size(
+            F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+        )
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.length(t).cast("bigint").alias("n_chars"),
+    )

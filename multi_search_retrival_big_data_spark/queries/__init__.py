@@ -54,6 +54,9 @@ _MODULES = [
     "multi_search_retrival_big_data_spark.queries.bridge_queries",
     "multi_search_retrival_big_data_spark.queries.temporal_queries",
     "multi_search_retrival_big_data_spark.queries.pipeline_queries",
+    "multi_search_retrival_big_data_spark.queries.text_queries",
+    "multi_search_retrival_big_data_spark.queries.ann_queries",
+    "multi_search_retrival_big_data_spark.queries.multimodal_queries",
     "multi_search_retrival_big_data_spark.queries.streaming_queries",
 ]
 

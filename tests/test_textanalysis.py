@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark.operators import textanalysis as ta
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),  # identical → identical simhash
+        (3, "the cat sat on the hat"),  # near dup → small hamming
+        (4, "quantum flux capacitor overdrive maximal entropy"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def _py_simhash(text: str) -> str:
+    import re
+    from collections import Counter
+
+    tf = Counter(re.findall(r"\w+", text.lower()))
+    sums = [0] * 64
+    for tok, f in tf.items():
+        h = hashlib.md5(tok.encode()).hexdigest()
+        for p in range(64):
+            bit = (int(h[p // 4], 16) >> (p % 4)) & 1
+            sums[p] += f * (2 * bit - 1)
+    return "".join("1" if s >= 0 else "0" for s in sums)
+
+
+def test_simhash_matches_python_reference(docs, spark):
+    out = {r["doc_id"]: r["simhash"] for r in ta.simhash_fingerprints(docs, "doc_id", "text").collect()}
+    assert out[1] == _py_simhash("the cat sat on the mat")
+    assert out[4] == _py_simhash("quantum flux capacitor overdrive maximal entropy")
+    assert out[1] == out[2]
+
+
+def test_simhash_near_dups_pigeonhole(docs):
+    fp = ta.simhash_fingerprints(docs, "doc_id", "text")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in ta.simhash_near_duplicates(fp, "doc_id").collect()}
+    assert pairs[(1, 2)] == 0  # identical docs
+    # near-dup (1,3) has hamming equal to the python reference distance
+    d = sum(a != b for a, b in zip(_py_simhash("the cat sat on the mat"), _py_simhash("the cat sat on the hat")))
+    if d <= 7:
+        assert pairs[(1, 3)] == d
+
+
+def test_winnow_fingerprints_match_python(docs):
+    text = "the cat sat on the mat"
+    k, w = ta.WINNOW_K, ta.WINNOW_W
+    s = text.lower()
+    grams = [hashlib.md5(s[i : i + k].encode()).hexdigest() for i in range(len(s) - k + 1)]
+    expected = {min(grams[i : i + w]) for i in range(len(grams) - w + 1)}
+    out = ta.winnow_fingerprints(docs, "doc_id", "text")
+    got = {r["fingerprint"] for r in out.filter(F.col("doc_id") == 1).collect()}
+    assert got == expected
+
+
+def test_language_id_picks_en_and_handles_no_hits(docs):
+    out = {r["doc_id"]: r for r in ta.language_id(docs, "doc_id", "text").collect()}
+    assert out[1]["predicted_lang"] == "en" and out[1]["hits"] == 2  # 'the' twice
+    assert out[4]["predicted_lang"] == "und" and out[4]["hits"] == 0
+    assert out[1]["n_tokens"] == 6
+
+
+def test_quality_and_token_counts(docs):
+    q = {r["doc_id"]: r for r in ta.quality_features(docs, "doc_id", "text").collect()}
+    assert q[1]["n_tokens"] == 6
+    assert q[1]["punct_ratio"] == 0.0
+    assert abs(q[1]["stopword_ratio"] - 2 / 6) < 1e-12
+    t = {r["doc_id"]: r for r in ta.token_counts(docs, "doc_id", "text").collect()}
+    assert t[1]["ws_tokens"] == 6 and t[1]["word_tokens"] == 6 and t[1]["bpe_ish_tokens"] == 6
