@@ -1,0 +1,190 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+The reference's dense search is an exact FAISS flat scan
+(utils/faiss_processing.py:17-22 — IndexFlatIP, no ANN anywhere); at
+100 TB an exact per-query scan is the bottleneck, so this module adds
+the scale path: **random-hyperplane LSH** (sign-random-projection,
+Charikar STOC'02). The corpus is bucketed once at ingest by the sign
+pattern of P fixed hyperplanes; a query probes only the rows sharing
+at least one of its B band values, then ranks candidates by exact
+cosine. Collision probability per plane is 1 - θ/π, so banding tunes
+the recall/candidate-count trade-off exactly like MinHash-LSH does for
+Jaccard.
+
+Determinism: hyperplane components are ±1 derived from md5 of
+"(plane, dim)" — generated driver-side in pure Python and embedded as
+literals in BOTH the Spark plan and the DuckDB oracle SQL, so the two
+engines bucket identically (dot products are sequential double folds,
+verified bit-identical between `aggregate(zip_with(...))` and DuckDB's
+`list_dot_product`).
+
+Scale notes: the signature computation is one narrow projection (no
+shuffle); candidate selection is a partition-pruned scan when the
+table is written partitioned/bucketed by a signature band; the final
+exact rank touches only candidates (TakeOrderedAndProject top-k).
+The same banding powers embedding near-duplicate *pair* mining without
+an all-pairs cross join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark.functions.vector import (
+    cosine_sim,
+    dot,
+    lit_vec,
+)
+
+NUM_PLANES = 16
+ANN_BANDS = 4
+ANN_ROWS = NUM_PLANES // ANN_BANDS
+
+
+def hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane: component d flips on the parity of
+    the first hex digit of md5('{plane}:{d}'). Pure function — the
+    oracle SQL embeds the identical literal."""
+    return [
+        1.0 if int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+        for d in range(dim)
+    ]
+
+
+def hyperplanes(dim: int, num_planes: int = NUM_PLANES) -> list[list[float]]:
+    return [hyperplane(p, dim) for p in range(num_planes)]
+
+
+def signature_bits(vec_col: str, planes: Sequence[Sequence[float]]) -> Column:
+    """LSH signature as a bit string: bit p = 1 iff vec·plane_p ≥ 0."""
+    bits = [
+        F.when(dot(vec_col, lit_vec(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def signature_of(vec: Sequence[float], planes: Sequence[Sequence[float]]) -> str:
+    """Driver-side signature of a literal query vector (pure Python —
+    same ±1 dot, so it can only disagree with the engine if the dot is
+    exactly at a representable sign boundary, which the md5-derived
+    planes make measure-zero)."""
+    out = []
+    for p in planes:
+        s = 0.0
+        for x, y in zip(vec, p):
+            s += float(x) * float(y)
+        out.append("1" if s >= 0 else "0")
+    return "".join(out)
+
+
+def query_bands(
+    sig: str, bands: int = ANN_BANDS, rows: int = ANN_ROWS
+) -> list[tuple[int, str]]:
+    return [(b, sig[b * rows : (b + 1) * rows]) for b in range(bands)]
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+    bands: int = ANN_BANDS,
+    round_to: int | None = None,
+) -> DataFrame:
+    """ANN top-k: keep rows sharing ≥1 signature band with the query,
+    rank candidates by exact cosine. Returns (id, score) — a strict
+    subset of the exact scan's candidate set, identical ranking within
+    it. At scale the band predicate prunes partitions when the table is
+    laid out by band value; here it is a scan-level filter fused into
+    whole-stage codegen."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, num_planes)
+    rows = num_planes // bands
+    qsig = signature_of(query_vec, planes)
+    sig = signature_bits(vec_col, planes)
+    cond = None
+    for b, qband in query_bands(qsig, bands, rows):
+        c = F.substring(F.col("__sig"), b * rows + 1, rows) == F.lit(qband)
+        cond = c if cond is None else cond | c
+    score = cosine_sim(vec_col, lit_vec(query_vec))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        emb.withColumn("__sig", sig)
+        .filter(cond)
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+    bands: int = ANN_BANDS,
+    dim: int = 64,
+    use_lsh: bool = True,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a, id_b, cosine ≥
+    threshold).
+
+    use_lsh=True: candidates = pairs sharing ≥1 signature band
+    (equi-join on (band, band_value) — shuffle partitions by band
+    value, no cross join). use_lsh=False: exact all-pairs via a single
+    self-join (audit path; quadratic — the oracle ground truth)."""
+    if use_lsh:
+        planes = hyperplanes(dim, num_planes)
+        rows = num_planes // bands
+        sig = emb.select(
+            F.col(id_col), F.col(vec_col), signature_bits(vec_col, planes).alias("__sig")
+        )
+        banded = sig.select(
+            id_col,
+            vec_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.substring("__sig", b * rows + 1, rows).alias("bval"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("e"),
+        ).select(id_col, vec_col, "e.band", "e.bval")
+        a = banded.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "band", "bval"
+        )
+        b = banded.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "band", "bval"
+        )
+        pairs = (
+            a.join(b, ["band", "bval"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__va", "__vb")
+            .distinct()
+        )
+    else:
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    score = cosine_sim("__va", "__vb")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        pairs.withColumn("cosine", score)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

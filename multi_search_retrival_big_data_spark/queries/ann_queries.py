@@ -1,0 +1,135 @@
+"""Oracle-checked ANN / embedding near-dup queries over `embeddings`
+(operators/ann.py). The hyperplane literals are generated once in
+Python (md5-derived ±1 components) and embedded in BOTH the Spark plan
+and the oracle SQL, so both engines bucket identically; dot products
+are sequential double folds on both sides (bit-identical)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark.operators import ann
+from multi_search_retrival_big_data_spark.queries import query
+from multi_search_retrival_big_data_spark.queries.common import (
+    EMB_DIM,
+    QUERY_VEC,
+    sql_vec,
+)
+
+COSINE_DUP_THRESHOLD = 0.45
+
+_PLANES = ann.hyperplanes(EMB_DIM, ann.NUM_PLANES)
+_QSIG = ann.signature_of(QUERY_VEC, _PLANES)
+_ROWS = ann.NUM_PLANES // ann.ANN_BANDS
+
+_V = "CAST(embedding AS DOUBLE[])"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def _sig_sql(vec_expr: str) -> str:
+    cases = ", ".join(
+        f"CASE WHEN list_dot_product({vec_expr}, {sql_vec(p)}) >= 0 THEN '1' ELSE '0' END"
+        for p in _PLANES
+    )
+    return f"concat({cases})"
+
+
+def _band_filter_sql() -> str:
+    return " OR ".join(
+        f"substring(s, {b * _ROWS + 1}, {_ROWS}) = '{qband}'"
+        for b, qband in ann.query_bands(_QSIG)
+    )
+
+
+@query(
+    "ann_lsh_topk_cosine",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, {_V} AS v, {_sig_sql(_V)} AS s FROM embeddings
+    )
+    SELECT vec_id, ROUND({_cos_sql("v", sql_vec(QUERY_VEC))}, 6) AS score
+    FROM sig
+    WHERE {_band_filter_sql()}
+    ORDER BY score DESC, vec_id
+    LIMIT 50
+    """,
+)
+def ann_lsh_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: hyperplane-LSH band probe + exact cosine rank within
+    the candidate bucket union — the scale path for Q1 when an exact
+    full scan is too expensive."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return ann.ann_lsh_topk(emb, QUERY_VEC, k=50, round_to=6)
+
+
+def _near_dup_tail(pair_src: str, threshold: float) -> str:
+    c = _cos_sql("va", "vb")
+    return f"""
+    SELECT id_a, id_b, ROUND({c}, 6) AS cosine
+    FROM {pair_src}
+    WHERE ROUND({c}, 6) >= {threshold}
+    ORDER BY cosine DESC, id_a, id_b"""
+
+
+@query(
+    "emb_near_dup_exact",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_V.replace('embedding', 'a.embedding')} AS va,
+             {_V.replace('embedding', 'b.embedding')} AS vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    {_near_dup_tail("pairs", COSINE_DUP_THRESHOLD)}
+    """,
+)
+def emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding near-duplicate mining (ground truth /
+    audit path; quadratic — use the LSH variant at scale)."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return (
+        ann.embedding_near_dup_pairs(
+            emb, COSINE_DUP_THRESHOLD, use_lsh=False, round_to=6
+        )
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+    )
+
+
+@query(
+    "emb_near_dup_lsh",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, {_V} AS v, {_sig_sql(_V)} AS s FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, v, CAST(b AS INTEGER) AS band,
+             substring(s, CAST(b AS INTEGER) * {_ROWS} + 1, {_ROWS}) AS bval
+      FROM sig, unnest(range(0, {ann.ANN_BANDS})) AS t(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+    )
+    {_near_dup_tail("pairs", COSINE_DUP_THRESHOLD)}
+    """,
+)
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned embedding near-duplicate mining: candidate pairs
+    share ≥1 signature band (equi-join, no cross join), then exact
+    cosine ≥ threshold."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return (
+        ann.embedding_near_dup_pairs(
+            emb, COSINE_DUP_THRESHOLD, dim=EMB_DIM, use_lsh=True, round_to=6
+        )
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+    )

@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark.operators import ann, dense
+from multi_search_retrival_big_data_spark.queries.common import EMB_DIM, QUERY_VEC
+
+
+def test_hyperplanes_deterministic_and_pm1():
+    p1 = ann.hyperplanes(8, 4)
+    p2 = ann.hyperplanes(8, 4)
+    assert p1 == p2
+    assert all(v in (1.0, -1.0) for plane in p1 for v in plane)
+
+
+def test_engine_signature_matches_python(spark, sf_dir):
+    emb = tables.load(spark, "embeddings", sf_dir).limit(20)
+    planes = ann.hyperplanes(EMB_DIM, ann.NUM_PLANES)
+    rows = emb.select(
+        "vec_id", "embedding", ann.signature_bits("embedding", planes).alias("sig")
+    ).collect()
+    for r in rows:
+        assert r["sig"] == ann.signature_of(r["embedding"], planes)
+
+
+def test_ann_topk_subset_of_exact_with_same_scores(spark, sf_dir):
+    emb = tables.load(spark, "embeddings", sf_dir)
+    exact = {
+        r["vec_id"]: r["score"]
+        for r in dense.topk_cosine(emb, QUERY_VEC, k=1000, round_to=6).collect()
+    }
+    approx = ann.ann_lsh_topk(emb, QUERY_VEC, k=20, round_to=6).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert math.isclose(exact[r["vec_id"]], r["score"], abs_tol=1e-9)
+
+
+def test_near_dup_lsh_subset_of_exact(spark, sf_dir):
+    emb = tables.load(spark, "embeddings", sf_dir)
+    t = 0.3
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ann.embedding_near_dup_pairs(emb, t, use_lsh=False, round_to=6).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in ann.embedding_near_dup_pairs(emb, t, dim=EMB_DIM, use_lsh=True, round_to=6).collect()
+    }
+    assert lsh <= exact
+
+
+def test_identical_vectors_always_collide(spark):
+    # identical vectors share every band → LSH near-dup must find them
+    base = [math.sin(i) for i in range(8)]
+    rows = [(1, base), (2, base), (3, [-v for v in base])]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = ann.embedding_near_dup_pairs(emb, 0.99, dim=8, use_lsh=True, round_to=6)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(1, 2)}
