@@ -1,0 +1,125 @@
+"""Oracle-checked streaming/time-window queries over `events`.
+
+`stream_*` entries execute REAL Structured Streaming plans —
+readStream file source → windowed/stateful aggregation →
+Trigger.AvailableNow → memory sink — and return the materialized
+result, which the driver then verifies against batch DuckDB SQL. That
+is the strongest check available for a streaming engine: the streaming
+execution must converge to the batch answer.
+
+`session_window_stats` runs the native session_window operator in
+batch mode (its streaming mode needs append+watermark semantics that
+cannot converge to a batch-equal answer within one trigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark.queries import query
+from multi_search_retrival_big_data_spark.queries.common import sql_dsum
+from multi_search_retrival_big_data_spark.streaming import ingest, stateful, windows
+
+_DSUM_VALUE = sql_dsum("value")
+
+
+@query(
+    "stream_tumbling_event_counts",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n_events, {_DSUM_VALUE} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type — executed as a real
+    streaming query (file stream → window agg → AvailableNow → memory
+    sink)."""
+    stream = ingest.read_event_stream(spark, sf_dir)
+    result = windows.tumbling_event_counts(stream, "1 hour")
+    return ingest.run_to_memory(result, "tumbling_counts").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@query(
+    "stream_sliding_event_counts",
+    oracle=f"""
+    WITH ev AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS tb, event_type, value FROM events
+    )
+    SELECT tb - CAST(o AS INTEGER) * INTERVAL '1 hour' AS window_start, event_type,
+           count(*) AS n_events, {_DSUM_VALUE} AS total_value
+    FROM ev, unnest(range(0, 2)) AS t(o)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows hopping hourly (each event in exactly 2
+    frames), as a real streaming execution. The oracle materializes the
+    overlap by exploding each event into its two covering windows."""
+    stream = ingest.read_event_stream(spark, sf_dir)
+    result = windows.sliding_event_counts(stream, "2 hours", "1 hour")
+    return ingest.run_to_memory(result, "sliding_counts").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@query(
+    "session_window_stats",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, {_DSUM_VALUE} AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-based session windows (30-min gap) via Spark's
+    native session_window operator; the oracle is the classic
+    gaps-and-islands formulation."""
+    events = tables.load(spark, "events", sf_dir)
+    return windows.session_event_stats(events, "30 minutes").orderBy(
+        "user_id", "session_start"
+    )
+
+
+@query(
+    "stream_stateful_user_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS DECIMAL(38,0))) AS BIGINT)
+             AS total_value_q
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user counters in the streaming state store, run to completion —
+    the emitted final state must equal the batch aggregate."""
+    stream = ingest.read_event_stream(spark, sf_dir)
+    result = stateful.running_user_counts(stream)
+    return ingest.run_to_memory(result, "stateful_counts", output_mode="update").orderBy(
+        "user_id"
+    )

@@ -1,0 +1,65 @@
+"""Structured Streaming source/sink plumbing for the `events` table.
+
+`read_event_stream` turns the driver's events parquet into a file
+stream (the same code path a production deployment pointed at an
+append-only directory / Kafka-landed parquet would use);
+`run_to_memory` executes any streaming transform to completion with
+Trigger.AvailableNow and returns the final result as a batch
+DataFrame — which is what lets the driver's DuckDB oracle verify a
+REAL streaming execution value-for-value.
+
+The events parquet stores TIMESTAMP(NANOS); like tables._load_events,
+the stream reads nanos as LONG and truncates to microseconds
+(identical to DuckDB's ns→us truncation).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource wants a directory it can watch for appended
+    # files; the driver ships a single parquet file, so stage a
+    # symlink into a temp "landing" directory — exactly the layout an
+    # append-only ingest folder would have in production.
+    src = os.path.join(sf_dir, "events.parquet")
+    landing = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(src, os.path.join(landing, "events.parquet"))
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(landing)
+    # `div` (integer division) — double `/ 1000` can round up 1µs
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(
+    result: DataFrame,
+    name: str | None = None,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    memory sink and return the materialized table. Memory sink is a
+    test/driver harness choice — production would writeStream to
+    parquet/Kafka with the same trigger and checkpoint contract."""
+    name = name or f"stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
