@@ -43,10 +43,15 @@ OPTIONAL_QUERIES = [
     "fusion_hybrid_sparse_dense",
     "bridge_interval_join",
     "group_hits_by_source",
-    "dedup_exact",
+    "dedup_exact_groups",
     "dedup_minhash_lsh",
-    "ann_brute_topk_batch",
-    "events_tumbling_window",
+    "text_simhash_fingerprints",
+    "text_quality_scores",
+    "ann_lsh_topk_cosine",
+    "emb_near_dup_lsh",
+    "multimodal_decode_features",
+    "stream_tumbling_event_counts",
+    "session_window_stats",
 ]
 
 
@@ -74,7 +79,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "median wall-clock per headline query",
+                "metric": "total wall-clock over headline queries (each the median of 3 runs)",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,

@@ -39,6 +39,7 @@ from multi_search_retrival_big_data_spark.functions.vector import (
     dot,
     lit_vec,
 )
+from multi_search_retrival_big_data_spark.partitioning import ensure_min_partitions
 
 NUM_PLANES = 16
 ANN_BANDS = 4
@@ -104,6 +105,7 @@ def ann_lsh_topk(
     it. At scale the band predicate prunes partitions when the table is
     laid out by band value; here it is a scan-level filter fused into
     whole-stage codegen."""
+    emb = ensure_min_partitions(emb)  # 16 fold-expressions/row: CPU-bound
     dim = len(query_vec)
     planes = hyperplanes(dim, num_planes)
     rows = num_planes // bands
@@ -143,15 +145,16 @@ def embedding_near_dup_pairs(
     (equi-join on (band, band_value) — shuffle partitions by band
     value, no cross join). use_lsh=False: exact all-pairs via a single
     self-join (audit path; quadratic — the oracle ground truth)."""
+    emb = ensure_min_partitions(emb)
     if use_lsh:
         planes = hyperplanes(dim, num_planes)
         rows = num_planes // bands
-        sig = emb.select(
-            F.col(id_col), F.col(vec_col), signature_bits(vec_col, planes).alias("__sig")
-        )
+        sig = emb.select(F.col(id_col), signature_bits(vec_col, planes).alias("__sig"))
+        # bands carry only (id, band, bval): the pair dedup shuffles
+        # 16-byte keys, not embedding vectors — the vectors are joined
+        # back once per side after the distinct
         banded = sig.select(
             id_col,
-            vec_col,
             F.explode(
                 F.array(
                     *[
@@ -163,18 +166,19 @@ def embedding_near_dup_pairs(
                     ]
                 )
             ).alias("e"),
-        ).select(id_col, vec_col, "e.band", "e.bval")
-        a = banded.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "band", "bval"
-        )
-        b = banded.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "band", "bval"
-        )
-        pairs = (
+        ).select(id_col, "e.band", "e.bval")
+        a = banded.select(F.col(id_col).alias("id_a"), "band", "bval")
+        b = banded.select(F.col(id_col).alias("id_b"), "band", "bval")
+        id_pairs = (
             a.join(b, ["band", "bval"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "__va", "__vb")
+            .select("id_a", "id_b")
             .distinct()
+        )
+        pairs = id_pairs.join(
+            emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")), "id_a"
+        ).join(
+            emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")), "id_b"
         )
     else:
         a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))

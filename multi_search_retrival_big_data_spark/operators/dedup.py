@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from multi_search_retrival_big_data_spark.partitioning import ensure_min_partitions
+
 # MinHash defaults shared with the oracle-SQL generators in
 # queries/pipeline_queries.py — keep in sync.
 SHINGLE_K = 5
@@ -74,7 +76,7 @@ def char_shingles(
     filter — Spark generates descending ranges when stop < start."""
     s = F.lower(F.col(text_col))
     return (
-        docs.filter(F.length(text_col) >= k)
+        ensure_min_partitions(docs).filter(F.length(text_col) >= k)
         .select(
             F.col(id_col),
             F.explode(F.sequence(F.lit(1), F.length(s) - F.lit(k - 1))).alias("__pos"),

@@ -39,6 +39,7 @@ from multi_search_retrival_big_data_spark.functions.text import (
     tokenize,
     word_ngrams_range,
 )
+from multi_search_retrival_big_data_spark.partitioning import ensure_min_partitions
 
 TOKEN_RE = re.compile(r"\w+")
 
@@ -62,7 +63,14 @@ def term_counts(
     text_col: str = "text",
     ngram_range: tuple[int, int] = (1, 1),
 ) -> DataFrame:
-    """(doc_id, term, tf) — the raw doc-term matrix in COO form."""
+    """(doc_id, term, tf) — the raw doc-term matrix in COO form.
+
+    No partition widening here: single-channel (1,1) explodes are
+    cheap enough that the extra round-robin shuffle (paid once per
+    plan branch) costs more than the parallelism buys — measured at
+    sf0.1. The multichannel fit, whose explode is ~5× wider, does
+    widen (fit_tfidf_multichannel).
+    """
     return (
         docs.select(F.col(id_col).alias("doc_id"), _terms_col(text_col, ngram_range).alias("__terms"))
         .select("doc_id", F.explode("__terms").alias("term"))
@@ -140,7 +148,14 @@ def tfidf_score(
     aggregation, so non-candidate postings never reach the shuffle."""
     spark = postings.sparkSession
     q = spark.createDataFrame([(t, float(c)) for t, c in qterms], "term STRING, qtf DOUBLE")
-    idf = postings.select("term", "idf").distinct()
+    # idf is only needed for the query's own terms — an isin filter
+    # (pushed into the scan) before the distinct keeps this a
+    # few-row lookup instead of a full-vocabulary de-duplication
+    idf = (
+        postings.filter(F.col("term").isin([t for t, _ in qterms]))
+        .select("term", "idf")
+        .distinct()
+    )
     qv = q.join(idf, "term")  # OOV query terms drop out (corpus vector space)
     qnorm = qv.agg(F.sqrt(F.sum((F.col("qtf") * F.col("idf")) ** 2)).alias("__qnorm"))
     qv = qv.crossJoin(F.broadcast(qnorm)).select(
@@ -251,3 +266,140 @@ def bm25_score(
         )
     scored = base.join(F.broadcast(q), "term").groupBy("doc_id").agg(score.alias("score"))
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def fit_tfidf_multichannel(
+    docs: DataFrame,
+    channels: dict[str, tuple[int, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """S14 for ALL channels in ONE pass: posting lists
+    (channel, term, doc_id, weight, idf).
+
+    The reference fits one TfidfVectorizer per channel over separate
+    corpus files (object_retrieval.py:113-145); the driver corpus gives
+    every channel the same text under a different n-gram view. Fitting
+    them independently costs C × (scan + 3 shuffles); here the channel
+    tag rides in the aggregation keys, so ALL channels share one scan,
+    one explode, and one shuffle chain — the shuffles are bigger but
+    map-side partial aggregation keeps the traffic ≈ Σ per-channel nnz,
+    and the downstream multi-channel query becomes a single linear plan
+    instead of C recomputed branches."""
+    toks = tokenize(F.col(text_col))
+
+    def _tag(name: str):
+        # closure factory: a 2-parameter lambda would make F.transform
+        # pass the ARRAY INDEX as the second argument
+        return lambda t: F.struct(F.lit(name).alias("channel"), t.alias("term"))
+
+    tagged = []
+    for name, ngr in channels.items():
+        terms = toks if ngr == (1, 1) else word_ngrams_range(toks, ngr[0], ngr[1])
+        tagged.append(F.transform(terms, _tag(name)))
+    exploded = (
+        ensure_min_partitions(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.flatten(F.array(*tagged))).alias("e"))
+        .select("doc_id", "e.channel", "e.term")
+    )
+    tf = exploded.groupBy("channel", "doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("channel", "term").agg(F.count("*").alias("df"))
+    n = _corpus_size(docs, id_col)
+    raw = (
+        tf.join(dfreq, ["channel", "term"])
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf",
+            F.log((F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0),
+        )
+        .withColumn("w_raw", F.col("tf") * F.col("idf"))
+    )
+    norms = raw.groupBy("channel", "doc_id").agg(
+        F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("__norm")
+    )
+    return raw.join(norms, ["channel", "doc_id"]).select(
+        "channel",
+        "term",
+        "doc_id",
+        (F.col("w_raw") / F.col("__norm")).alias("weight"),
+        "idf",
+    )
+
+
+def multichannel_tfidf_score(
+    postings: DataFrame,
+    channel_qterms: dict[str, list[tuple[str, int]]],
+    k_per_channel: int,
+    k: int,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Q6/Q7 — multi-channel context search as ONE linear plan:
+    per-channel TF-IDF cosine → per-channel top-k → min-max normalize
+    → additive fusion (Q8) → global top-k. Returns (doc_id, score).
+
+    Replaces C independent score+fuse branches (each recomputing its
+    fit) with shared shuffles keyed by channel. Per-channel top-k is a
+    row_number window partitioned by channel — the windowed relation
+    holds only query-matched candidates, not the corpus."""
+    from pyspark.sql.window import Window
+
+    spark = postings.sparkSession
+    q = spark.createDataFrame(
+        [
+            (ch, t, float(c))
+            for ch, terms in channel_qterms.items()
+            for t, c in terms
+        ],
+        "channel STRING, term STRING, qtf DOUBLE",
+    )
+    all_terms = sorted({t for terms in channel_qterms.values() for t, _ in terms})
+    idf = (
+        postings.filter(F.col("term").isin(all_terms))
+        .select("channel", "term", "idf")
+        .distinct()
+    )
+    qv = q.join(idf, ["channel", "term"])
+    qnorm = qv.groupBy("channel").agg(
+        F.sqrt(F.sum((F.col("qtf") * F.col("idf")) ** 2)).alias("__qnorm")
+    )
+    qv = qv.join(qnorm, "channel").select(
+        "channel", "term", ((F.col("qtf") * F.col("idf")) / F.col("__qnorm")).alias("qw")
+    )
+    addend = F.col("qw") * F.col("weight")
+    score = (
+        F.sum(F.floor(addend * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")).cast("double")
+        / F.lit(1e12)
+    )
+    if round_to is not None:
+        m6 = F.lit(float(10 ** round_to))
+        score = F.floor(score * m6 + F.lit(0.5)).cast("double") / m6
+    scored = (
+        postings.join(F.broadcast(qv), ["channel", "term"])
+        .groupBy("channel", "doc_id")
+        .agg(score.alias("score"))
+    )
+    wk = Window.partitionBy("channel").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = scored.withColumn("__rn", F.row_number().over(wk)).filter(
+        F.col("__rn") <= k_per_channel
+    )
+    wmm = Window.partitionBy("channel")
+    normed = topk.select(
+        "doc_id",
+        (
+            (F.col("score") - F.min("score").over(wmm))
+            / (F.max("score").over(wmm) - F.min("score").over(wmm) + F.lit(1e-6))
+        ).alias("score"),
+    )
+    fused = (
+        F.sum(F.floor(F.col("score") * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")).cast(
+            "double"
+        )
+        / F.lit(1e12)
+    )
+    if round_to is not None:
+        m6 = F.lit(float(10 ** round_to))
+        fused = F.floor(fused * m6 + F.lit(0.5)).cast("double") / m6
+    out = normed.groupBy("doc_id").agg(fused.alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from multi_search_retrival_big_data_spark.functions.text import tokenize
+from multi_search_retrival_big_data_spark.partitioning import ensure_min_partitions
 
 HEX_CHARS = "0123456789abcdef"
 SIMHASH_BITS = 64
@@ -48,6 +49,8 @@ def simhash_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFra
     Bit p lives in hex digit p//4 of the token's md5, sub-bit p%4
     (LSB-first within the digit). Ties (sum == 0) encode as '1' in both
     engines."""
+    # no partition widening: the token explode is narrow and the
+    # 64-aggregate stage runs post-shuffle (already parallel)
     toks = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     h = F.md5(F.col("tok"))
@@ -143,7 +146,7 @@ def winnow_fingerprints(
     gram position), so every engine sees identical frames."""
     s = F.lower(F.col(text_col))
     grams = (
-        docs.filter(F.length(text_col) >= k + w - 1)
+        ensure_min_partitions(docs).filter(F.length(text_col) >= k + w - 1)
         .select(
             F.col(id_col),
             F.length(s).alias("__len"),
@@ -190,7 +193,9 @@ def language_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         [(lang, word) for lang, words in STOPWORDS.items() for word in words],
         "lang STRING, word STRING",
     )
-    toks = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word"))
+    toks = ensure_min_partitions(docs).select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word")
+    )
     ntok = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
     hits = (
         toks.join(F.broadcast(sw), "word")

@@ -217,8 +217,18 @@ def sparse_multichannel_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     three n-gram views of the corpus (the reference's channels are
     separate token corpora over the same ids)."""
     docs = tables.load(spark, "documents", sf_dir)
-    lists = []
-    for ngr, qt in (((1, 1), _QW), ((2, 2), _QB), ((3, 3), _QT)):
-        postings = sparse.fit_tfidf(docs, ngram_range=ngr)
-        lists.append(sparse.tfidf_score(postings, qt, k=50, round_to=6))
-    return fusion.merge_by_addition(lists, k=20, round_to=6).withColumnRenamed("id", "doc_id")
+    # cache: the scoring plan consumes postings twice (query-idf branch
+    # + match branch). In production this is a persisted, term-bucketed
+    # index table (see sparse.py header); caching stands in for that
+    # materialization instead of recomputing the three-channel fit per
+    # branch.
+    postings = sparse.fit_tfidf_multichannel(
+        docs, {"w": (1, 1), "b": (2, 2), "t": (3, 3)}
+    ).cache()
+    return sparse.multichannel_tfidf_score(
+        postings,
+        {"w": _QW, "b": _QB, "t": _QT},
+        k_per_channel=50,
+        k=20,
+        round_to=6,
+    )
