@@ -1,0 +1,137 @@
+"""Model-encoder seams (Q21 translation, Q22 spell-correct, S8/S16
+text/image encoders).
+
+Every ML model the reference calls (CLIP text/image encode —
+utils/faiss_processing.py:118-131; googletrans vi→en —
+utils/nlp_processing.py:4-27; HF spell-correct —
+utils/spelling_correction_engine/spell_correct.py:6-24) sits behind an
+interface here. The real models/services are NOT in this container, so
+each has (a) a deterministic fake for tests/benchmarks and (b) a
+clearly-marked NotImplementedError seam where the production
+implementation plugs in. Engine code depends only on the interface —
+swapping in real encoders changes no query plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Sequence
+
+
+class TextEncoder:
+    """text → fixed-dim L2-normalized embedding (CLIP-text stand-in)."""
+
+    dim: int = 64
+
+    def encode(self, text: str) -> list[float]:
+        raise NotImplementedError
+
+
+class FakeTextEncoder(TextEncoder):
+    """Deterministic md5-seeded pseudo-embedding: component i derives
+    from md5('{i}:{text}'); L2-normalized. Pure function of the text —
+    stable across processes, oracle-friendly."""
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+
+    def encode(self, text: str) -> list[float]:
+        raw = [
+            int(hashlib.md5(f"{i}:{text}".encode()).hexdigest()[:8], 16)
+            / float(0xFFFFFFFF)
+            - 0.5
+            for i in range(self.dim)
+        ]
+        norm = math.sqrt(sum(x * x for x in raw)) or 1.0
+        return [x / norm for x in raw]
+
+
+class ClipTextEncoder(TextEncoder):
+    """Production seam: CLIP ViT-L/14 text tower (reference
+    faiss_processing.py:125-131). Not available in this container."""
+
+    def encode(self, text: str) -> list[float]:
+        raise NotImplementedError(
+            "CLIP text encoder: load open_clip / transformers here on a "
+            "cluster with model weights; the engine only needs "
+            "encode(str) -> list[float]."
+        )
+
+
+class Translator:
+    """Q21 — query translation (reference lowercases then calls
+    googletrans vi→en before CLIP encoding, nlp_processing.py:4-27)."""
+
+    def translate(self, text: str) -> str:
+        raise NotImplementedError
+
+
+class IdentityTranslator(Translator):
+    """Deterministic fake: lowercase only (the reference lowercases
+    unconditionally; translation is an external HTTP boundary)."""
+
+    def translate(self, text: str) -> str:
+        return text.lower()
+
+
+class GoogleTranslator(Translator):
+    def translate(self, text: str) -> str:
+        raise NotImplementedError(
+            "external translation service boundary (reference: googletrans); "
+            "wire an HTTP client here in production."
+        )
+
+
+class SpellCorrector:
+    """Q22 — Vietnamese seq2seq spell-correct; dead code in the
+    reference (never imported by app.py) but part of its surface."""
+
+    def correct(self, text: str) -> str:
+        raise NotImplementedError
+
+
+class IdentitySpellCorrector(SpellCorrector):
+    def correct(self, text: str) -> str:
+        return text
+
+
+class HFSpellCorrector(SpellCorrector):
+    def correct(self, text: str) -> str:
+        raise NotImplementedError(
+            "HF text2text model seam (reference spell_correct.py:6-24); "
+            "not available in this container."
+        )
+
+
+def encode_query(
+    text: str,
+    encoder: TextEncoder,
+    translator: Translator | None = None,
+) -> list[float]:
+    """The reference's query path: translate (lowercase) → encode
+    (faiss_processing.py:118-131)."""
+    if translator is not None:
+        text = translator.translate(text)
+    return encoder.encode(text)
+
+
+def fake_corpus_alignment_note() -> str:
+    """The FakeTextEncoder does NOT share a vector space with the
+    driver's synthetic `embeddings` table — facade text searches are
+    exercised for plan shape and determinism, not semantic relevance."""
+    return "fake-encoder vector space is self-consistent only"
+
+
+__all__: Sequence[str] = (
+    "TextEncoder",
+    "FakeTextEncoder",
+    "ClipTextEncoder",
+    "Translator",
+    "IdentityTranslator",
+    "GoogleTranslator",
+    "SpellCorrector",
+    "IdentitySpellCorrector",
+    "HFSpellCorrector",
+    "encode_query",
+)
