@@ -134,3 +134,67 @@ def fusion_hybrid_sparse_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fusion.merge_by_addition([sparse_list, dense_list], k=50, round_to=6).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+_QOCR = sparse.query_terms("batch window scan order", (1, 3))
+
+
+@query(
+    "trimodal_context_search",
+    oracle=f"""
+    WITH {tfidf_cte('w_', (1, 1), _QSPARSE)},
+    w_top AS (SELECT doc_id AS id, score FROM w_topk ORDER BY score DESC, doc_id LIMIT 50),
+    {tfidf_cte('o_', (1, 3), _QOCR).lstrip().removeprefix(',')},
+    o_top AS (SELECT doc_id AS id, score FROM o_topk ORDER BY score DESC, doc_id LIMIT 50),
+    srcdocs AS (
+      SELECT source AS doc_id, string_agg(text, ' ' ORDER BY doc_id) AS text
+      FROM documents GROUP BY source
+    ),
+    {tfidf_cte('a_', (1, 1), _QSPARSE, table='srcdocs').lstrip().removeprefix(',')},
+    a_prop AS (
+      SELECT d.doc_id AS id, t.score
+      FROM a_topk t JOIN documents d ON d.source = t.doc_id
+    ),
+    a_top AS (SELECT id, score FROM a_prop ORDER BY score DESC, id LIMIT 50),
+    {_fuse_add_sql(['w_top', 'o_top', 'a_top'], 20, 'doc_id').lstrip().removeprefix(',')}
+    """,
+)
+def trimodal_context_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 — the /panel tri-modal pipeline end to end
+    (faiss_processing.py:234-277): object-context channel (word TF-IDF)
+    + OCR channel ((1,3) n-grams) + ASR channel (transcript scores
+    propagated through the segment→keyframe bridge, Q10) fused by Q8.
+
+    ASR analogue on the synthetic corpus: per-source concatenated text
+    plays the transcript (one 'audio segment' per source), and the
+    documents.source column is the bridge that fans segment scores out
+    to items."""
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, "documents", sf_dir)
+    w_list = sparse.tfidf_score(sparse.fit_tfidf(docs), _QSPARSE, k=50, round_to=6)
+    o_list = sparse.tfidf_score(
+        sparse.fit_tfidf(docs, ngram_range=(1, 3)), _QOCR, k=50, round_to=6
+    )
+    srcdocs = docs.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda x: x["text"],
+            ),
+            " ",
+        ).alias("text")
+    ).withColumnRenamed("source", "doc_id")
+    seg_scores = sparse.tfidf_score(
+        sparse.fit_tfidf(srcdocs), _QSPARSE, k=1_000_000, round_to=6
+    ).withColumnRenamed("doc_id", "source")
+    a_list = (
+        docs.select("source", "doc_id")
+        .join(F.broadcast(seg_scores), "source")
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+    return fusion.merge_by_addition([w_list, o_list, a_list], k=20, round_to=6).withColumnRenamed(
+        "id", "doc_id"
+    )

@@ -1,0 +1,103 @@
+"""Property tests (SURVEY.md §5 item 3): fusion invariants, subset ⊆
+full search, top-k prefix property. Small example counts — each
+example spins Spark jobs."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark.operators import dense, fusion
+from multi_search_retrival_big_data_spark.queries.common import QUERY_VEC
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+score_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+    ),
+    min_size=2,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, float(s)) for i, s in rows], "id BIGINT, score DOUBLE"
+    )
+
+
+@SETTINGS
+@given(rows=score_lists)
+def test_single_list_fusion_is_identity(spark, rows):
+    out = fusion.merge_by_addition([_df(spark, rows)]).collect()
+    got = {r["id"]: r["score"] for r in out}
+    assert got == {i: pytest.approx(s) for i, s in dict(rows).items()}
+
+
+@SETTINGS
+@given(rows_a=score_lists, rows_b=score_lists)
+def test_fusion_is_source_order_invariant(spark, rows_a, rows_b):
+    a, b = _df(spark, rows_a), _df(spark, rows_b)
+    ab = {(r["id"], r["score"]) for r in fusion.merge_by_addition([a, b], round_to=9).collect()}
+    ba = {(r["id"], r["score"]) for r in fusion.merge_by_addition([b, a], round_to=9).collect()}
+    assert ab == ba
+
+
+@SETTINGS
+@given(rows=score_lists)
+def test_minmax_normalize_bounds(spark, rows):
+    out = fusion.minmax_normalize(_df(spark, rows)).collect()
+    for r in out:
+        assert -1e-9 <= r["score"] <= 1.0 + 1e-9
+
+
+def test_subset_hits_are_subset_of_full(spark, sf_dir):
+    emb = tables.load(spark, "embeddings", sf_dir)
+    n = emb.count()
+    full = {r["vec_id"]: r["score"] for r in dense.topk_cosine(emb, QUERY_VEC, k=n, round_to=6).collect()}
+    subset_ids = emb.filter(F.col("label") < 3).select("vec_id")
+    sub = dense.topk_cosine(emb, QUERY_VEC, k=20, subset=subset_ids, round_to=6).collect()
+    allowed = {r["vec_id"] for r in subset_ids.collect()}
+    for r in sub:
+        assert r["vec_id"] in allowed
+        assert full[r["vec_id"]] == r["score"]
+
+
+@pytest.mark.parametrize("k1,k2", [(5, 20), (10, 50)])
+def test_topk_prefix_property(spark, sf_dir, k1, k2):
+    emb = tables.load(spark, "embeddings", sf_dir)
+    small = [r["vec_id"] for r in dense.topk_cosine(emb, QUERY_VEC, k=k1, round_to=6).collect()]
+    big = [r["vec_id"] for r in dense.topk_cosine(emb, QUERY_VEC, k=k2, round_to=6).collect()]
+    assert big[:k1] == small
+
+
+@SETTINGS
+@given(rows_a=score_lists, rows_b=score_lists)
+def test_l2_dedup_max_takes_max(spark, rows_a, rows_b):
+    import math
+
+    a, b = dict(rows_a), dict(rows_b)
+    la = math.sqrt(sum(s * s for s in a.values()))
+    lb = math.sqrt(sum(s * s for s in b.values()))
+    out = {
+        r["id"]: r["score"]
+        for r in fusion.merge_l2_dedup_max([_df(spark, list(a.items())), _df(spark, list(b.items()))]).collect()
+    }
+    for i in set(a) | set(b):
+        cands = []
+        if i in a and la > 0:
+            cands.append(a[i] / la)
+        if i in b and lb > 0:
+            cands.append(b[i] / lb)
+        if cands:
+            assert out[i] == pytest.approx(max(cands))
