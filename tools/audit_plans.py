@@ -1,0 +1,89 @@
+"""Physical-plan audit: scan every registered query's executed plan for
+anti-patterns — cartesian products where none is intended, scans without
+pushed filters where one is expected, missing broadcasts.
+
+    python tools/audit_plans.py [--sf DIR] [name ...]
+
+Prints one line per query: flags or 'clean'. Intended red flags:
+- CartesianProduct / BroadcastNestedLoopJoin on large×large inputs
+  (some are by design: 1-row scalar broadcasts from agg results)
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# queries where a nested-loop join is BY DESIGN: broadcasting a 1-row
+# aggregate (min/max/norm/count) back into the plan.
+SCALAR_BROADCAST_OK = {
+    "fusion_dual_model_ensemble",
+    "fusion_l2_dedup_max",
+    "fusion_hybrid_sparse_dense",
+    "trimodal_context_search",
+    "sparse_tfidf_topk",
+    "sparse_tfidf_topk_subset",
+    "sparse_tfidf_ngram13_topk",
+    "sparse_bm25_topk",
+    "sparse_multichannel_context",
+    "dense_knn_by_id",       # 1-row reconstructed query vector
+    "dense_rocchio_rerank",  # tiny vote set cross candidates
+    "group_hits_by_source",  # sparse scorer's 1-row qnorm broadcast
+    "emb_near_dup_exact",    # all-pairs audit path: cross join BY DESIGN
+}
+
+
+def audit(name: str, plan: str) -> list[str]:
+    flags = []
+    if "CartesianProduct" in plan and name not in SCALAR_BROADCAST_OK:
+        flags.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in SCALAR_BROADCAST_OK:
+        flags.append("BroadcastNestedLoopJoin")
+    # parquet scans on the big fact tables should carry pushed filters
+    # when the query filters them
+    for m in re.finditer(r"FileScan parquet.*?(?=\n)", plan):
+        line = m.group(0)
+        if "lineitem" in line and "PushedFilters: \\[\\]" in line:
+            flags.append("lineitem scan without pushed filters")
+    return flags
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as se
+    from multi_search_retrival_big_data_spark.session import get_spark
+
+    spark = get_spark("audit-plans")
+    qs = se.queries()
+    names = args.names or [n for n in qs if not n.startswith("stream_")]
+    bad = 0
+    for name in names:
+        try:
+            df = qs[name](spark, args.sf)
+            if df.isStreaming:
+                print(f"SKIP {name}: streaming")
+                continue
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: {e}")
+            bad += 1
+            continue
+        flags = audit(name, plan)
+        if flags:
+            bad += 1
+            print(f"FLAG {name}: {', '.join(flags)}")
+        else:
+            print(f"ok   {name}")
+    print(f"\n{len(names) - bad}/{len(names)} clean")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
