@@ -238,3 +238,27 @@ def run(spark: SparkSession, out_dir: str, collections: int = 2, videos_per: int
         writer.parquet(path)
         out[name] = path
     return out
+
+
+def incremental_append(
+    spark: SparkSession, new_rows: DataFrame, sink_path: str, key_cols: list[str]
+) -> int:
+    """Idempotent incremental ingest (the reference's skip-if-exists
+    re-ingest: clip.ipynb cell 7, ocr.ipynb cell 6, SceneJSON.ipynb
+    SKIP_EXISTING): anti-join the incoming batch against the sink's
+    existing keys and append only the novel rows. Re-running the same
+    batch is a no-op. Returns the number of rows appended.
+
+    At scale the anti-join prunes on the sink's partition columns when
+    key_cols lead with them; Structured Streaming's checkpoint log is
+    the other idempotency option (streaming/ingest.py)."""
+    try:
+        existing = spark.read.parquet(sink_path).select(*key_cols)
+    except Exception:  # first run: sink does not exist yet
+        new_rows.write.mode("overwrite").parquet(sink_path)
+        return new_rows.count()
+    novel = new_rows.join(existing, key_cols, "left_anti")
+    n = novel.count()
+    if n:
+        novel.write.mode("append").parquet(sink_path)
+    return n

@@ -80,3 +80,17 @@ def test_partitioned_by_collection(out):
 
     subdirs = os.listdir(paths["keyframes"])
     assert any(s.startswith("collection=") for s in subdirs)
+
+
+def test_incremental_append_is_idempotent(spark):
+    import tempfile, os
+
+    sink = os.path.join(tempfile.mkdtemp(prefix="inc_"), "sink")
+    batch1 = spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, v STRING")
+    assert pipeline.incremental_append(spark, batch1, sink, ["id"]) == 2
+    # same batch again: no-op
+    assert pipeline.incremental_append(spark, batch1, sink, ["id"]) == 0
+    # overlapping batch: only the novel row lands
+    batch2 = spark.createDataFrame([(2, "b"), (3, "c")], "id BIGINT, v STRING")
+    assert pipeline.incremental_append(spark, batch2, sink, ["id"]) == 1
+    assert spark.read.parquet(sink).count() == 3
