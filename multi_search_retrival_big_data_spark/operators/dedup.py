@@ -186,7 +186,10 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, jaccard). Deterministic end to end (md5
     permutations), so recall misses are reproducible and mirrored by
     the DuckDB oracle."""
-    sh = char_shingles(docs, id_col, text_col, k)
+    # the shingle set feeds BOTH the signature branch and the exact
+    # Jaccard verify branch — materialize it once instead of paying the
+    # explode+distinct twice (production: a persisted shingle table)
+    sh = char_shingles(docs, id_col, text_col, k).cache()
     sig = minhash_signatures(sh, id_col, num_perm)
     cand = lsh_candidate_pairs(lsh_buckets(sig, id_col, bands, rows_per_band), id_col)
     verified = jaccard_for_pairs(sh, cand, id_col)

@@ -96,10 +96,17 @@ def fit_tfidf(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram_range: tuple[int, int] = (1, 1),
+    cache: bool = False,
 ) -> DataFrame:
     """S14 — build the sklearn-parity TF-IDF posting lists:
     (term, doc_id, weight, idf). Persist/bucket this by `term` for
-    repeated querying; recompute cost is one pass over the corpus."""
+    repeated querying; recompute cost is one pass over the corpus.
+
+    cache=True marks the result for in-memory reuse: every scorer
+    consumes postings TWICE (query-idf branch + match branch), and
+    without materialization both branches recompute the fit. The
+    production analogue is the persisted, term-bucketed index table
+    (write_postings_bucketed)."""
     tf = term_counts(docs, id_col, text_col, ngram_range)
     dfreq = doc_frequencies(tf)
     n = _corpus_size(docs, id_col)
@@ -110,7 +117,7 @@ def fit_tfidf(
         .withColumn("w_raw", F.col("tf") * F.col("idf"))
     )
     norms = raw.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("__norm"))
-    return (
+    out = (
         raw.join(norms, "doc_id")
         .select(
             "term",
@@ -119,6 +126,7 @@ def fit_tfidf(
             "idf",
         )
     )
+    return out.cache() if cache else out
 
 
 def query_terms(query: str, ngram_range: tuple[int, int] = (1, 1)) -> list[tuple[str, int]]:
@@ -192,6 +200,7 @@ def fit_bm25(
     k1: float = BM25_K1,
     b: float = BM25_B,
     epsilon: float = BM25_EPSILON,
+    cache: bool = False,
 ) -> DataFrame:
     """S15 — BM25Okapi posting lists (term, doc_id, score_w) where
     score_w is the full per-term BM25 contribution for tf in that doc;
@@ -220,7 +229,7 @@ def fit_bm25(
         .otherwise(F.col("idf_raw"))
         .alias("idf"),
     )
-    return (
+    out = (
         tf.join(idf, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(avgdl))
@@ -237,6 +246,7 @@ def fit_bm25(
             ).alias("score_w"),
         )
     )
+    return out.cache() if cache else out
 
 
 def bm25_score(

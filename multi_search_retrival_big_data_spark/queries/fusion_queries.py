@@ -129,7 +129,7 @@ def fusion_hybrid_sparse_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     space (documents ↔ embeddings share ids in the testdata corpus)."""
     docs = tables.load(spark, "documents", sf_dir)
     emb = tables.load(spark, "embeddings", sf_dir)
-    sparse_list = sparse.tfidf_score(sparse.fit_tfidf(docs), _QSPARSE, k=100, round_to=6)
+    sparse_list = sparse.tfidf_score(sparse.fit_tfidf(docs, cache=True), _QSPARSE, k=100, round_to=6)
     dense_list = dense.topk_cosine(emb, QUERY_VEC, k=100, round_to=6)
     return fusion.merge_by_addition([sparse_list, dense_list], k=50, round_to=6).withColumnRenamed(
         "id", "doc_id"
@@ -172,9 +172,9 @@ def trimodal_context_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = tables.load(spark, "documents", sf_dir)
-    w_list = sparse.tfidf_score(sparse.fit_tfidf(docs), _QSPARSE, k=50, round_to=6)
+    w_list = sparse.tfidf_score(sparse.fit_tfidf(docs, cache=True), _QSPARSE, k=50, round_to=6)
     o_list = sparse.tfidf_score(
-        sparse.fit_tfidf(docs, ngram_range=(1, 3)), _QOCR, k=50, round_to=6
+        sparse.fit_tfidf(docs, ngram_range=(1, 3), cache=True), _QOCR, k=50, round_to=6
     )
     srcdocs = docs.groupBy("source").agg(
         F.array_join(

@@ -90,7 +90,7 @@ def sparse_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 — TF-IDF cosine scoring via inverted-index join
     (reference find_similar_score, object_retrieval.py:303-325)."""
     docs = tables.load(spark, "documents", sf_dir)
-    postings = sparse.fit_tfidf(docs)
+    postings = sparse.fit_tfidf(docs, cache=True)
     return sparse.tfidf_score(postings, _Q11, k=50, round_to=6)
 
 
@@ -106,7 +106,7 @@ def sparse_tfidf_topk_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 subset path — the reference's `M[index,:]` row-slice
     (object_retrieval.py:320-323) as a pre-aggregation semi-join."""
     docs = tables.load(spark, "documents", sf_dir)
-    postings = sparse.fit_tfidf(docs)
+    postings = sparse.fit_tfidf(docs, cache=True)
     subset = docs.filter(F.col("lang") == "en").select("doc_id")
     return sparse.tfidf_score(postings, _Q11, k=50, subset=subset, round_to=6)
 
@@ -122,7 +122,7 @@ def sparse_tfidf_ngram13_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 — the OCR/ASR channel shape: word (1,3) n-grams
     (ocr_retrieval.py:27-41; speech_retrieval.py:56-68)."""
     docs = tables.load(spark, "documents", sf_dir)
-    postings = sparse.fit_tfidf(docs, ngram_range=(1, 3))
+    postings = sparse.fit_tfidf(docs, ngram_range=(1, 3), cache=True)
     return sparse.tfidf_score(postings, _Q13, k=50, round_to=6)
 
 
@@ -164,7 +164,7 @@ def sparse_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S15 — BM25Okapi (k1=1.5, b=0.75, epsilon idf floor) as a SQL
     expression over posting lists (reference bm25.py:24-57, 80-109)."""
     docs = tables.load(spark, "documents", sf_dir)
-    postings = sparse.fit_bm25(docs)
+    postings = sparse.fit_bm25(docs, cache=True)
     return sparse.bm25_score(postings, _Q11, k=50, round_to=6)
 
 

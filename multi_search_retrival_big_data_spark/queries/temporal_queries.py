@@ -119,7 +119,7 @@ def group_hits_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     join drops unknown ids, `_gather_infos` semantics) and group by
     the parent entity ranked by best hit (search_utils.py:62-93)."""
     docs = tables.load(spark, "documents", sf_dir)
-    hits = sparse.tfidf_score(sparse.fit_tfidf(docs), _QTXT, k=100, round_to=6)
+    hits = sparse.tfidf_score(sparse.fit_tfidf(docs, cache=True), _QTXT, k=100, round_to=6)
     hyd = grouping.hydrate(hits, docs, "doc_id", ["source"])
     return grouping.group_hits(hyd, ["source"], "doc_id", "score")
 
