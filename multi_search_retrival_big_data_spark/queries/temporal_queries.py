@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from multi_search_retrival_big_data_spark import tables
 from multi_search_retrival_big_data_spark.operators import filters, grouping, sparse, temporal
 from multi_search_retrival_big_data_spark.queries import query
+from multi_search_retrival_big_data_spark.queries.common import sql_vec
 from multi_search_retrival_big_data_spark.queries.sparse_queries import tfidf_cte
 
 _SEQ = """
@@ -233,3 +234,96 @@ def browse_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     id (the reference's dict iteration order is id order)."""
     docs = tables.load(spark, "documents", sf_dir)
     return docs.select("doc_id", "source").orderBy("doc_id").limit(500)
+
+
+def _fake_query_vec(text: str) -> list[float]:
+    from multi_search_retrival_big_data_spark.encoders import (
+        FakeTextEncoder,
+        IdentityTranslator,
+        encode_query,
+    )
+
+    return encode_query(text, FakeTextEncoder(), IdentityTranslator())
+
+
+_ENDPOINT_TEXT = "Fast Spark JOIN plans"
+_ENDPOINT_QV = _fake_query_vec(_ENDPOINT_TEXT)
+
+
+@query(
+    "endpoint_textsearch_grouped",
+    oracle=f"""
+    WITH hits AS (
+      SELECT vec_id, ROUND(
+        list_dot_product(CAST(embedding AS DOUBLE[]), {sql_vec(_ENDPOINT_QV)}) /
+        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+         sqrt(list_dot_product({sql_vec(_ENDPOINT_QV)}, {sql_vec(_ENDPOINT_QV)}))), 6) AS score
+      FROM embeddings ORDER BY score DESC, vec_id LIMIT 100
+    ),
+    hyd AS (SELECT h.vec_id, h.score, e.label FROM hits h JOIN embeddings e USING(vec_id)),
+    grouped AS (
+      SELECT label, MAX(score) AS best_score, COUNT(*) AS hit_count FROM hyd GROUP BY label
+    ),
+    best AS (
+      SELECT h.label, MIN(h.vec_id) AS best_id
+      FROM hyd h JOIN grouped g ON h.label = g.label AND h.score = g.best_score
+      GROUP BY h.label
+    )
+    SELECT g.label, g.best_score, g.hit_count, b.best_id
+    FROM grouped g JOIN best b USING(label)
+    ORDER BY g.best_score DESC, g.label
+    """,
+)
+def endpoint_textsearch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full /textsearch endpoint pipeline through the facade
+    (api.SearchEngine.text_search): Q21 translate → deterministic
+    encoder → Q1 top-k → Q18 hydrate → Q15 group — the whole serving
+    path under the oracle gate (the fake encoder is a pure md5
+    function, so the oracle embeds the identical query vector)."""
+    from multi_search_retrival_big_data_spark.api import SearchEngine
+
+    return SearchEngine(spark, sf_dir).text_search(_ENDPOINT_TEXT, k=100)
+
+
+@query(
+    "group_members_collect",
+    oracle=f"""
+    WITH {_SEQ},
+    hits AS (
+      SELECT event_id, user_id, value FROM seqd WHERE event_type = 'purchase'
+      ORDER BY value DESC, event_id LIMIT 100
+    )
+    SELECT user_id,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY value DESC, event_id) AS members,
+           COUNT(*) AS hit_count
+    FROM hits GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def group_members_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 collect variant — the rank-ordered member list per group
+    (reference lst_idxs per video, search_utils.py:62-93), serialized
+    to a CSV string so the oracle hash covers the ORDER of members."""
+    ev = tables.load(spark, "events", sf_dir)
+    hits = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
+    )
+    members = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct((-F.col("value")).alias("ns"), F.col("event_id").alias("id"))
+                )
+            ),
+            lambda x: x["id"].cast("string"),
+        ),
+        ",",
+    )
+    return (
+        hits.groupBy("user_id")
+        .agg(members.alias("members"), F.count(F.lit(1)).alias("hit_count"))
+        .orderBy("user_id")
+    )
