@@ -133,3 +133,49 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine"), "id_a", "id_b")
     )
+
+
+_STRIDE = ann.IVF_CENTROID_STRIDE
+_NPROBE = ann.IVF_NPROBE
+
+
+def _l2_sql(a: str, b: str) -> str:
+    return f"list_distance({a}, {b})"
+
+
+@query(
+    "ann_ivf_topk_cosine",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, {_V} AS cv FROM embeddings WHERE vec_id % {_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_l2_sql('c.cv', 'CAST(e.embedding AS DOUBLE[])')}, c.cid
+               ) AS rn
+        FROM embeddings e, cent c
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT cid FROM cent
+      ORDER BY {_l2_sql('cv', sql_vec(QUERY_VEC))}, cid
+      LIMIT {_NPROBE}
+    ),
+    cand AS (
+      SELECT a.vec_id FROM assign a JOIN probed p USING (cid)
+    )
+    SELECT e.vec_id, ROUND({_cos_sql(_V, sql_vec(QUERY_VEC))}, 6) AS score
+    FROM embeddings e JOIN cand c USING (vec_id)
+    ORDER BY score DESC, e.vec_id
+    LIMIT 50
+    """,
+)
+def ann_ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic coarse quantizer, nprobe=2 cell
+    probe, exact cosine rank within the probed cells — the FAISS
+    IndexIVFFlat dataflow as DataFrame joins."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return ann.ann_ivf_topk(emb, QUERY_VEC, k=50, round_to=6)

@@ -61,3 +61,30 @@ def test_identical_vectors_always_collide(spark):
     out = ann.embedding_near_dup_pairs(emb, 0.99, dim=8, use_lsh=True, round_to=6)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert pairs == {(1, 2)}
+
+
+def test_ivf_topk_subset_of_exact_with_same_scores(spark, sf_dir):
+    emb = tables.load(spark, "embeddings", sf_dir)
+    exact = {
+        r["vec_id"]: r["score"]
+        for r in dense.topk_cosine(emb, QUERY_VEC, k=1000, round_to=6).collect()
+    }
+    approx = ann.ann_ivf_topk(emb, QUERY_VEC, k=20, round_to=6).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert math.isclose(exact[r["vec_id"]], r["score"], abs_tol=1e-9)
+
+
+def test_ivf_assignment_is_nearest_centroid(spark, sf_dir):
+    emb = tables.load(spark, "embeddings", sf_dir).limit(50)
+    cent, assign = ann.ivf_assign(emb)
+    cents = {r["cid"]: r["__cv"] for r in cent.collect()}
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    got = {r["vec_id"]: r["cid"] for r in assign.collect()}
+    for vid, vec in vecs.items():
+        dists = {
+            cid: sum((float(a) - float(b)) ** 2 for a, b in zip(vec, cv))
+            for cid, cv in cents.items()
+        }
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        assert got[vid] == best
