@@ -33,6 +33,7 @@ SCALAR_BROADCAST_OK = {
     "dense_rocchio_rerank",  # tiny vote set cross candidates
     "group_hits_by_source",  # sparse scorer's 1-row qnorm broadcast
     "emb_near_dup_exact",    # all-pairs audit path: cross join BY DESIGN
+    "ann_ivf_topk_cosine",   # coarse quantizer: every vec × small centroid set
 }
 
 
