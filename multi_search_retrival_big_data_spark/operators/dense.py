@@ -161,3 +161,40 @@ def vocab_knn_l2(
         dist = F.round(dist, round_to)
     scored = vocab.select(F.col(key_col), dist.alias("dist"))
     return scored.orderBy(F.asc("dist"), F.asc(key_col)).limit(k)
+
+
+def batch_topk_cosine(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Multi-query batched top-k (SURVEY.md §4 custom-work item 2):
+    score EVERY query in `queries(query_id, qvec)` against the corpus
+    in one plan and keep k per query.
+
+    queries is request-sized → broadcast; the corpus is scanned ONCE
+    for the whole batch (vs once per query in the serving-loop shape),
+    and the per-query top-k is `row_number() OVER (PARTITION BY
+    query_id ORDER BY score DESC, id)` — a partial sort per partition,
+    no global sort. This is the reference's batched FAISS search
+    (faiss_processing.py:307-314 searches all feedback votes in one
+    call) generalized to any query batch."""
+    from pyspark.sql.window import Window
+
+    qid = queries.columns[0]
+    qvec = queries.columns[1]
+    pairs = emb.crossJoin(F.broadcast(queries))
+    score = cosine_sim(vec_col, qvec)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = pairs.select(F.col(qid).alias("query_id"), F.col(id_col), score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("score"), F.asc(id_col))
+    )

@@ -17,6 +17,7 @@ from multi_search_retrival_big_data_spark.operators import dense
 from multi_search_retrival_big_data_spark.queries import query
 from multi_search_retrival_big_data_spark.queries.common import (
     QUERY_VEC,
+    QUERY_VEC_B,
     sql_vec,
 )
 
@@ -132,3 +133,42 @@ def dense_rocchio_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dense_vocab_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, "embeddings", sf_dir)
     return dense.vocab_knn_l2(emb, QUERY_VEC, k=50, round_to=6)
+
+
+_BATCH_QUERIES = [(0, QUERY_VEC), (1, QUERY_VEC_B), (2, [-v for v in QUERY_VEC])]
+
+
+def _batch_values_sql() -> str:
+    return ", ".join(f"({i}, {sql_vec(v)})" for i, v in _BATCH_QUERIES)
+
+
+@query(
+    "dense_batch_topk_cosine",
+    oracle=f"""
+    WITH q(query_id, qv) AS (VALUES {_batch_values_sql()}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND({_cos_sql(_EMB, 'q.qv')}, 6) AS score,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ROUND({_cos_sql(_EMB, 'q.qv')}, 6) DESC, e.vec_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, score FROM scored WHERE rn <= 25
+    ORDER BY query_id, score DESC, vec_id
+    """,
+)
+def dense_batch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query top-k: 3 query vectors scored against the
+    corpus in ONE scan, k per query via a partitioned window — the
+    high-throughput serving shape (one corpus pass amortized over the
+    whole query batch)."""
+    from multi_search_retrival_big_data_spark.operators.dense import batch_topk_cosine
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in _BATCH_QUERIES],
+        "query_id INT, qvec ARRAY<DOUBLE>",
+    )
+    return batch_topk_cosine(emb, qdf, k=25, round_to=6)
