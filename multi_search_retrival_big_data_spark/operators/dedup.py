@@ -41,6 +41,35 @@ NUM_PERM = 16
 LSH_BANDS = 4
 LSH_ROWS = 4
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+_HEX = "0123456789abcdef"
+
+
+def minhash_params(num_perm: int = NUM_PERM) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the affine permutation family,
+    md5-derived so the oracle generator embeds identical literals.
+    a_i ∈ [1, 2³⁰) keeps a·v below signed-64 overflow for v < 2³²."""
+    import hashlib
+
+    out = []
+    for i in range(num_perm):
+        a = 1 + int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) % ((1 << 30) - 1)
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+def shingle_int_value(shingle: Column) -> Column:
+    """32-bit integer view of a shingle: the first 8 hex digits of its
+    md5, decoded positionally (instr-based — identical expression is
+    emitted into the oracle SQL, where no hex→int cast exists)."""
+    h = F.md5(shingle)
+    v = F.lit(0).cast("bigint")
+    for j in range(8):
+        digit = F.instr(F.lit(_HEX), F.substring(h, j + 1, 1)) - F.lit(1)
+        v = v + digit.cast("bigint") * F.lit(16 ** (7 - j))
+    return v
+
 
 def normalize_text(col: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace,
@@ -92,17 +121,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """P-permutation minhash signature as P columns h0..h{P-1}.
 
-    Permutation i = md5 seeded with the permutation index; the min over
-    the doc's shingles of a uniform hash is the classic minhash
-    estimator. Computed as P parallel MIN aggregates in ONE groupBy —
-    map-side partial aggregation keeps shuffle volume at
-    O(docs × P × 32 bytes) regardless of shingle count, and there is no
+    Classic universal-hash minhash: ONE base hash per shingle (md5 →
+    32-bit integer v) and P affine permutations h_i = (a_i·v + b_i)
+    mod 2³¹-1 with md5-derived constants — 16× fewer digest
+    computations than hashing per permutation, and the integer
+    arithmetic is exact in both engines (a_i < 2³⁰ keeps a·v < 2⁶²,
+    no signed-64 overflow). Computed as P parallel MIN aggregates in
+    ONE groupBy — map-side partial aggregation keeps shuffle volume at
+    O(docs × P × 8 bytes) regardless of shingle count, and there is no
     per-permutation explode."""
+    # project v ONCE per row — inlining the expression into the P
+    # aggregates would re-evaluate the md5 P times
+    withv = shingles.select(
+        F.col(id_col), shingle_int_value(F.col("shingle")).alias("__v")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_perm)
+        F.min((F.lit(a) * F.col("__v") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params(num_perm))
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return withv.groupBy(id_col).agg(*aggs)
 
 
 def lsh_buckets(
@@ -151,9 +188,16 @@ def jaccard_for_pairs(
     set is usually tiny relative to the corpus → broadcast it to both
     shingle joins so no extra shuffle of the shingle table happens."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
     bp = F.broadcast(pairs)
+    # restrict BOTH shingle sides to candidate ids before any shuffle —
+    # the (id_b, shingle) join then moves only candidate postings, not
+    # the whole corpus shingle table
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle").join(
+        F.broadcast(pairs.select("id_a").distinct()), "id_a", "left_semi"
+    )
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle").join(
+        F.broadcast(pairs.select("id_b").distinct()), "id_b", "left_semi"
+    )
     inter = (
         sa.join(bp, "id_a")
         .join(sb, ["id_b", "shingle"])
@@ -191,7 +235,11 @@ def minhash_near_duplicates(
     # explode+distinct twice (production: a persisted shingle table)
     sh = char_shingles(docs, id_col, text_col, k).cache()
     sig = minhash_signatures(sh, id_col, num_perm)
-    cand = lsh_candidate_pairs(lsh_buckets(sig, id_col, bands, rows_per_band), id_col)
+    # candidates are consumed three times by the verify stage (pair
+    # broadcast + two semi-join prunes) — materialize once
+    cand = lsh_candidate_pairs(
+        lsh_buckets(sig, id_col, bands, rows_per_band), id_col
+    ).cache()
     verified = jaccard_for_pairs(sh, cand, id_col)
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 

@@ -64,8 +64,13 @@ def _jaccard_tail(threshold: float, pair_src: str) -> str:
 
 
 def _minhash_oracle() -> str:
+    v = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5(shingle), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
     perms = ",\n        ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(NUM_PERM)
+        f"min(({a} * ({v}) + {b}) % {dedup.MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(dedup.minhash_params(NUM_PERM))
     )
     bands = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
