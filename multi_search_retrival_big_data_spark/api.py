@@ -100,8 +100,9 @@ class SearchEngine:
         return dense.knn_by_id(self.emb, query_id, k=k, round_to=6)
 
     # -- /panel ------------------------------------------------------
-    def panel_search(self, panel: dict, k: int = 50) -> DataFrame:
-        """Q20 compile → per-channel sparse search fused by Q8.
+    def panel_search(self, panel: dict, k: int = 50, group: bool = False) -> DataFrame:
+        """Q20 compile → per-channel sparse search fused by Q8, then
+        (like /textsearch) optionally grouped by parent via Q15/Q18.
         Channels with no tokens are skipped (reference: None channels,
         faiss_processing.py:241-258)."""
         channels = visual.parse_panel(panel)
@@ -114,9 +115,13 @@ class SearchEngine:
         }
         if not channel_qterms:
             return self.spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
-        return sparse.multichannel_tfidf_score(
+        hits = sparse.multichannel_tfidf_score(
             self._postings, channel_qterms, k_per_channel=k, k=k, round_to=6
         )
+        if not group:
+            return hits
+        hydrated = grouping.hydrate(hits, self.docs, "doc_id", ["source"])
+        return grouping.group_hits(hydrated, ["source"], "doc_id")
 
     # -- /feedback ---------------------------------------------------
     def feedback(

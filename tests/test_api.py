@@ -80,3 +80,13 @@ def test_real_encoder_seams_raise():
 
 def test_browse_limit(engine):
     assert engine.browse(7).count() == 7
+
+
+def test_panel_search_grouped(engine):
+    panel = {"dragObject": [], "tags": ["scan", "window", "batch"], "amount": ""}
+    out = engine.panel_search(panel, k=20, group=True)
+    rows = out.collect()
+    if rows:  # tag tokens exist in the synthetic corpus
+        assert {"source", "best_score", "hit_count", "best_id"} <= set(rows[0].asDict())
+        scores = [r["best_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)

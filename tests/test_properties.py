@@ -101,3 +101,45 @@ def test_l2_dedup_max_takes_max(spark, rows_a, rows_b):
             cands.append(b[i] / lb)
         if cands:
             assert out[i] == pytest.approx(max(cands))
+
+
+doc_texts = st.lists(
+    st.text(alphabet="abcdef ", min_size=10, max_size=60),
+    min_size=2,
+    max_size=8,
+)
+
+
+@SETTINGS
+@given(texts=doc_texts)
+def test_minhash_lsh_subset_of_exact_property(spark, texts):
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id BIGINT, text STRING")
+    t = 0.3
+    exact = {(r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", t).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in dedup.minhash_near_duplicates(docs, "doc_id", "text", t).collect()}
+    assert lsh <= exact
+
+
+@SETTINGS
+@given(texts=doc_texts)
+def test_simhash_identical_docs_zero_hamming(spark, texts):
+    from multi_search_retrival_big_data_spark.operators import textanalysis as ta
+
+    rows = [(0, texts[0]), (1, texts[0])] + [(i + 2, t) for i, t in enumerate(texts[1:])]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    fp = {r["doc_id"]: r["simhash"] for r in ta.simhash_fingerprints(docs, "doc_id", "text").collect()}
+    if 0 in fp and 1 in fp:  # docs with no tokens produce no fingerprint
+        assert fp[0] == fp[1]
+
+
+@SETTINGS
+@given(texts=doc_texts)
+def test_quality_ratios_bounded(spark, texts):
+    from multi_search_retrival_big_data_spark.operators import textanalysis as ta
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id BIGINT, text STRING")
+    for r in ta.quality_features(docs, "doc_id", "text").collect():
+        for c in ("word_char_ratio", "punct_ratio", "digit_ratio", "stopword_ratio", "quality"):
+            assert -1e-9 <= r[c] <= 1.0 + 1e-9
