@@ -278,3 +278,50 @@ def token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .alias("bpe_ish_tokens"),
         F.length(t).cast("bigint").alias("n_chars"),
     )
+
+
+def char_bigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Language-model quality score without a model: a char-bigram LM
+    estimated from the corpus itself, add-one smoothed —
+    avg log P(y|x) = mean over doc bigrams of
+    ln((c(xy)+1) / (c(x·)+V)). Low scores flag out-of-distribution /
+    garbled documents (the classic perplexity filter of training-data
+    pipelines, with the corpus as its own reference distribution).
+
+    Two corpus aggregates (bigram counts, context counts) broadcast
+    back into a per-doc join — no per-doc state, one shuffle each.
+    Returns (id, n_bigrams, avg_logprob)."""
+    s = F.lower(F.col(text_col))
+    grams = (
+        ensure_min_partitions(docs)
+        .filter(F.length(text_col) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length(s) - 1)).alias("pos"),
+            s.alias("__s"),
+        )
+        .select(F.col(id_col), F.col("__s").substr(F.col("pos"), F.lit(2)).alias("g"))
+    ).cache()  # consumed by corpus-count branches AND the doc-side join
+    c2 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = grams.select(F.substring("g", 1, 1).alias("x")).groupBy("x").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    v = grams.select(F.substring("g", 1, 1).alias("x")).agg(
+        F.countDistinct("x").alias("v")
+    )
+    lp = F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+    scored = (
+        grams.join(c2, "g")
+        .join(c1, F.substring(F.col("g"), 1, 1) == F.col("x"))
+        .crossJoin(F.broadcast(v))
+        .select(F.col(id_col), lp.alias("lp"))
+    )
+    from multi_search_retrival_big_data_spark.queries.common import det_round, dsum
+
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            det_round(dsum(F.col("lp"), scale=9) / F.count(F.lit(1))).alias("avg_logprob"),
+        )
+    )

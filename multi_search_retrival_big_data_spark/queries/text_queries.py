@@ -243,3 +243,35 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, "documents", sf_dir)
     return ta.token_counts(docs, "doc_id", "text").orderBy("doc_id")
+
+
+from multi_search_retrival_big_data_spark.queries.common import sql_det_round, sql_dsum
+
+
+@query(
+    "text_bigram_lm_scores",
+    oracle=f"""
+    WITH bigrams AS (
+      SELECT doc_id, substring(lower(text), CAST(i AS INTEGER), 2) AS g
+      FROM documents, unnest(range(1, length(text))) AS t(i)
+      WHERE length(text) >= 2
+    ),
+    c2 AS (SELECT g, count(*) AS c2 FROM bigrams GROUP BY g),
+    c1 AS (SELECT substring(g, 1, 1) AS x, count(*) AS c1 FROM bigrams GROUP BY 1),
+    v AS (SELECT count(DISTINCT substring(g, 1, 1)) AS v FROM bigrams),
+    scored AS (
+      SELECT b.doc_id, ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS lp
+      FROM bigrams b JOIN c2 USING (g)
+      JOIN c1 ON substring(b.g, 1, 1) = c1.x
+      CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           {sql_det_round(sql_dsum('lp', 9) + ' / count(*)')} AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-estimated char-bigram LM score per document — the
+    perplexity-style quality filter of training-data pipelines."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return ta.char_bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")

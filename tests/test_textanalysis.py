@@ -75,3 +75,26 @@ def test_quality_and_token_counts(docs):
     assert abs(q[1]["stopword_ratio"] - 2 / 6) < 1e-12
     t = {r["doc_id"]: r for r in ta.token_counts(docs, "doc_id", "text").collect()}
     assert t[1]["ws_tokens"] == 6 and t[1]["word_tokens"] == 6 and t[1]["bpe_ish_tokens"] == 6
+
+
+def test_bigram_lm_matches_python(spark):
+    import math
+    from collections import Counter
+
+    rows = [(1, "ababab"), (2, "abzzzq")]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in ta.char_bigram_lm_scores(docs, "doc_id", "text").collect()}
+
+    grams = []
+    for _, t in rows:
+        grams += [t[i : i + 2] for i in range(len(t) - 1)]
+    c2 = Counter(grams)
+    c1 = Counter(g[0] for g in grams)
+    v = len(c1)
+    for doc_id, t in rows:
+        lps = [math.log((c2[g] + 1.0) / (c1[g[0]] + v)) for g in (t[i : i + 2] for i in range(len(t) - 1))]
+        expect = sum(lps) / len(lps)
+        assert abs(out[doc_id]["avg_logprob"] - expect) < 1e-6
+        assert out[doc_id]["n_bigrams"] == len(t) - 1
+    # the common-pattern doc scores higher than the rare-pattern doc
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
