@@ -123,3 +123,31 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_to_memory(result, "stateful_counts", output_mode="update").orderBy(
         "user_id"
     )
+
+
+@query(
+    "stream_attribution_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts, p.value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join executed as a REAL streaming query: two
+    watermarked event streams joined on user + a bounded time range
+    (click→purchase attribution), run to completion and verified
+    against the batch interval join."""
+    stream = ingest.read_event_stream(spark, sf_dir)
+    clicks = stream.filter(stream["event_type"] == "click")
+    purchases = stream.filter(stream["event_type"] == "purchase")
+    result = windows.attribution_join(clicks, purchases)
+    return ingest.run_to_memory(result, "attribution", output_mode="append").orderBy(
+        "click_id", "purchase_id"
+    )

@@ -94,3 +94,41 @@ def session_event_stats(
         )
         .select("user_id", "session_start", "n_events", "total_value")
     )
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same
+    user's clicks in the preceding `attribution_window`. On streaming
+    inputs both sides carry watermarks and the time-bound predicate
+    lets Spark expire join state (the unbounded-state hazard of
+    stream-stream joins); on batch inputs the same code is a plain
+    interval join. Returns (click_id, purchase_id, user_id, click_ts,
+    purchase_ts, value)."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return c.join(p, cond).select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id"),
+        "click_ts", "purchase_ts", "value",
+    )
