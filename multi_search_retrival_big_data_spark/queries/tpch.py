@@ -359,3 +359,46 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
+
+
+@query(
+    "tpch_q2_cheapest_per_part",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS rn
+      FROM lineitem
+    )
+    SELECT r.l_partkey, p.p_name, r.l_orderkey, r.l_extendedprice AS min_price
+    FROM ranked r JOIN part p ON p.p_partkey = r.l_partkey
+    WHERE r.rn = 1
+    ORDER BY r.l_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped: min-per-group via window rank — the classic
+    'correlated MIN subquery' (TPC-H q2's cheapest supplier) expressed
+    as row_number over a partition, which Spark executes as one
+    shuffle + per-partition sort instead of a re-scan per group."""
+    from pyspark.sql.window import Window
+
+    li = tables.load(spark, "lineitem", sf_dir)
+    p = tables.load(spark, "part", sf_dir)
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "l_partkey", "p_name", "l_orderkey",
+            F.col("l_extendedprice").alias("min_price"),
+        )
+        .orderBy("l_partkey")
+        .limit(100)
+    )

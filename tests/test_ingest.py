@@ -94,3 +94,15 @@ def test_incremental_append_is_idempotent(spark):
     batch2 = spark.createDataFrame([(2, "b"), (3, "c")], "id BIGINT, v STRING")
     assert pipeline.incremental_append(spark, batch2, sink, ["id"]) == 1
     assert spark.read.parquet(sink).count() == 3
+
+
+def test_collection_filter_prunes_partitions(out):
+    """Reading one collection from the partitioned sink must prune the
+    other collection's files at plan level (PartitionFilters)."""
+    paths, spark = out
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(paths["keyframes"]).filter(F.col("collection") == "L01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "L01" in plan
+    assert df.select("collection").distinct().count() == 1

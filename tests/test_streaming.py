@@ -151,3 +151,39 @@ def test_session_windows_merge_within_gap(spark):
     out = windows.session_event_stats(events, "30 minutes").orderBy("user_id", "session_start")
     got = [(r["user_id"], r["session_start"].strftime("%H:%M"), r["n_events"]) for r in out.collect()]
     assert got == [(1, "10:00", 2), (1, "12:00", 1), (2, "10:05", 1)]
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Streaming exact-dedup: a row re-arriving in a later micro-batch
+    (within the watermark) is dropped by dropDuplicatesWithinWatermark
+    — the streaming form of the pipeline's exact dedup operator."""
+    landing = tempfile.mkdtemp(prefix="dedup_events_")
+    t0 = time.time()
+    _write_batch(spark, landing, [
+        (1, TS.format("10:00"), 1, "click", 1.0),
+        (2, TS.format("10:05"), 1, "click", 1.0),
+    ], t0 - 100)
+    _write_batch(spark, landing, [
+        (1, TS.format("10:00"), 1, "click", 1.0),  # duplicate of event 1
+        (3, TS.format("10:10"), 1, "click", 1.0),
+    ], t0 - 50)
+    raw = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+        )
+        .parquet(landing)
+    )
+    result = raw.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dd_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert ids == [1, 2, 3]
