@@ -151,3 +151,39 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.run_to_memory(result, "attribution", output_mode="append").orderBy(
         "click_id", "purchase_id"
     )
+
+
+@query(
+    "events_json_props_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           min(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_min,
+           max(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_max,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured handling: the events `props` JSON column parsed
+    with a typed schema (from_json → STRUCT) and aggregated — schema'd
+    JSON parsing stays in the JVM (no Python), and at scale the parse
+    cost amortizes into the scan stage."""
+    from pyspark.sql import functions as F
+
+    ev = tables.load(spark, "events", sf_dir)
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
