@@ -157,3 +157,55 @@ def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("id_a", "id_b", det_round(F.col("jaccard")).alias("jaccard"))
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
     )
+
+
+@query(
+    "profile_docs_by_lang",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           quantile_cont(n_chars, 0.5) AS median_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def profile_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: per-language doc counts and EXACT length
+    quantiles (Spark `percentile`, not approx_percentile — the
+    approximate sketches differ between engines, exact interpolation
+    does not). The profiling pass every dataset audit starts with."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile("n_chars", 0.5).alias("median_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "profile_rollup_lang_source",
+    oracle="""
+    SELECT lang, source, count(*) AS n
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    ORDER BY lang NULLS FIRST, source NULLS FIRST
+    """,
+)
+def profile_rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: (lang, source) counts with subtotal and grand-total
+    rows — hierarchical aggregation the reference never had, standard
+    for corpus dashboards."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return (
+        docs.rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("lang"), F.asc_nulls_first("source"))
+    )
