@@ -209,3 +209,36 @@ def profile_rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.asc_nulls_first("lang"), F.asc_nulls_first("source"))
     )
+
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "profile_pivot_source_lang",
+    oracle=f"""
+    SELECT source,
+           {", ".join(f"CAST(SUM(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS BIGINT) AS {l}" for l in _LANGS)}
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def profile_pivot_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: language distribution per source as a wide table. The
+    pivot value list is fixed (deterministic schema — a discovered
+    pivot would need an extra pass and a nondeterministic column
+    order); each cell compiles to a conditional count, which is what
+    the oracle spells out."""
+    docs = tables.load(spark, "documents", sf_dir)
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", list(_LANGS))
+        .agg(F.count(F.lit(1)))
+        .orderBy("source")
+    )
+    # pivot leaves NULL where a (source, lang) cell has no rows; the
+    # oracle's conditional SUM yields 0 — align
+    return out.select(
+        "source", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _LANGS]
+    )

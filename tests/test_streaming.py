@@ -187,3 +187,37 @@ def test_streaming_dedup_within_watermark(spark):
     q.awaitTermination()
     ids = sorted(r["event_id"] for r in spark.table(name).collect())
     assert ids == [1, 2, 3]
+
+
+def test_foreachbatch_idempotent_parquet_sink(spark):
+    """Streaming → foreachBatch → idempotent parquet append (the
+    incremental_append ingest operator as a streaming sink): replaying
+    the same data into a fresh stream does not duplicate rows."""
+    from multi_search_retrival_big_data_spark.ingest.pipeline import incremental_append
+
+    landing = tempfile.mkdtemp(prefix="fb_events_")
+    sink = os.path.join(tempfile.mkdtemp(prefix="fb_sink_"), "events")
+    t0 = time.time()
+    _write_batch(spark, landing, [(1, TS.format("10:00"), 1, "click", 1.0),
+                                  (2, TS.format("10:05"), 1, "click", 1.0)], t0 - 100)
+
+    def run_stream():
+        raw = spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+        ).parquet(landing)
+        ckpt = tempfile.mkdtemp(prefix="ckpt_fb_")
+        q = (
+            raw.writeStream.foreachBatch(
+                lambda df, _bid: incremental_append(spark, df, sink, ["event_id"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    assert spark.read.parquet(sink).count() == 2
+    # fresh stream (new checkpoint) replays the same file → no dupes
+    run_stream()
+    assert spark.read.parquet(sink).count() == 2
