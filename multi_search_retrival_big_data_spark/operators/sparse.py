@@ -438,3 +438,58 @@ def write_postings_bucketed(
 
 def read_postings_table(spark, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def batch_tfidf_score(
+    postings: DataFrame,
+    batch_qterms: dict[int, list[tuple[str, int]]],
+    k: int,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Multi-query batched sparse scoring: every query's terms join the
+    posting index in ONE pass; per-query top-k via a partitioned
+    window. The sparse analogue of dense.batch_topk_cosine — at scale
+    the index is read once per batch instead of once per query, and
+    the broadcast query side carries (query_id, term, qw).
+
+    Returns (query_id, doc_id, score)."""
+    from pyspark.sql.window import Window
+
+    spark = postings.sparkSession
+    q = spark.createDataFrame(
+        [(qid, t, float(c)) for qid, terms in batch_qterms.items() for t, c in terms],
+        "query_id INT, term STRING, qtf DOUBLE",
+    )
+    all_terms = sorted({t for terms in batch_qterms.values() for t, _ in terms})
+    idf = (
+        postings.filter(F.col("term").isin(all_terms))
+        .select("term", "idf")
+        .distinct()
+    )
+    qv = q.join(idf, "term")
+    qnorm = qv.groupBy("query_id").agg(
+        F.sqrt(F.sum((F.col("qtf") * F.col("idf")) ** 2)).alias("__qnorm")
+    )
+    qv = qv.join(qnorm, "query_id").select(
+        "query_id", "term", ((F.col("qtf") * F.col("idf")) / F.col("__qnorm")).alias("qw")
+    )
+    addend = F.col("qw") * F.col("weight")
+    score = (
+        F.sum(F.floor(addend * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")).cast("double")
+        / F.lit(1e12)
+    )
+    if round_to is not None:
+        m = F.lit(float(10 ** round_to))
+        score = F.floor(score * m + F.lit(0.5)).cast("double") / m
+    scored = (
+        postings.join(F.broadcast(qv), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )

@@ -232,3 +232,56 @@ def sparse_multichannel_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=20,
         round_to=6,
     )
+
+
+_BATCH_SPARSE = {
+    0: _Q11,
+    1: sparse.query_terms("slow scan table filter"),
+    2: sparse.query_terms("hash group sort key"),
+}
+
+
+def _batch_q_values() -> str:
+    return ", ".join(
+        f"({qid}, '{t}', {float(c)})"
+        for qid, terms in _BATCH_SPARSE.items()
+        for t, c in terms
+    )
+
+
+@query(
+    "sparse_batch_tfidf_topk",
+    oracle=f"""
+    WITH {tfidf_cte('', (1, 1), _Q11)},
+    bq(query_id, term, qtf) AS (VALUES {_batch_q_values()}),
+    bqv0 AS (
+      SELECT bq.query_id, bq.term, bq.qtf * i.idf AS w
+      FROM bq JOIN (SELECT DISTINCT term, idf FROM post) i USING (term)
+    ),
+    bqn AS (SELECT query_id, sqrt(SUM(w * w)) AS qn FROM bqv0 GROUP BY query_id),
+    bqv AS (
+      SELECT v.query_id, v.term, v.w / n.qn AS qw
+      FROM bqv0 v JOIN bqn n USING (query_id)
+    ),
+    bscored AS (
+      SELECT v.query_id, p.doc_id,
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR(v.qw * p.weight * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS score
+      FROM post p JOIN bqv v USING (term)
+      GROUP BY v.query_id, p.doc_id
+    ),
+    branked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      FROM bscored
+    )
+    SELECT query_id, doc_id, score FROM branked WHERE rn <= 20
+    ORDER BY query_id, score DESC, doc_id
+    """,
+)
+def sparse_batch_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query sparse scoring: 3 queries join the posting
+    index in one pass, per-query top-20 via a partitioned window — the
+    high-throughput lexical serving shape."""
+    docs = tables.load(spark, "documents", sf_dir)
+    postings = sparse.fit_tfidf(docs, cache=True)
+    return sparse.batch_tfidf_score(postings, _BATCH_SPARSE, k=20, round_to=6)
