@@ -52,6 +52,10 @@ OPTIONAL_QUERIES = [
     "multimodal_decode_features",
     "stream_tumbling_event_counts",
     "session_window_stats",
+    "dense_batch_topk_cosine",
+    "sparse_batch_tfidf_topk",
+    "ann_ivf_topk_cosine",
+    "text_bigram_lm_scores",
 ]
 
 
