@@ -402,3 +402,30 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_partkey")
         .limit(100)
     )
+
+
+# One ANSI-SQL string executed verbatim by BOTH engines — Spark runs it
+# through spark.sql() over registered views, DuckDB as the oracle. The
+# strongest possible demonstration that the engine exposes a portable
+# SQL surface alongside the DataFrame API.
+SHARED_SQL = """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+                    AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_quantity < 30
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query("sql_shared_dialect", oracle=SHARED_SQL)
+def sql_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-surface proof: the oracle string ITSELF is executed by
+    spark.sql() over registered views — identical text, two engines,
+    hash-identical results."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(SHARED_SQL)
