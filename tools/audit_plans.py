@@ -36,6 +36,7 @@ SCALAR_BROADCAST_OK = {
     "ann_ivf_topk_cosine",   # coarse quantizer: every vec × small centroid set
     "dense_batch_topk_cosine",  # corpus × request-sized query batch
     "text_bigram_lm_scores",    # 1-row vocabulary-size scalar broadcast
+    "sparse_batch_tfidf_topk",  # batched query-side scalar norms broadcast
 }
 
 
