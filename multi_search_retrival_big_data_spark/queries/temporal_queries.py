@@ -327,3 +327,52 @@ def group_members_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(members.alias("members"), F.count(F.lit(1)).alias("hit_count"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_lag_lead_cumulative",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, event_id, ts, value,
+             lag(event_id)  OVER win AS prev_event,
+             lead(event_id) OVER win AS next_event,
+             CAST(date_diff('microseconds', lag(ts) OVER win, ts) AS BIGINT) AS micros_since_prev,
+             CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS DECIMAL(38,0)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_q
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, prev_event, next_event, micros_since_prev, cum_value_q
+    FROM w
+    WHERE user_id < 10
+    ORDER BY user_id, event_id
+    """,
+)
+def events_lag_lead_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead neighbors + inter-event gap + running cumulative sum
+    per user — the remaining §2.3 window shapes (the reference's
+    union(lag,lead) alternative for S7 and running-state timelines),
+    quantized so the running sum is bit-portable."""
+    from pyspark.sql.window import Window
+
+    ev = tables.load(spark, "events", sf_dir)
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    q = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+    return (
+        ev.filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.lag("event_id").over(win).alias("prev_event"),
+            F.lead("event_id").over(win).alias("next_event"),
+            (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(win))
+            ).alias("micros_since_prev"),
+            F.sum(q).over(cum).cast("bigint").alias("cum_value_q"),
+        )
+        .orderBy("user_id", "event_id")
+    )
