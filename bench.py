@@ -56,6 +56,8 @@ OPTIONAL_QUERIES = [
     "sparse_batch_tfidf_topk",
     "ann_ivf_topk_cosine",
     "text_bigram_lm_scores",
+    "dense_topk_cosine_arrow",
+    "dense_batch_topk_cosine_arrow",
 ]
 
 

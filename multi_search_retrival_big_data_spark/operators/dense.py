@@ -163,6 +163,117 @@ def vocab_knn_l2(
     return scored.orderBy(F.asc("dist"), F.asc(key_col)).limit(k)
 
 
+def topk_cosine_arrow(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Q1 via the ALTERNATIVE physical strategy: Arrow-batched NumPy
+    matrix math (`mapInPandas`) instead of the Catalyst
+    `aggregate(zip_with(...))` fold.
+
+    Per Arrow batch the corpus slab becomes one float64 matrix and the
+    whole batch scores in a single BLAS matvec — the same math FAISS's
+    flat scan runs (reference utils/faiss_processing.py:17-22), so this
+    is the drop-in when per-row codegen folds become the CPU
+    bottleneck at high dimension. The plan shape is unchanged: narrow
+    projection → mapInPandas (no shuffle, stays partition-parallel) →
+    TakeOrderedAndProject top-k, so only num_partitions × k rows reach
+    the driver.
+
+    Determinism: scores are quantized INSIDE the UDF with
+    floor(x·1e6 + 0.5)/1e6 (exact IEEE ops — `det_round` semantics,
+    matching `sql_det_round` in the oracle) before the top-k sort, so
+    BLAS pairwise-summation ulps cannot flip membership or order."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+    scale = None if round_to is None else float(10**round_to)
+
+    def score_batches(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            if scale is not None:
+                s = np.floor(s * scale + 0.5) / scale
+            yield pd.DataFrame({id_col: pdf[id_col], "score": s})
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score_batches, f"{id_col} long, score double"
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def batch_topk_cosine_arrow(
+    emb: DataFrame,
+    batch_queries: Sequence[tuple[int, Sequence[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Batched multi-query scoring via one NumPy matmul per Arrow
+    batch: S = corpus_slab @ Qᵀ scores EVERY query against the slab in
+    a single BLAS call (the reference's batched FAISS search,
+    faiss_processing.py:307-314, generalized).
+
+    The UDF keeps only the per-batch top-k PER QUERY before emitting —
+    a map-side partial top-k, so the shuffle into the final per-query
+    window carries O(batches · |Q| · k) rows instead of O(N · |Q|).
+    Correct because the global top-k is a subset of the union of
+    per-batch top-ks; ties are pre-quantized (see topk_cosine_arrow)
+    and broken by id ASC both locally and globally."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    qids = np.asarray([int(i) for i, _ in batch_queries], dtype=np.int64)
+    qmat = np.asarray([list(v) for _, v in batch_queries], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    scale = None if round_to is None else float(10**round_to)
+
+    def score_batches(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            s = (m @ qmat.T) / (np.sqrt((m * m).sum(axis=1))[:, None] * qnorm[None, :])
+            if scale is not None:
+                s = np.floor(s * scale + 0.5) / scale
+            keep = min(k, len(ids))
+            out_q, out_i, out_s = [], [], []
+            for c in range(len(qids)):
+                # partial top-k: sort by (-score, id) — argsort on the
+                # lexicographic pair via stable double key
+                order = np.lexsort((ids, -s[:, c]))[:keep]
+                out_q.append(np.full(keep, qids[c]))
+                out_i.append(ids[order])
+                out_s.append(s[order, c])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score_batches, f"query_id long, {id_col} long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("score"), F.asc(id_col))
+    )
+
+
 def batch_topk_cosine(
     emb: DataFrame,
     queries: DataFrame,

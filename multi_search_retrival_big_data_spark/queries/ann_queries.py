@@ -179,3 +179,92 @@ def ann_ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     IndexIVFFlat dataflow as DataFrame joins."""
     emb = tables.load(spark, "embeddings", sf_dir)
     return ann.ann_ivf_topk(emb, QUERY_VEC, k=50, round_to=6)
+
+
+_RECALL_K = 50
+
+
+@query(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, ROUND({_cos_sql(_V, sql_vec(QUERY_VEC))}, 6) AS score
+        FROM embeddings ORDER BY score DESC, vec_id LIMIT {_RECALL_K})
+    ),
+    sig AS (
+      SELECT vec_id, {_V} AS v, {_sig_sql(_V)} AS s FROM embeddings
+    ),
+    lsh AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, ROUND({_cos_sql("v", sql_vec(QUERY_VEC))}, 6) AS score
+        FROM sig WHERE {_band_filter_sql()}
+        ORDER BY score DESC, vec_id LIMIT {_RECALL_K})
+    ),
+    cent AS (
+      SELECT vec_id AS cid, {_V} AS cv FROM embeddings WHERE vec_id % {_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_l2_sql('c.cv', 'CAST(e.embedding AS DOUBLE[])')}, c.cid
+               ) AS rn
+        FROM embeddings e, cent c
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT cid FROM cent
+      ORDER BY {_l2_sql('cv', sql_vec(QUERY_VEC))}, cid
+      LIMIT {_NPROBE}
+    ),
+    ivf AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, ROUND({_cos_sql(_V, sql_vec(QUERY_VEC))}, 6) AS score
+        FROM embeddings e
+        JOIN (SELECT a.vec_id FROM assign a JOIN probed p USING (cid)) c USING (vec_id)
+        ORDER BY score DESC, e.vec_id LIMIT {_RECALL_K})
+    )
+    SELECT 'ivf' AS method, {_RECALL_K} AS k, count(*) AS hits,
+           CAST(count(*) AS DOUBLE) / CAST({_RECALL_K} AS DOUBLE) AS recall
+    FROM ivf JOIN exact USING (vec_id)
+    UNION ALL
+    SELECT 'lsh', {_RECALL_K}, count(*),
+           CAST(count(*) AS DOUBLE) / CAST({_RECALL_K} AS DOUBLE)
+    FROM lsh JOIN exact USING (vec_id)
+    ORDER BY method
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metric for the approximate paths: recall@k of the LSH
+    band-probe and IVF cell-probe ANN variants against the exact
+    brute-force top-k ground truth (the audit every production ANN
+    deployment runs before trading exactness for speed — FAISS's own
+    recall-vs-nprobe methodology applied to our DataFrame ANN).
+
+    One row per method: (method, k, hits, recall). The exact list, the
+    approximate lists, and the intersection are all computed inside the
+    one plan — at scale this runs as a periodic sampled audit job, the
+    same dataflow with a sampled query set."""
+    from multi_search_retrival_big_data_spark.operators import dense
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    exact = dense.topk_cosine(emb, QUERY_VEC, k=_RECALL_K, round_to=6).select("vec_id")
+
+    def hits_row(approx: DataFrame, method: str) -> DataFrame:
+        return (
+            approx.select("vec_id")
+            .join(exact, "vec_id", "left_semi")
+            .agg(F.count("*").alias("hits"))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(_RECALL_K).alias("k"),
+                F.col("hits"),
+                (F.col("hits").cast("double") / F.lit(float(_RECALL_K))).alias("recall"),
+            )
+        )
+
+    ivf = ann.ann_ivf_topk(emb, QUERY_VEC, k=_RECALL_K, round_to=6)
+    lsh = ann.ann_lsh_topk(emb, QUERY_VEC, k=_RECALL_K, round_to=6)
+    return hits_row(ivf, "ivf").union(hits_row(lsh, "lsh")).orderBy("method")

@@ -18,6 +18,7 @@ from multi_search_retrival_big_data_spark.queries import query
 from multi_search_retrival_big_data_spark.queries.common import (
     QUERY_VEC,
     QUERY_VEC_B,
+    sql_det_round,
     sql_vec,
 )
 
@@ -172,3 +173,49 @@ def dense_batch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id INT, qvec ARRAY<DOUBLE>",
     )
     return batch_topk_cosine(emb, qdf, k=25, round_to=6)
+
+
+@query(
+    "dense_topk_cosine_arrow",
+    oracle=f"""
+    SELECT vec_id, {sql_det_round(_cos_sql(_EMB, _QV))} AS score
+    FROM embeddings
+    ORDER BY score DESC, vec_id
+    LIMIT 100
+    """,
+)
+def dense_topk_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 via the Arrow/NumPy physical strategy (one BLAS matvec per
+    Arrow batch inside mapInPandas) — same logical operator, same
+    oracle semantics as dense_topk_cosine, alternative execution path
+    for high-dimension corpora where per-row codegen folds bottleneck."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return dense.topk_cosine_arrow(emb, QUERY_VEC, k=100, round_to=6)
+
+
+@query(
+    "dense_batch_topk_cosine_arrow",
+    oracle=f"""
+    WITH q(query_id, qv) AS (VALUES {_batch_values_sql()}),
+    scored AS (
+      SELECT CAST(q.query_id AS BIGINT) AS query_id, e.vec_id,
+             {sql_det_round(_cos_sql(_EMB, 'q.qv'))} AS score
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id
+             ) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, score FROM ranked WHERE rn <= 25
+    ORDER BY query_id, score DESC, vec_id
+    """,
+)
+def dense_batch_topk_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query top-k via one NumPy matmul per Arrow batch
+    with map-side partial top-k — the high-throughput alternative
+    physical strategy for the same logical batch operator."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return dense.batch_topk_cosine_arrow(emb, _BATCH_QUERIES, k=25, round_to=6)

@@ -88,3 +88,14 @@ def test_ivf_assignment_is_nearest_centroid(spark, sf_dir):
         }
         best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
         assert got[vid] == best
+
+
+def test_recall_at_k_query_shape_and_bounds(spark, sf_dir):
+    from multi_search_retrival_big_data_spark.queries.ann_queries import ann_recall_at_k
+
+    rows = {r.method: r for r in ann_recall_at_k(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for r in rows.values():
+        assert r.k == 50
+        assert 0 <= r.hits <= r.k
+        assert abs(r.recall - r.hits / 50.0) < 1e-12

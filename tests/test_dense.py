@@ -90,3 +90,30 @@ def test_vocab_knn_l2_orders_ascending(spark, sf_dir):
     got = dense.vocab_knn_l2(emb, QUERY_VEC, k=20).collect()
     dists = [r.dist for r in got]
     assert dists == sorted(dists)
+
+
+def test_topk_cosine_arrow_matches_sql_path(spark, sf_dir):
+    """The Arrow/NumPy physical strategy and the Catalyst-expression
+    strategy are the same logical operator: identical rows in
+    identical order after det-rounding."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    sql_rows = dense.topk_cosine(emb, QUERY_VEC, k=50, round_to=6).collect()
+    arrow_rows = dense.topk_cosine_arrow(emb, QUERY_VEC, k=50, round_to=6).collect()
+    assert [r.vec_id for r in arrow_rows] == [r.vec_id for r in sql_rows]
+    np.testing.assert_allclose(
+        [r.score for r in arrow_rows], [r.score for r in sql_rows], rtol=0, atol=1e-6
+    )
+
+
+def test_batch_topk_cosine_arrow_matches_per_query(spark, sf_dir):
+    """Batched arrow scoring == independent single-query arrow runs."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    queries = [(0, QUERY_VEC), (1, [-v for v in QUERY_VEC])]
+    batched = dense.batch_topk_cosine_arrow(emb, queries, k=10, round_to=6).collect()
+    for qid, qvec in queries:
+        single = dense.topk_cosine_arrow(emb, qvec, k=10, round_to=6).collect()
+        got = [r for r in batched if r.query_id == qid]
+        assert [r.vec_id for r in got] == [r.vec_id for r in single]
+        np.testing.assert_allclose(
+            [r.score for r in got], [r.score for r in single], rtol=0, atol=1e-12
+        )

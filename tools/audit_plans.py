@@ -34,6 +34,7 @@ SCALAR_BROADCAST_OK = {
     "group_hits_by_source",  # sparse scorer's 1-row qnorm broadcast
     "emb_near_dup_exact",    # all-pairs audit path: cross join BY DESIGN
     "ann_ivf_topk_cosine",   # coarse quantizer: every vec × small centroid set
+    "ann_recall_at_k",       # embeds the IVF quantizer above (audit metric query)
     "dense_batch_topk_cosine",  # corpus × request-sized query batch
     "text_bigram_lm_scores",    # 1-row vocabulary-size scalar broadcast
     "sparse_batch_tfidf_topk",  # batched query-side scalar norms broadcast
