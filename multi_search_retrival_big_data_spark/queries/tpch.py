@@ -429,3 +429,136 @@ def sql_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-identical results."""
     tables.register_views(spark, sf_dir)
     return spark.sql(SHARED_SQL)
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped: the SAME dimension joined twice under two roles
+    (supplier nation / customer nation) with a symmetric pair
+    predicate — the dual-alias broadcast pattern. Both nation aliases
+    are pre-filtered to the two names so the fact-side join input is
+    semi-reduced before the shuffle."""
+    t = {n: tables.load(spark, n, sf_dir)
+         for n in ("lineitem", "orders", "customer", "supplier", "nation")}
+    pair = ["NATION_1", "NATION_2"]
+    nd = t["nation"].filter(F.col("n_name").isin(pair))
+    n1 = nd.select(F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation"))
+    n2 = nd.select(F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cnk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 — order-count distribution: LEFT OUTER join with an extra
+    non-key predicate (pushed to the probe side, preserving unmatched
+    customers as count 0), then an aggregation OF an aggregation."""
+    c = tables.load(spark, "customer", sf_dir)
+    o = tables.load(spark, "orders", sf_dir)
+    per_cust = (
+        c.select("c_custkey")
+        .join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT")
+            .select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q22_dormant_balance",
+    oracle=f"""
+    WITH thr AS (
+      SELECT {sql_dsum('c_acctbal')} / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name, COUNT(*) AS numcust, {sql_dsum('c.c_acctbal')} AS totacctbal
+    FROM customer c
+    CROSS JOIN thr
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > thr.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped: scalar-subquery threshold (above-average positive
+    balance, computed with the quantized dsum so the comparison is
+    engine-exact) + NOT EXISTS anti-join (customers with no urgent
+    orders — the testdata has no order-less customers), aggregated per
+    nation. The threshold is a 1-row broadcast; the anti-join shuffles
+    only the filtered fact keys."""
+    c = tables.load(spark, "customer", sf_dir)
+    o = tables.load(spark, "orders", sf_dir)
+    n = tables.load(spark, "nation", sf_dir)
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((dsum(F.col("c_acctbal")) / F.count("*")).alias("__thr"))
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("__thr"))
+        .join(urgent, "c_custkey", "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("numcust"), dsum(F.col("c_acctbal")).alias("totacctbal"))
+        .orderBy("n_name")
+    )

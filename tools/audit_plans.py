@@ -37,6 +37,7 @@ SCALAR_BROADCAST_OK = {
     "ann_recall_at_k",       # embeds the IVF quantizer above (audit metric query)
     "dense_batch_topk_cosine",  # corpus × request-sized query batch
     "text_bigram_lm_scores",    # 1-row vocabulary-size scalar broadcast
+    "tpch_q22_dormant_balance", # 1-row avg-balance threshold broadcast
     "sparse_batch_tfidf_topk",  # batched query-side scalar norms broadcast
 }
 
