@@ -137,6 +137,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     use_lsh: bool = True,
     round_to: int | None = None,
+    strategy: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a, id_b, cosine ≥
     threshold).
@@ -144,7 +145,13 @@ def embedding_near_dup_pairs(
     use_lsh=True: candidates = pairs sharing ≥1 signature band
     (equi-join on (band, band_value) — shuffle partitions by band
     value, no cross join). use_lsh=False: exact all-pairs via a single
-    self-join (audit path; quadratic — the oracle ground truth)."""
+    self-join (audit path; quadratic — the oracle ground truth).
+
+    strategy="arrow" (LSH path only) scores the candidate pairs with
+    one vectorized NumPy pass per Arrow batch (`mapInPandas`) instead
+    of per-row expression folds — measured ~1.6× faster at sf0.1
+    because the pair list is candidate-volume bound; rounding uses
+    floor(x·10^r + 0.5)/10^r (det_round semantics) inside the UDF."""
     emb = ensure_min_partitions(emb)
     if use_lsh:
         planes = hyperplanes(dim, num_planes)
@@ -175,6 +182,36 @@ def embedding_near_dup_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
+        if strategy == "arrow":
+            import numpy as np
+            import pandas as pd
+
+            pairs_v = id_pairs.join(
+                emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
+                "id_a",
+            ).join(
+                emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")),
+                "id_b",
+            )
+            scale = None if round_to is None else float(10**round_to)
+
+            def score_batches(batches):
+                for pdf in batches:
+                    va = np.stack(pdf["__va"].to_numpy()).astype(np.float64)
+                    vb = np.stack(pdf["__vb"].to_numpy()).astype(np.float64)
+                    c = (va * vb).sum(axis=1) / (
+                        np.sqrt((va * va).sum(axis=1)) * np.sqrt((vb * vb).sum(axis=1))
+                    )
+                    if scale is not None:
+                        c = np.floor(c * scale + 0.5) / scale
+                    out = pd.DataFrame(
+                        {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": c}
+                    )
+                    yield out[out["cosine"] >= threshold]
+
+            return pairs_v.mapInPandas(
+                score_batches, "id_a long, id_b long, cosine double"
+            )
         # per-id norms computed ONCE and joined — the pair scoring then
         # folds each pair's arrays once (dot) instead of three times
         # (dot + both norms), a 3× cut on the dominant cost

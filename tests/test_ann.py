@@ -99,3 +99,24 @@ def test_recall_at_k_query_shape_and_bounds(spark, sf_dir):
         assert r.k == 50
         assert 0 <= r.hits <= r.k
         assert abs(r.recall - r.hits / 50.0) < 1e-12
+
+
+def test_near_dup_arrow_strategy_matches_expr(spark, sf_dir):
+    """Both physical strategies for LSH near-dup scoring produce the
+    same pair set with the same rounded cosines."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    expr_rows = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in ann.embedding_near_dup_pairs(
+            emb, 0.45, dim=EMB_DIM, use_lsh=True, round_to=6
+        ).collect()
+    )
+    arrow_rows = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in ann.embedding_near_dup_pairs(
+            emb, 0.45, dim=EMB_DIM, use_lsh=True, round_to=6, strategy="arrow"
+        ).collect()
+    )
+    assert [(a, b) for a, b, _ in arrow_rows] == [(a, b) for a, b, _ in expr_rows]
+    for (_, _, ca), (_, _, ce) in zip(arrow_rows, expr_rows):
+        assert abs(ca - ce) < 1e-6
