@@ -435,7 +435,7 @@ def sql_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q7_nation_volume",
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
            {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
