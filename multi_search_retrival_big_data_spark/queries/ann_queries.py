@@ -274,3 +274,94 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ann.ann_ivf_topk(emb, QUERY_VEC, k=_RECALL_K, round_to=6)
     lsh = ann.ann_lsh_topk(emb, QUERY_VEC, k=_RECALL_K, round_to=6)
     return hits_row(ivf, "ivf").union(hits_row(lsh, "lsh")).orderBy("method")
+
+
+def _band_filter_sql_for(bands: int) -> str:
+    rows = ann.NUM_PLANES // bands
+    return " OR ".join(
+        f"substring(s, {b * rows + 1}, {rows}) = '{qband}'"
+        for b, qband in ann.query_bands(_QSIG, bands, rows)
+    )
+
+
+_GRID_BANDS = (2, 4, 8)
+
+
+def _grid_cfg_sql(bands: int) -> str:
+    f = _band_filter_sql_for(bands)
+    return f"""
+    SELECT {bands} AS bands, {_RECALL_K} AS k,
+           (SELECT count(*) FROM sig WHERE {f}) AS candidates,
+           (SELECT count(*) FROM (
+              SELECT vec_id FROM (
+                SELECT vec_id, ROUND({_cos_sql("v", sql_vec(QUERY_VEC))}, 6) AS score
+                FROM sig WHERE {f}
+                ORDER BY score DESC, vec_id LIMIT {_RECALL_K}) t
+              JOIN exact USING (vec_id)) h) AS hits"""
+
+
+@query(
+    "ann_lsh_recall_grid",
+    oracle=f"""
+    WITH exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, ROUND({_cos_sql(_V, sql_vec(QUERY_VEC))}, 6) AS score
+        FROM embeddings ORDER BY score DESC, vec_id LIMIT {_RECALL_K})
+    ),
+    sig AS (
+      SELECT vec_id, {_V} AS v, {_sig_sql(_V)} AS s FROM embeddings
+    ),
+    grid AS (
+      {" UNION ALL ".join(_grid_cfg_sql(b) for b in _GRID_BANDS)}
+    )
+    SELECT bands, k, candidates, hits,
+           CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall
+    FROM grid ORDER BY bands
+    """,
+)
+def ann_lsh_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning curve: recall@k AND candidate volume (= scan
+    cost) of the band probe at several band widths over the same
+    16-plane signature. Wider bands (more, shorter) probe more
+    buckets → more candidates → higher recall; this query IS the
+    recall-vs-cost grid a production rollout tunes `bands` against
+    (the FAISS recall-vs-nprobe sweep for our hyperplane LSH).
+
+    One row per config: (bands, k, candidates, hits, recall)."""
+    from multi_search_retrival_big_data_spark.operators import dense
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    exact = dense.topk_cosine(emb, QUERY_VEC, k=_RECALL_K, round_to=6).select("vec_id")
+
+    def cfg_row(bands: int) -> DataFrame:
+        rows = ann.NUM_PLANES // bands
+        planes = ann.hyperplanes(EMB_DIM, ann.NUM_PLANES)
+        qsig = ann.signature_of(QUERY_VEC, planes)
+        sig = emb.withColumn("__sig", ann.signature_bits("embedding", planes))
+        cond = None
+        for b, qband in ann.query_bands(qsig, bands, rows):
+            c = F.substring(F.col("__sig"), b * rows + 1, rows) == F.lit(qband)
+            cond = c if cond is None else cond | c
+        cand = sig.filter(cond)
+        n_cand = cand.agg(F.count("*").alias("candidates"))
+        topk = ann.ann_lsh_topk(emb, QUERY_VEC, k=_RECALL_K, bands=bands, round_to=6)
+        n_hits = (
+            topk.select("vec_id")
+            .join(exact, "vec_id", "left_semi")
+            .agg(F.count("*").alias("hits"))
+        )
+        return (
+            n_cand.crossJoin(n_hits)
+            .select(
+                F.lit(bands).alias("bands"),
+                F.lit(_RECALL_K).alias("k"),
+                F.col("candidates"),
+                F.col("hits"),
+                (F.col("hits").cast("double") / F.lit(float(_RECALL_K))).alias("recall"),
+            )
+        )
+
+    out = cfg_row(_GRID_BANDS[0])
+    for b in _GRID_BANDS[1:]:
+        out = out.union(cfg_row(b))
+    return out.orderBy("bands")

@@ -120,3 +120,18 @@ def test_near_dup_arrow_strategy_matches_expr(spark, sf_dir):
     assert [(a, b) for a, b, _ in arrow_rows] == [(a, b) for a, b, _ in expr_rows]
     for (_, _, ca), (_, _, ce) in zip(arrow_rows, expr_rows):
         assert abs(ca - ce) < 1e-6
+
+
+def test_lsh_recall_grid_monotone_in_bands(spark, sf_dir):
+    """More, shorter bands probe more buckets: candidate volume and
+    recall are non-decreasing in the band count."""
+    from multi_search_retrival_big_data_spark.queries.ann_queries import (
+        ann_lsh_recall_grid,
+    )
+
+    rows = ann_lsh_recall_grid(spark, sf_dir).collect()
+    assert [r.bands for r in rows] == [2, 4, 8]
+    cands = [r.candidates for r in rows]
+    recalls = [r.recall for r in rows]
+    assert cands == sorted(cands)
+    assert recalls == sorted(recalls)

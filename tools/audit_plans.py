@@ -35,6 +35,7 @@ SCALAR_BROADCAST_OK = {
     "emb_near_dup_exact",    # all-pairs audit path: cross join BY DESIGN
     "ann_ivf_topk_cosine",   # coarse quantizer: every vec × small centroid set
     "ann_recall_at_k",       # embeds the IVF quantizer above (audit metric query)
+    "ann_lsh_recall_grid",   # 1-row candidates × 1-row hits scalar combine per config
     "dense_batch_topk_cosine",  # corpus × request-sized query batch
     "text_bigram_lm_scores",    # 1-row vocabulary-size scalar broadcast
     "tpch_q22_dormant_balance", # 1-row avg-balance threshold broadcast
