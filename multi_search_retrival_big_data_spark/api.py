@@ -26,7 +26,6 @@ source ≙ video, ordinal-within-source ≙ shot sequence).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from multi_search_retrival_big_data_spark import encoders, tables
 from multi_search_retrival_big_data_spark.functions import visual
@@ -143,16 +142,13 @@ class SearchEngine:
     # -- /relatedimg, /getvideoshot ----------------------------------
     def related(self, doc_id: int, radius: int = 5) -> DataFrame:
         """Q19 — the ±radius neighborhood of the selected item within
-        its parent group, by ordinal position."""
+        its parent group, by ordinal position. The anchor stays
+        in-plan (1-row broadcast join, like dense.knn_by_id) — no
+        driver `.first()` round-trip; an unknown id just yields an
+        empty result."""
         seq = temporal.sequence_rank(self.docs, ["source"], ["doc_id"])
-        anchor_row = seq.filter(F.col("doc_id") == doc_id).select("source", "seq").first()
-        if anchor_row is None:
-            return self.spark.createDataFrame([], self.docs.schema)
-        return temporal.neighborhood_browse(
-            seq,
-            ["source"],
-            {"source": anchor_row["source"], "seq": anchor_row["seq"]},
-            radius=radius,
+        return temporal.neighborhood_browse_by_id(
+            seq, ["source"], "doc_id", doc_id, radius=radius
         )
 
     # -- /translate, spell -------------------------------------------

@@ -34,6 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from multi_search_retrival_big_data_spark.functions.rounding import det_round
 from multi_search_retrival_big_data_spark.functions.vector import (
     cosine_sim,
     dot,
@@ -117,7 +118,7 @@ def ann_lsh_topk(
         cond = c if cond is None else cond | c
     score = cosine_sim(vec_col, lit_vec(query_vec))
     if round_to is not None:
-        score = F.round(score, round_to)
+        score = det_round(score, round_to)
     return (
         emb.withColumn("__sig", sig)
         .filter(cond)
@@ -242,7 +243,7 @@ def embedding_near_dup_pairs(
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
         score = cosine_sim("__va", "__vb")
     if round_to is not None:
-        score = F.round(score, round_to)
+        score = det_round(score, round_to)
     return (
         pairs.withColumn("cosine", score)
         .filter(F.col("cosine") >= threshold)
@@ -317,7 +318,7 @@ def ann_ivf_topk(
     cand_ids = assign.join(F.broadcast(probed), "cid").select(id_col)
     score = cosine_sim(vec_col, q)
     if round_to is not None:
-        score = F.round(score, round_to)
+        score = det_round(score, round_to)
     return (
         emb.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), score.alias("score"))

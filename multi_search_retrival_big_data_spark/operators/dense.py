@@ -25,6 +25,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from multi_search_retrival_big_data_spark.functions.rounding import (
+    det_round,
+    quantized_sum,
+)
 from multi_search_retrival_big_data_spark.functions.vector import (
     cosine_sim,
     dot,
@@ -59,7 +63,7 @@ def topk_cosine(
     q = lit_vec(query_vec)
     score = dot(vec_col, q) if normalized else cosine_sim(vec_col, q)
     if round_to is not None:
-        score = F.round(score, round_to)
+        score = det_round(score, round_to)
     scored = restrict_ids(emb, subset, id_col).select(
         F.col(id_col), score.alias("score")
     )
@@ -89,7 +93,7 @@ def knn_by_id(
         base = base.filter(F.col(id_col) != query_id)
     score = cosine_sim(vec_col, "__qvec")
     if round_to is not None:
-        score = F.round(score, round_to)
+        score = det_round(score, round_to)
     scored = base.crossJoin(q).select(F.col(id_col), score.alias("score"))
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
@@ -109,9 +113,14 @@ def rocchio_rerank(
     candidates: (id, score) of the previous result;
     votes: (id, sign) with sign=+1 positive / -1 negative.
 
-    Semantics preserved from the reference: negative-voted ids are
-    removed from the candidate set (:299-301); each remaining candidate
-    accumulates prev_score + Σ sign·cos(vote_vec, cand_vec) (:317-323).
+    Semantics vs the reference: negative-voted ids are removed from the
+    candidate set exactly as at :299-301. One documented deviation: the
+    reference's per-vote FAISS search returns only the top min(k,
+    |candidates|) hits per vote (:307-314), so a vote contributes
+    nothing to candidates outside its own top-k; this operator
+    accumulates sign·cos over ALL kept candidates — a deliberate
+    simplification (every candidate gets its full Rocchio delta) that
+    diverges only when |candidates| > k.
 
     Plan shape: votes ⋈ embeddings (tiny, broadcast) × candidates ⋈
     embeddings → per-pair dot → groupBy(candidate) sum. The only
@@ -136,10 +145,13 @@ def rocchio_rerank(
     )
     score = F.col("prev_score") + F.col("__d")
     if round_to is not None:
-        score = F.round(score, round_to)
+        score = det_round(score, round_to)
+    # quantized addends, not a double→DECIMAL cast: the cast rounds
+    # through the shortest string repr in Spark but the binary value in
+    # DuckDB, drifting by an ulp (see functions/rounding.py)
     out = (
         pairs.groupBy(id_col, "prev_score")
-        .agg(F.sum(F.col("__delta").cast("decimal(38,12)")).cast("double").alias("__d"))
+        .agg(quantized_sum(F.col("__delta"), 12).alias("__d"))
         .select(F.col(id_col), score.alias("score"))
     )
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
@@ -158,7 +170,7 @@ def vocab_knn_l2(
     — note the reference uses IndexFlat**L2** here, not IP)."""
     dist = l2_dist(vec_col, lit_vec(query_vec))
     if round_to is not None:
-        dist = F.round(dist, round_to)
+        dist = det_round(dist, round_to)
     scored = vocab.select(F.col(key_col), dist.alias("dist"))
     return scored.orderBy(F.asc("dist"), F.asc(key_col)).limit(k)
 
@@ -300,7 +312,7 @@ def batch_topk_cosine(
     pairs = emb.crossJoin(F.broadcast(queries))
     score = cosine_sim(vec_col, qvec)
     if round_to is not None:
-        score = F.round(score, round_to)
+        score = det_round(score, round_to)
     scored = pairs.select(F.col(qid).alias("query_id"), F.col(id_col), score.alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (

@@ -238,7 +238,7 @@ def fit_bm25(
             "doc_id",
             (
                 F.col("idf")
-                * (F.col("tf") * (BM25_K1 + 1))
+                * (F.col("tf") * F.lit(k1 + 1.0))
                 / (
                     F.col("tf")
                     + F.lit(k1) * (1 - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))

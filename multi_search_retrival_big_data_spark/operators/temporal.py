@@ -102,3 +102,32 @@ def neighborhood_browse(
     return sequenced.filter(
         cond & (F.col(seq_col) >= sel - radius) & (F.col(seq_col) <= sel + radius)
     )
+
+
+def neighborhood_browse_by_id(
+    sequenced: DataFrame,
+    keys: list[str],
+    id_col: str,
+    anchor_id,
+    seq_col: str = "seq",
+    radius: int = 5,
+) -> DataFrame:
+    """Q19 with the anchor resolved IN-PLAN: the selected row is a
+    1-row broadcast joined back on its group keys (same shape as
+    dense.knn_by_id's reconstruct), so the whole browse is one
+    distributed plan — no `.first()` driver round-trip between the
+    anchor lookup and the window filter (reference does the dict lookup
+    in-process, app.py:499-513; this is its cluster-side analogue)."""
+    a = F.broadcast(
+        sequenced.filter(F.col(id_col) == F.lit(anchor_id)).select(
+            *[F.col(k) for k in keys], F.col(seq_col).alias("__aseq")
+        )
+    )
+    return (
+        sequenced.join(a, on=keys, how="inner")
+        .filter(
+            (F.col(seq_col) >= F.col("__aseq") - radius)
+            & (F.col(seq_col) <= F.col("__aseq") + radius)
+        )
+        .drop("__aseq")
+    )

@@ -4,16 +4,20 @@ Each query is registered with an optional DuckDB oracle SQL string; the
 driver runs both at sf=0.01 and compares row count + schema +
 order-insensitive value hash (BASELINE.json contract).
 
-Determinism rules every query here follows (SURVEY.md §4):
-- every top-k orders by ``ROUND(score, 6) DESC, id ASC`` in BOTH
-  engines, so float noise below 1e-6 can never flip membership or
-  order differently in Spark vs DuckDB;
-- every SUM over doubles is a SUM over ``DECIMAL(38,10)`` casts —
-  decimal addition is exact and order-independent, so partial
-  aggregation order (Spark) vs sequential order (DuckDB) cannot
-  diverge; the final value is cast back to DOUBLE and rounded;
+Determinism rules every query here follows (SURVEY.md §4; see
+queries/common.py and functions/rounding.py):
+- every top-k orders by a det-rounded score ``FLOOR(s·1e6 + 0.5)/1e6
+  DESC, id ASC`` in BOTH engines (never plain ROUND — Spark rounds the
+  shortest string repr, DuckDB the binary value, and they disagree on
+  boundary doubles), so float noise below 1e-6 can never flip
+  membership or order differently in Spark vs DuckDB;
+- every SUM over doubles quantizes each addend first —
+  ``SUM(CAST(FLOOR(x·1e12 + 0.5) AS DECIMAL(38,0)))/1e12`` — so the
+  accumulation is exact and order-independent: Spark's partial-agg
+  order vs DuckDB's sequential order cannot diverge (common.dsum /
+  rounding.quantized_sum);
 - ratios are computed double/double from those exact sums, then
-  rounded.
+  det-rounded.
 """
 
 from __future__ import annotations
@@ -60,6 +64,41 @@ _MODULES = [
     "multi_search_retrival_big_data_spark.queries.streaming_queries",
 ]
 
+# The driver records a CORRECTNESS row for (at most) the first 50
+# registry entries per round. Round 1 proved entries 1-50 in module
+# order; these are the 24 that never got a driver row, plus every
+# query added in round 2 — they go FIRST so CORRECTNESS_r02 covers
+# them. The remainder keeps module registration order (all already
+# driver-green in CORRECTNESS_r01.json).
+_PRIORITY = [
+    # round-1 entries 51-74 (judge-verified locally, no driver row yet)
+    "profile_rollup_lang_source",
+    "profile_pivot_source_lang",
+    "text_simhash_fingerprints",
+    "text_simhash_near_dups",
+    "text_winnow_fingerprints",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_counts",
+    "text_bigram_lm_scores",
+    "ann_lsh_topk_cosine",
+    "emb_near_dup_exact",
+    "emb_near_dup_lsh",
+    "ann_ivf_topk_cosine",
+    "ann_recall_at_k",
+    "ann_lsh_recall_grid",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_fake_embedding",
+    "stream_tumbling_event_counts",
+    "stream_sliding_event_counts",
+    "session_window_stats",
+    "stream_stateful_user_counts",
+    "stream_attribution_join",
+    "events_json_props_agg",
+    # round-2 additions (new, never driver-checked)
+]
+
 
 def load_registry() -> dict[str, QueryDef]:
     for mod in _MODULES:
@@ -69,4 +108,6 @@ def load_registry() -> dict[str, QueryDef]:
             # allow partial builds while modules are still being added
             if mod.rsplit(".", 1)[-1] not in str(e):
                 raise
-    return REGISTRY
+    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    ordered.update({n: qd for n, qd in REGISTRY.items() if n not in ordered})
+    return ordered

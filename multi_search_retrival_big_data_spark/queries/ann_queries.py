@@ -15,6 +15,7 @@ from multi_search_retrival_big_data_spark.queries import query
 from multi_search_retrival_big_data_spark.queries.common import (
     EMB_DIM,
     QUERY_VEC,
+    sql_det_round,
     sql_vec,
 )
 
@@ -55,7 +56,7 @@ def _band_filter_sql() -> str:
     WITH sig AS (
       SELECT vec_id, {_V} AS v, {_sig_sql(_V)} AS s FROM embeddings
     )
-    SELECT vec_id, ROUND({_cos_sql("v", sql_vec(QUERY_VEC))}, 6) AS score
+    SELECT vec_id, {sql_det_round(_cos_sql("v", sql_vec(QUERY_VEC)))} AS score
     FROM sig
     WHERE {_band_filter_sql()}
     ORDER BY score DESC, vec_id
@@ -70,11 +71,8 @@ def ann_lsh_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_lsh_topk(emb, QUERY_VEC, k=50, round_to=6)
 
 
-def _near_dup_tail(pair_src: str, threshold: float, det: bool = False) -> str:
-    from multi_search_retrival_big_data_spark.queries.common import sql_det_round
-
-    c = _cos_sql("va", "vb")
-    r = sql_det_round(c) if det else f"ROUND({c}, 6)"
+def _near_dup_tail(pair_src: str, threshold: float) -> str:
+    r = sql_det_round(_cos_sql("va", "vb"))
     return f"""
     SELECT id_a, id_b, {r} AS cosine
     FROM {pair_src}
@@ -122,7 +120,7 @@ def emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM banded a
       JOIN banded b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
     )
-    {_near_dup_tail("pairs", COSINE_DUP_THRESHOLD, det=True)}
+    {_near_dup_tail("pairs", COSINE_DUP_THRESHOLD)}
     """,
 )
 def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +171,7 @@ def _l2_sql(a: str, b: str) -> str:
     cand AS (
       SELECT a.vec_id FROM assign a JOIN probed p USING (cid)
     )
-    SELECT e.vec_id, ROUND({_cos_sql(_V, sql_vec(QUERY_VEC))}, 6) AS score
+    SELECT e.vec_id, {sql_det_round(_cos_sql(_V, sql_vec(QUERY_VEC)))} AS score
     FROM embeddings e JOIN cand c USING (vec_id)
     ORDER BY score DESC, e.vec_id
     LIMIT 50
@@ -195,7 +193,7 @@ _RECALL_K = 50
     oracle=f"""
     WITH exact AS (
       SELECT vec_id FROM (
-        SELECT vec_id, ROUND({_cos_sql(_V, sql_vec(QUERY_VEC))}, 6) AS score
+        SELECT vec_id, {sql_det_round(_cos_sql(_V, sql_vec(QUERY_VEC)))} AS score
         FROM embeddings ORDER BY score DESC, vec_id LIMIT {_RECALL_K})
     ),
     sig AS (
@@ -203,7 +201,7 @@ _RECALL_K = 50
     ),
     lsh AS (
       SELECT vec_id FROM (
-        SELECT vec_id, ROUND({_cos_sql("v", sql_vec(QUERY_VEC))}, 6) AS score
+        SELECT vec_id, {sql_det_round(_cos_sql("v", sql_vec(QUERY_VEC)))} AS score
         FROM sig WHERE {_band_filter_sql()}
         ORDER BY score DESC, vec_id LIMIT {_RECALL_K})
     ),
@@ -227,7 +225,7 @@ _RECALL_K = 50
     ),
     ivf AS (
       SELECT vec_id FROM (
-        SELECT e.vec_id, ROUND({_cos_sql(_V, sql_vec(QUERY_VEC))}, 6) AS score
+        SELECT e.vec_id, {sql_det_round(_cos_sql(_V, sql_vec(QUERY_VEC)))} AS score
         FROM embeddings e
         JOIN (SELECT a.vec_id FROM assign a JOIN probed p USING (cid)) c USING (vec_id)
         ORDER BY score DESC, e.vec_id LIMIT {_RECALL_K})
@@ -294,7 +292,7 @@ def _grid_cfg_sql(bands: int) -> str:
            (SELECT count(*) FROM sig WHERE {f}) AS candidates,
            (SELECT count(*) FROM (
               SELECT vec_id FROM (
-                SELECT vec_id, ROUND({_cos_sql("v", sql_vec(QUERY_VEC))}, 6) AS score
+                SELECT vec_id, {sql_det_round(_cos_sql("v", sql_vec(QUERY_VEC)))} AS score
                 FROM sig WHERE {f}
                 ORDER BY score DESC, vec_id LIMIT {_RECALL_K}) t
               JOIN exact USING (vec_id)) h) AS hits"""
@@ -305,7 +303,7 @@ def _grid_cfg_sql(bands: int) -> str:
     oracle=f"""
     WITH exact AS (
       SELECT vec_id FROM (
-        SELECT vec_id, ROUND({_cos_sql(_V, sql_vec(QUERY_VEC))}, 6) AS score
+        SELECT vec_id, {sql_det_round(_cos_sql(_V, sql_vec(QUERY_VEC)))} AS score
         FROM embeddings ORDER BY score DESC, vec_id LIMIT {_RECALL_K})
     ),
     sig AS (

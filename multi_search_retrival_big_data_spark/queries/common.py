@@ -8,6 +8,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from multi_search_retrival_big_data_spark.functions.rounding import (
+    det_round as _det_round,
+)
+
 EMB_DIM = 64
 SCORE_DECIMALS = 6
 
@@ -20,11 +24,6 @@ QUERY_VEC_B = [round(math.cos(i * 3.1717 + 1.618) * 0.5, 6) for i in range(EMB_D
 def sql_vec(vec: Sequence[float]) -> str:
     """Render a vector as a DuckDB DOUBLE[] literal."""
     return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
-
-
-def r6(col: Column) -> Column:
-    """Round a double score to the shared comparison precision."""
-    return F.round(col, SCORE_DECIMALS)
 
 
 def dsum(col: Column, scale: int = 6) -> Column:
@@ -56,9 +55,9 @@ def sql_dsum(expr: str, scale: int = 6) -> str:
 def det_round(col: Column, scale: int = 6) -> Column:
     """Engine-portable rounding of a double: FLOOR(x·10^s + 0.5)/10^s
     using only IEEE ops (plain ROUND differs between Spark and DuckDB
-    on shortest-repr boundary values)."""
-    m = float(10**scale)
-    return F.floor(col * m + F.lit(0.5)).cast("double") / F.lit(m)
+    on shortest-repr boundary values). Canonical impl lives in
+    functions.rounding (operators use it directly)."""
+    return _det_round(col, scale)
 
 
 def sql_det_round(expr: str, scale: int = 6) -> str:

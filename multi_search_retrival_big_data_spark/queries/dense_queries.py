@@ -4,7 +4,8 @@ embedding ARRAY<FLOAT> 64-d, label INT).
 
 DuckDB's `list_dot_product` is a sequential double fold — verified
 bit-identical to the Spark `aggregate(zip_with(...))` expression — so
-scores agree to the last bit; ROUND(…,6) before the sort is belt and
+scores agree to the last bit; det-rounding (floor-quantize, never plain
+ROUND — see functions/rounding.py) before the sort is belt and
 braces."""
 
 from __future__ import annotations
@@ -19,6 +20,7 @@ from multi_search_retrival_big_data_spark.queries.common import (
     QUERY_VEC,
     QUERY_VEC_B,
     sql_det_round,
+    sql_dsum,
     sql_vec,
 )
 
@@ -40,7 +42,7 @@ ROCCHIO_VOTES = [(3, 1.0), (7, 1.0), (11, -1.0)]
 @query(
     "dense_topk_cosine",
     oracle=f"""
-    SELECT vec_id, ROUND({_cos_sql(_EMB, _QV)}, 6) AS score
+    SELECT vec_id, {sql_det_round(_cos_sql(_EMB, _QV))} AS score
     FROM embeddings
     ORDER BY score DESC, vec_id
     LIMIT 100
@@ -54,7 +56,7 @@ def dense_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dense_topk_cosine_subset",
     oracle=f"""
-    SELECT vec_id, ROUND({_cos_sql(_EMB, _QV)}, 6) AS score
+    SELECT vec_id, {sql_det_round(_cos_sql(_EMB, _QV))} AS score
     FROM embeddings
     WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE label < 5)
     ORDER BY score DESC, vec_id
@@ -74,7 +76,7 @@ def dense_topk_cosine_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dense_knn_by_id",
     oracle=f"""
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 42)
-    SELECT e.vec_id, ROUND({_cos_sql('CAST(e.embedding AS DOUBLE[])', 'q.v')}, 6) AS score
+    SELECT e.vec_id, {sql_det_round(_cos_sql('CAST(e.embedding AS DOUBLE[])', 'q.v'))} AS score
     FROM embeddings e, q
     ORDER BY score DESC, e.vec_id
     LIMIT 50
@@ -89,7 +91,7 @@ def dense_knn_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dense_rocchio_rerank",
     oracle=f"""
     WITH cand AS (
-      SELECT vec_id, ROUND({_cos_sql(_EMB, _QV)}, 6) AS score
+      SELECT vec_id, {sql_det_round(_cos_sql(_EMB, _QV))} AS score
       FROM embeddings
       ORDER BY score DESC, vec_id
       LIMIT 20
@@ -108,7 +110,7 @@ def dense_knn_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN embeddings ev ON ev.vec_id = v.vid
     )
     SELECT vec_id,
-           ROUND(prev_score + CAST(SUM(CAST(delta AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+           {sql_det_round(f"prev_score + {sql_dsum('delta', 12)}")} AS score
     FROM pairs
     GROUP BY vec_id, prev_score
     ORDER BY score DESC, vec_id
@@ -125,7 +127,7 @@ def dense_rocchio_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dense_vocab_knn_l2",
     oracle=f"""
-    SELECT vec_id, ROUND(list_distance({_EMB}, {_QV}), 6) AS dist
+    SELECT vec_id, {sql_det_round(f"list_distance({_EMB}, {_QV})")} AS dist
     FROM embeddings
     ORDER BY dist ASC, vec_id
     LIMIT 50
@@ -149,10 +151,10 @@ def _batch_values_sql() -> str:
     WITH q(query_id, qv) AS (VALUES {_batch_values_sql()}),
     scored AS (
       SELECT q.query_id, e.vec_id,
-             ROUND({_cos_sql(_EMB, 'q.qv')}, 6) AS score,
+             {sql_det_round(_cos_sql(_EMB, 'q.qv'))} AS score,
              row_number() OVER (
                PARTITION BY q.query_id
-               ORDER BY ROUND({_cos_sql(_EMB, 'q.qv')}, 6) DESC, e.vec_id
+               ORDER BY {sql_det_round(_cos_sql(_EMB, 'q.qv'))} DESC, e.vec_id
              ) AS rn
       FROM embeddings e CROSS JOIN q
     )

@@ -15,6 +15,7 @@ from multi_search_retrival_big_data_spark.queries import query
 from multi_search_retrival_big_data_spark.queries.common import (
     QUERY_VEC,
     QUERY_VEC_B,
+    sql_det_round,
     sql_vec,
 )
 from multi_search_retrival_big_data_spark.queries.sparse_queries import (
@@ -37,7 +38,7 @@ def _cos(a: str, b: str) -> str:
 def _dense_top_cte(name: str, qvec: str, k: int) -> str:
     return f"""
     {name} AS (
-      SELECT vec_id AS id, ROUND({_cos(_EMB, qvec)}, 6) AS score
+      SELECT vec_id AS id, {sql_det_round(_cos(_EMB, qvec))} AS score
       FROM embeddings ORDER BY score DESC, vec_id LIMIT {k}
     )"""
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from multi_search_retrival_big_data_spark import tables
 from multi_search_retrival_big_data_spark.operators import filters, grouping, sparse, temporal
 from multi_search_retrival_big_data_spark.queries import query
-from multi_search_retrival_big_data_spark.queries.common import sql_vec
+from multi_search_retrival_big_data_spark.queries.common import sql_det_round, sql_vec
 from multi_search_retrival_big_data_spark.queries.sparse_queries import tfidf_cte
 
 _SEQ = """
@@ -254,10 +254,11 @@ _ENDPOINT_QV = _fake_query_vec(_ENDPOINT_TEXT)
     "endpoint_textsearch_grouped",
     oracle=f"""
     WITH hits AS (
-      SELECT vec_id, ROUND(
-        list_dot_product(CAST(embedding AS DOUBLE[]), {sql_vec(_ENDPOINT_QV)}) /
-        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
-         sqrt(list_dot_product({sql_vec(_ENDPOINT_QV)}, {sql_vec(_ENDPOINT_QV)}))), 6) AS score
+      SELECT vec_id, {sql_det_round(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), {sql_vec(_ENDPOINT_QV)}) /"
+        f"(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *"
+        f" sqrt(list_dot_product({sql_vec(_ENDPOINT_QV)}, {sql_vec(_ENDPOINT_QV)})))"
+    )} AS score
       FROM embeddings ORDER BY score DESC, vec_id LIMIT 100
     ),
     hyd AS (SELECT h.vec_id, h.score, e.label FROM hits h JOIN embeddings e USING(vec_id)),

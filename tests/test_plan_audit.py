@@ -1,0 +1,55 @@
+"""The plan-audit gate (tools/audit_plans.py) must actually catch the
+anti-patterns it documents — round-1 shipped with the pushed-filter
+check dead (it matched the literal text ``PushedFilters: \\[\\]``,
+which never occurs in a plan string)."""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+sys.path.insert(0, "/root/repo/tools")
+
+from audit_plans import audit  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_catches_unpushed_lineitem_filter(spark):
+    """A Python-UDF predicate cannot be pushed into the parquet scan —
+    the fixed check must flag the resulting full scan."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    opaque = F.udf(lambda x: x is not None and x > 10.0, BooleanType())
+    df = li.filter(opaque(F.col("l_quantity"))).select("l_orderkey")
+    flags = audit("synthetic_unpushed", _plan(df))
+    assert "lineitem scan without pushed filters" in flags
+
+
+def test_pushed_filter_is_clean(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 10.0).select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan  # sanity: scan line present
+    assert audit("synthetic_pushed", plan) == []
+
+
+def test_catches_missing_hydration_broadcast(spark):
+    """A hydration-expected query whose plan lost its broadcast join
+    must be flagged (simulated by auditing a plan with none)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(li.filter(F.col("l_quantity") > 10.0).select("l_orderkey"))
+    assert "hydration join is not broadcast" in audit("hydrate_dense_hits", plan)
+
+
+def test_real_hydration_query_is_broadcast(spark):
+    from multi_search_retrival_big_data_spark.queries import load_registry
+
+    reg = load_registry()
+    df = reg["hydrate_dense_hits"].fn(spark, SF)
+    assert audit("hydrate_dense_hits", _plan(df)) == []

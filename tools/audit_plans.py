@@ -43,6 +43,19 @@ SCALAR_BROADCAST_OK = {
 }
 
 
+# queries that legitimately scan ALL of lineitem (no row filter exists
+# to push: whole-table aggregation / join probe side)
+LINEITEM_FULL_SCAN_OK: set[str] = set()
+
+# queries whose dimension-hydration join MUST be a broadcast hash join
+# (a shuffled hydration join at 100 TB re-shuffles the fact side to
+# attach a dim that fits in memory)
+HYDRATION_BROADCAST_EXPECTED = {
+    "hydrate_dense_hits",
+    "endpoint_textsearch_grouped",
+}
+
+
 def audit(name: str, plan: str) -> list[str]:
     flags = []
     if "CartesianProduct" in plan and name not in SCALAR_BROADCAST_OK:
@@ -50,11 +63,18 @@ def audit(name: str, plan: str) -> list[str]:
     if "BroadcastNestedLoopJoin" in plan and name not in SCALAR_BROADCAST_OK:
         flags.append("BroadcastNestedLoopJoin")
     # parquet scans on the big fact tables should carry pushed filters
-    # when the query filters them
+    # when the query filters them (plans print `PushedFilters: []`
+    # when nothing reached the scan)
     for m in re.finditer(r"FileScan parquet.*?(?=\n)", plan):
         line = m.group(0)
-        if "lineitem" in line and "PushedFilters: \\[\\]" in line:
+        if (
+            "lineitem" in line
+            and "PushedFilters: []" in line
+            and name not in LINEITEM_FULL_SCAN_OK
+        ):
             flags.append("lineitem scan without pushed filters")
+    if name in HYDRATION_BROADCAST_EXPECTED and "BroadcastHashJoin" not in plan:
+        flags.append("hydration join is not broadcast")
     return flags
 
 
