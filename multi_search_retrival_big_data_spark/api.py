@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from multi_search_retrival_big_data_spark import encoders, tables
+from multi_search_retrival_big_data_spark import encoders, index_store, tables
 from multi_search_retrival_big_data_spark.functions import visual
 from multi_search_retrival_big_data_spark.operators import (
     dense,
@@ -55,11 +55,12 @@ class SearchEngine:
         self.spell = spell or encoders.IdentitySpellCorrector()
         self.emb = tables.load(spark, "embeddings", sf_dir)
         self.docs = tables.load(spark, "documents", sf_dir)
-        # one fitted sparse index reused across panel searches (the
-        # production layout persists this, bucketed by term)
-        self._postings = sparse.fit_tfidf_multichannel(
-            self.docs, {"bbox": (1, 1), "color": (1, 1), "tag": (1, 1), "number": (1, 1)}
-        ).cache()
+        # fitted sparse index persisted term-bucketed and shared across
+        # panel searches — the reference's fitted-artifact load
+        # (object_retrieval.py:117-145), never a per-query re-fit
+        self._postings = index_store.multichannel_postings(
+            spark, sf_dir, {"bbox": (1, 1), "color": (1, 1), "tag": (1, 1), "number": (1, 1)}
+        )
 
     # -- /textsearch -------------------------------------------------
     def text_search(
@@ -83,11 +84,20 @@ class SearchEngine:
                 ignore_ids=ignore_ids,
                 keep_ids=keep_ids,
             )
-        hits = dense.topk_cosine(self.emb, qv, k=k, subset=subset, round_to=6)
+
+        def _score(vec):
+            # unfiltered scans take the Arrow/NumPy scorer (the
+            # high-dimension strategy — one BLAS matvec per batch);
+            # subset searches keep the Catalyst fold so the semi-join
+            # prunes BEFORE scoring
+            if subset is None:
+                return dense.topk_cosine_arrow(self.emb, vec, k=k, round_to=6)
+            return dense.topk_cosine(self.emb, vec, k=k, subset=subset, round_to=6)
+
+        hits = _score(qv)
         if ensemble:
             qv2 = encoders.encode_query(text[::-1], self.encoder, self.translator)
-            hits2 = dense.topk_cosine(self.emb, qv2, k=k, subset=subset, round_to=6)
-            hits = fusion.merge_by_addition([hits, hits2], k=k, round_to=6)
+            hits = fusion.merge_by_addition([hits, _score(qv2)], k=k, round_to=6)
             hits = hits.withColumnRenamed("id", "vec_id")
         if not group:
             return hits

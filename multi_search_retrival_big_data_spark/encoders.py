@@ -116,6 +116,40 @@ def encode_query(
     return encoder.encode(text)
 
 
+# ---- second embedding model (the reference's clipv2) ----------------
+#
+# The reference ensembles TWO distinct vector spaces: clip and clipv2,
+# separate FAISS indexes over the same keyframes (app.py:164-165,
+# 330-357; utils/faiss_processing.py:17-22). The testdata ships one
+# embedding table, so "model B" is a fixed md5-derived signed
+# coordinate projection of model A's space into a DIFFERENT dimension
+# (48 vs 64): deterministic (oracle-exact on both the corpus and the
+# query side), genuinely a different similarity (a weighted subspace),
+# and dimension-distinct so the reference's dim-mismatch fallback
+# (faiss_processing.py:133-152) has a real analogue. A production
+# deployment replaces this with a second real encoder + its own
+# embeddings table; every plan shape stays identical.
+
+MODEL_B_DIM = 48
+
+
+def model_b_components(in_dim: int = 64, out_dim: int = MODEL_B_DIM) -> list[tuple[int, float]]:
+    """Per output component j: (source index, sign), both md5-derived —
+    embedded as literals in Spark plans AND oracle SQL."""
+    comps = []
+    for j in range(out_dim):
+        h = hashlib.md5(f"modelB:{j}".encode()).hexdigest()
+        comps.append((int(h[:8], 16) % in_dim, 1.0 if int(h[8], 16) % 2 == 0 else -1.0))
+    return comps
+
+
+def model_b_encode(vec: Sequence[float], in_dim: int = 64, out_dim: int = MODEL_B_DIM) -> list[float]:
+    """Driver-side query encoding for model B — the same projection the
+    corpus side applies, so query and corpus live in one space."""
+    v = list(vec)
+    return [float(v[src]) * sign for src, sign in model_b_components(in_dim, out_dim)]
+
+
 def fake_corpus_alignment_note() -> str:
     """The FakeTextEncoder does NOT share a vector space with the
     driver's synthetic `embeddings` table — facade text searches are
@@ -134,4 +168,7 @@ __all__: Sequence[str] = (
     "IdentitySpellCorrector",
     "HFSpellCorrector",
     "encode_query",
+    "MODEL_B_DIM",
+    "model_b_components",
+    "model_b_encode",
 )

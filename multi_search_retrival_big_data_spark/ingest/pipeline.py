@@ -119,7 +119,7 @@ def assign_global_ids(keyframes: DataFrame, shots: DataFrame) -> DataFrame:
         range_end="end_frame",
         keys=["collection", "video"],
     )
-    with_ids = temporal.dense_global_ids(
+    with_ids = temporal.dense_global_ids_scalable(
         assigned, ["collection", "video", "frame_idx"], id_col="keyframe_id"
     )
     return with_ids.select(

@@ -261,23 +261,24 @@ def ivf_assign(
     vec_col: str = "embedding",
     stride: int = IVF_CENTROID_STRIDE,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer with deterministic centroids: every
-    `stride`-th vector is a centroid (a k-means iteration would drift
-    between engines; fixed sampling keeps the oracle exact while the
+    """IVF coarse quantizer BUILD job (run once at ingest, like FAISS's
+    IndexIVFFlat.train+add): deterministic centroids — every
+    `stride`-th vector (a k-means iteration would drift between
+    engines; fixed sampling keeps the oracle exact while the
     partitioning math — argmin-L2 assignment, inverted lists — is the
     real IVF shape). Returns (centroids, assignments(id, cid)).
 
-    Scale: assignment is a broadcast join against |centroids| rows +
-    per-row argmin; the inverted lists are what the table would be
-    PARTITIONED BY at rest, so a query touches nprobe/nlist of the
-    data."""
+    This is NOT the query path: persist the assignments cid-partitioned
+    (index_store.ivf_assignments / write_ivf_assignments) and pass the
+    stored table to `ann_ivf_topk(assign=...)`, which then only probes
+    and prunes. Assignment cost is a broadcast join against
+    |centroids| rows + per-row argmin — one corpus pass at build
+    time, zero at query time."""
     from pyspark.sql.window import Window
 
     from multi_search_retrival_big_data_spark.functions.vector import l2_dist
 
-    cent = emb.filter(F.col(id_col) % stride == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv")
-    )
+    cent = centroids(emb, id_col, vec_col, stride)
     pairs = emb.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(cent))
     w = Window.partitionBy(id_col).orderBy(
         l2_dist(vec_col, "__cv").asc(), F.col("cid").asc()
@@ -290,6 +291,33 @@ def ivf_assign(
     return cent, assign
 
 
+def centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = IVF_CENTROID_STRIDE,
+) -> DataFrame:
+    """The deterministic coarse-quantizer codebook: a pushed-down
+    `id % stride = 0` filter on the embeddings scan — |N|/stride rows,
+    read in O(scan of one column-pruned slice)."""
+    return emb.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv")
+    )
+
+
+def write_ivf_assignments(assign: DataFrame, table_name: str) -> None:
+    """Persist the inverted lists PARTITIONED BY cid — the at-rest
+    layout where a query's nprobe cell probe becomes partition pruning
+    (reads nprobe/nlist of the table, exactly FAISS's inverted-list
+    seek)."""
+    (
+        assign.write.mode("overwrite")
+        .partitionBy("cid")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_vec: Sequence[float],
@@ -299,13 +327,23 @@ def ann_ivf_topk(
     stride: int = IVF_CENTROID_STRIDE,
     nprobe: int = IVF_NPROBE,
     round_to: int | None = None,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-flat ANN: probe the `nprobe` centroids nearest the query,
-    rank that cell union by exact cosine. The FAISS IndexIVFFlat
-    dataflow as joins: coarse quantize → inverted-list prune → exact
-    rank."""
+    """IVF-flat ANN QUERY path: probe the `nprobe` centroids nearest
+    the query, prune to their inverted lists, rank the cell union by
+    exact cosine — the FAISS IndexIVFFlat search dataflow as joins.
+
+    `assign` is the precomputed, cid-partitioned assignment table
+    (index_store.ivf_assignments); the executed plan then contains NO
+    quantizer-assignment recompute — only the |centroids|-row probe
+    (pushed-filter scan + top-nprobe) and a partition-prunable join.
+    When omitted, assignment is computed inline (audit/self-contained
+    mode — a full corpus×centroids pass per query, never the serving
+    shape)."""
     emb = ensure_min_partitions(emb)
-    cent, assign = ivf_assign(emb, id_col, vec_col, stride)
+    cent = centroids(emb, id_col, vec_col, stride)
+    if assign is None:
+        _, assign = ivf_assign(emb, id_col, vec_col, stride)
     q = lit_vec(query_vec)
     from multi_search_retrival_big_data_spark.functions.vector import l2_dist
 

@@ -175,6 +175,60 @@ def vocab_knn_l2(
     return scored.orderBy(F.asc("dist"), F.asc(key_col)).limit(k)
 
 
+def model_b_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+) -> DataFrame:
+    """The second-model index (reference clipv2, app.py:165 /
+    faiss_processing.py:20-22) derived as a deterministic signed
+    coordinate projection of model A's vectors into MODEL_B_DIM
+    dimensions (see encoders.model_b_components — same literals on the
+    oracle side). A narrow per-row projection: no shuffle, stays in
+    whole-stage codegen; at rest this is its own embeddings table
+    written at ingest."""
+    from multi_search_retrival_big_data_spark.encoders import model_b_components
+
+    comps = model_b_components(in_dim)
+    arr = F.array(
+        *[
+            F.element_at(F.col(vec_col).cast("array<double>"), src + 1) * F.lit(sign)
+            for src, sign in comps
+        ]
+    )
+    return emb.withColumn(vec_col, arr)
+
+
+def topk_cosine_dim_routed(
+    requested: str,
+    spaces: dict[str, tuple[DataFrame, int]],
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Q1 with the reference's dimension-mismatch fallback
+    (faiss_processing.py:133-152: if the query vector's dimension does
+    not match the selected index, search the OTHER model's index
+    instead of failing). `spaces` maps model name → (embeddings, dim);
+    the query routes to the requested space when dims agree, else to
+    the space whose dimension matches the vector."""
+    dim = len(list(query_vec))
+    df, d = spaces[requested]
+    if d != dim:
+        for _name, (df2, d2) in spaces.items():
+            if d2 == dim:
+                df = df2
+                break
+        else:
+            raise ValueError(
+                f"no embedding space matches query dim {dim} "
+                f"(have {dict((n, dd) for n, (_, dd) in spaces.items())})"
+            )
+    return topk_cosine(df, query_vec, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to)
+
+
 def topk_cosine_arrow(
     emb: DataFrame,
     query_vec: Sequence[float],

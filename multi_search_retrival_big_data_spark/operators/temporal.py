@@ -41,12 +41,55 @@ def range_assign(
 def dense_global_ids(df: DataFrame, order_cols: list[str], id_col: str = "global_id") -> DataFrame:
     """S3 step 2 — the reference's `dict(enumerate(...))` dense id:
     row_number over a global order. NOTE: a single un-partitioned
-    window is a scale anti-pattern (one task sees every row); use
-    zipWithIndex-style monotonic ids + per-partition offsets for real
-    100 TB runs — kept here as the exact-parity variant for ids that
-    must match an enumeration order."""
+    window is a scale anti-pattern (one task sees every row) — kept
+    only as the tiny-input/audit variant; the production path is
+    `dense_global_ids_scalable` below (bit-equal ids, partition-
+    parallel), which the ingest chain uses."""
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn(id_col, F.row_number().over(w) - F.lit(1))
+
+
+def dense_global_ids_scalable(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "global_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """S3 step 2, scale-safe: the same dense enumeration ids as
+    `dense_global_ids` (reference `dict(enumerate(...))`,
+    data_preparation.ipynb cells 5-6) without ever sorting the corpus
+    in one task — the zipWithIndex shape expressed in DataFrame ops:
+
+    1. `repartitionByRange(order_cols)` — partition p holds a
+       contiguous key range, every range below partition p+1's;
+    2. per-partition `row_number()` (window PARTITIONed by
+       `spark_partition_id()` — parallel, no global sort);
+    3. per-partition counts → exclusive prefix-sum offsets (a window
+       over |partitions| rows — trivially small) broadcast-joined
+       back: id = offset + local_rank - 1.
+
+    Bit-equal to the global row_number variant whenever `order_cols`
+    is a unique key (here: (collection, video, frame_idx)); with
+    duplicate keys both variants are tie-ambiguous anyway. The only
+    full-data movements are the range shuffle and a narrow broadcast
+    join — nothing single-task."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    local = parted.withColumn("__rn", F.row_number().over(w))
+    counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(id_col, (F.col("__off") + F.col("__rn") - F.lit(1)).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
 
 
 def sequence_rank(

@@ -97,6 +97,11 @@ _PRIORITY = [
     "stream_attribution_join",
     "events_json_props_agg",
     # round-2 additions (new, never driver-checked)
+    "skew_salted_join_lang",
+    "ids_dense_enumeration_scalable",
+    "ann_ivf_recall_grid",
+    "fusion_dual_model_true",
+    "fusion_dual_model_dim_fallback",
 ]
 
 

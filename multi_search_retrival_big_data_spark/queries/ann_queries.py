@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark import index_store, tables
 from multi_search_retrival_big_data_spark.operators import ann
 from multi_search_retrival_big_data_spark.queries import query
 from multi_search_retrival_big_data_spark.queries.common import (
@@ -178,11 +178,14 @@ def _l2_sql(a: str, b: str) -> str:
     """,
 )
 def ann_ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: deterministic coarse quantizer, nprobe=2 cell
-    probe, exact cosine rank within the probed cells — the FAISS
-    IndexIVFFlat dataflow as DataFrame joins."""
+    """IVF-flat ANN query path: nprobe=2 cell probe against the
+    PRECOMPUTED, cid-partitioned inverted lists (index_store), exact
+    cosine rank within the probed cells — the FAISS IndexIVFFlat
+    search dataflow as DataFrame joins, with the quantizer assignment
+    built once at ingest, never in the query plan."""
     emb = tables.load(spark, "embeddings", sf_dir)
-    return ann.ann_ivf_topk(emb, QUERY_VEC, k=50, round_to=6)
+    assign = index_store.ivf_assignments(spark, sf_dir)
+    return ann.ann_ivf_topk(emb, QUERY_VEC, k=50, round_to=6, assign=assign)
 
 
 _RECALL_K = 50
@@ -269,7 +272,8 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    ivf = ann.ann_ivf_topk(emb, QUERY_VEC, k=_RECALL_K, round_to=6)
+    assign = index_store.ivf_assignments(spark, sf_dir)
+    ivf = ann.ann_ivf_topk(emb, QUERY_VEC, k=_RECALL_K, round_to=6, assign=assign)
     lsh = ann.ann_lsh_topk(emb, QUERY_VEC, k=_RECALL_K, round_to=6)
     return hits_row(ivf, "ivf").union(hits_row(lsh, "lsh")).orderBy("method")
 
@@ -363,3 +367,102 @@ def ann_lsh_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in _GRID_BANDS[1:]:
         out = out.union(cfg_row(b))
     return out.orderBy("bands")
+
+
+_IVF_GRID_NPROBE = (1, 2, 4)
+
+
+def _ivf_grid_cfg_sql(nprobe: int) -> str:
+    return f"""
+    SELECT {nprobe} AS nprobe, {_RECALL_K} AS k,
+           (SELECT count(*) FROM assign a
+            JOIN (SELECT cid FROM cent ORDER BY {_l2_sql('cv', sql_vec(QUERY_VEC))}, cid
+                  LIMIT {nprobe}) p USING (cid)) AS candidates,
+           (SELECT count(*) FROM (
+              SELECT vec_id FROM (
+                SELECT e.vec_id, {sql_det_round(_cos_sql(_V, sql_vec(QUERY_VEC)))} AS score
+                FROM embeddings e
+                JOIN (SELECT a.vec_id FROM assign a
+                      JOIN (SELECT cid FROM cent ORDER BY {_l2_sql('cv', sql_vec(QUERY_VEC))}, cid
+                            LIMIT {nprobe}) p USING (cid)) c USING (vec_id)
+                ORDER BY score DESC, e.vec_id LIMIT {_RECALL_K}) t
+              JOIN exact USING (vec_id)) h) AS hits"""
+
+
+@query(
+    "ann_ivf_recall_grid",
+    oracle=f"""
+    WITH exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, {sql_det_round(_cos_sql(_V, sql_vec(QUERY_VEC)))} AS score
+        FROM embeddings ORDER BY score DESC, vec_id LIMIT {_RECALL_K})
+    ),
+    cent AS (
+      SELECT vec_id AS cid, {_V} AS cv FROM embeddings WHERE vec_id % {_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_l2_sql('c.cv', 'CAST(e.embedding AS DOUBLE[])')}, c.cid
+               ) AS rn
+        FROM embeddings e, cent c
+      ) WHERE rn = 1
+    ),
+    grid AS (
+      {" UNION ALL ".join(_ivf_grid_cfg_sql(p) for p in _IVF_GRID_NPROBE)}
+    )
+    SELECT nprobe, k, candidates, hits,
+           CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall
+    FROM grid ORDER BY nprobe
+    """,
+)
+def ann_ivf_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@k AND candidate volume (= scan
+    cost) of the cell probe at several nprobe settings, against the
+    exact brute-force ground truth — FAISS's recall-vs-nprobe sweep
+    run as one plan over the PRECOMPUTED inverted lists (the stored
+    assignment table is read, never rebuilt; the oracle recomputes the
+    quantizer from scratch, which doubles as a staleness check on the
+    stored lists).
+
+    One row per config: (nprobe, k, candidates, hits, recall)."""
+    from multi_search_retrival_big_data_spark.operators import dense
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    assign = index_store.ivf_assignments(spark, sf_dir)
+    exact = dense.topk_cosine(emb, QUERY_VEC, k=_RECALL_K, round_to=6).select("vec_id")
+
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+
+    def cfg_row(nprobe: int) -> DataFrame:
+        probed = (
+            ann.centroids(emb, stride=_STRIDE)
+            .select("cid", l2_dist("__cv", lit_vec(QUERY_VEC)).alias("__d"))
+            .orderBy(F.asc("__d"), F.asc("cid"))
+            .limit(nprobe)
+            .select("cid")
+        )
+        cand = assign.join(F.broadcast(probed), "cid")
+        n_cand = cand.agg(F.count("*").alias("candidates"))
+        topk = ann.ann_ivf_topk(
+            emb, QUERY_VEC, k=_RECALL_K, nprobe=nprobe, round_to=6, assign=assign
+        )
+        n_hits = (
+            topk.select("vec_id")
+            .join(exact, "vec_id", "left_semi")
+            .agg(F.count("*").alias("hits"))
+        )
+        return n_cand.crossJoin(n_hits).select(
+            F.lit(nprobe).alias("nprobe"),
+            F.lit(_RECALL_K).alias("k"),
+            F.col("candidates"),
+            F.col("hits"),
+            (F.col("hits").cast("double") / F.lit(float(_RECALL_K))).alias("recall"),
+        )
+
+    out = cfg_row(_IVF_GRID_NPROBE[0])
+    for p in _IVF_GRID_NPROBE[1:]:
+        out = out.union(cfg_row(p))
+    return out.orderBy("nprobe")

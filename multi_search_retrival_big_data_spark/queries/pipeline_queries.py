@@ -242,3 +242,91 @@ def profile_pivot_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _LANGS]
     )
+
+
+@query(
+    "skew_salted_join_lang",
+    oracle="""
+    WITH stats AS (
+      SELECT lang, count(*) AS lang_docs,
+             CAST(SUM(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, s.lang_docs,
+           CAST(SUM(CASE WHEN d.n_chars > s.avg_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+           CAST(SUM(CASE WHEN d.n_chars > s.avg_chars THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(s.lang_docs AS DOUBLE) AS long_frac
+    FROM documents d JOIN stats s USING (lang)
+    GROUP BY d.lang, s.lang_docs
+    ORDER BY d.lang
+    """,
+)
+def skew_salted_join_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join demonstration on the corpus's naturally
+    skewed key: `lang` (en holds ~44% of documents, so a plain
+    shuffle join puts ~half the fact table on one reducer). The join
+    runs through `partitioning.salted_join` — the left side gets a
+    deterministic 16-way shard, the per-lang stats dim is replicated
+    across shards — and the result is provably identical to the plain
+    join (this oracle). At 100 TB this is the 'default tenant / null
+    key' mitigation when a single key exceeds one task's memory and
+    AQE's skew split cannot help (it splits partitions, not keys
+    within a hash bucket).
+
+    avg_chars is an int-sum / int-count double division — bit-exact in
+    both engines, and the int/int long_frac division likewise, so no
+    quantization is needed anywhere."""
+    from multi_search_retrival_big_data_spark.partitioning import salted_join
+
+    docs = tables.load(spark, "documents", sf_dir).select("doc_id", "lang", "n_chars")
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("lang_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_chars"
+        ),
+    )
+    joined = salted_join(docs, stats, ["lang"], salt=16)
+    return (
+        joined.groupBy("lang", "lang_docs")
+        .agg(
+            F.sum(F.when(F.col("n_chars") > F.col("avg_chars"), 1).otherwise(0)).alias(
+                "n_long"
+            ),
+        )
+        .select(
+            "lang",
+            "lang_docs",
+            "n_long",
+            (F.col("n_long").cast("double") / F.col("lang_docs").cast("double")).alias(
+                "long_frac"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "ids_dense_enumeration_scalable",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS global_id,
+           doc_id
+    FROM documents
+    ORDER BY global_id
+    """,
+)
+def ids_dense_enumeration_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 dense-id enumeration via the SCALE-SAFE path
+    (temporal.dense_global_ids_scalable): range-partition on the order
+    key, per-partition row_number, prefix-sum offsets — no
+    un-partitioned window anywhere in the executed plan. The oracle is
+    the global enumeration itself (reference `dict(enumerate(...))`,
+    data_preparation.ipynb cells 5-6), so this query IS the bit-parity
+    proof between the distributed id assignment and the single-task
+    one."""
+    from multi_search_retrival_big_data_spark.operators import temporal
+
+    docs = tables.load(spark, "documents", sf_dir).select("source", "doc_id")
+    out = temporal.dense_global_ids_scalable(
+        docs, ["source", "doc_id"], id_col="global_id"
+    )
+    return out.select("global_id", "doc_id").orderBy("global_id")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark import index_store, tables
 from multi_search_retrival_big_data_spark.operators import fusion, sparse
 from multi_search_retrival_big_data_spark.queries import query
 
@@ -88,9 +88,11 @@ _Q13 = sparse.query_terms(QUERY_TEXT_NGRAM, (1, 3))
 )
 def sparse_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 — TF-IDF cosine scoring via inverted-index join
-    (reference find_similar_score, object_retrieval.py:303-325)."""
-    docs = tables.load(spark, "documents", sf_dir)
-    postings = sparse.fit_tfidf(docs, cache=True)
+    (reference find_similar_score, object_retrieval.py:303-325).
+    Reads the persisted term-bucketed posting table (index_store) —
+    the reference's fitted-artifact load (object_retrieval.py:117-145),
+    never a per-query re-fit."""
+    postings = index_store.tfidf_postings(spark, sf_dir)
     return sparse.tfidf_score(postings, _Q11, k=50, round_to=6)
 
 
@@ -106,7 +108,7 @@ def sparse_tfidf_topk_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 subset path — the reference's `M[index,:]` row-slice
     (object_retrieval.py:320-323) as a pre-aggregation semi-join."""
     docs = tables.load(spark, "documents", sf_dir)
-    postings = sparse.fit_tfidf(docs, cache=True)
+    postings = index_store.tfidf_postings(spark, sf_dir)
     subset = docs.filter(F.col("lang") == "en").select("doc_id")
     return sparse.tfidf_score(postings, _Q11, k=50, subset=subset, round_to=6)
 
@@ -121,8 +123,7 @@ def sparse_tfidf_topk_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sparse_tfidf_ngram13_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 — the OCR/ASR channel shape: word (1,3) n-grams
     (ocr_retrieval.py:27-41; speech_retrieval.py:56-68)."""
-    docs = tables.load(spark, "documents", sf_dir)
-    postings = sparse.fit_tfidf(docs, ngram_range=(1, 3), cache=True)
+    postings = index_store.tfidf_postings(spark, sf_dir, ngram_range=(1, 3))
     return sparse.tfidf_score(postings, _Q13, k=50, round_to=6)
 
 
@@ -163,8 +164,7 @@ def sparse_tfidf_ngram13_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sparse_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S15 — BM25Okapi (k1=1.5, b=0.75, epsilon idf floor) as a SQL
     expression over posting lists (reference bm25.py:24-57, 80-109)."""
-    docs = tables.load(spark, "documents", sf_dir)
-    postings = sparse.fit_bm25(docs, cache=True)
+    postings = index_store.bm25_postings(spark, sf_dir)
     return sparse.bm25_score(postings, _Q11, k=50, round_to=6)
 
 
@@ -216,15 +216,9 @@ def sparse_multichannel_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     object_retrieval.py:286-301 → combine_utils Q8). Channels here are
     three n-gram views of the corpus (the reference's channels are
     separate token corpora over the same ids)."""
-    docs = tables.load(spark, "documents", sf_dir)
-    # cache: the scoring plan consumes postings twice (query-idf branch
-    # + match branch). In production this is a persisted, term-bucketed
-    # index table (see sparse.py header); caching stands in for that
-    # materialization instead of recomputing the three-channel fit per
-    # branch.
-    postings = sparse.fit_tfidf_multichannel(
-        docs, {"w": (1, 1), "b": (2, 2), "t": (3, 3)}
-    ).cache()
+    postings = index_store.multichannel_postings(
+        spark, sf_dir, {"w": (1, 1), "b": (2, 2), "t": (3, 3)}
+    )
     return sparse.multichannel_tfidf_score(
         postings,
         {"w": _QW, "b": _QB, "t": _QT},
@@ -282,6 +276,5 @@ def sparse_batch_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched multi-query sparse scoring: 3 queries join the posting
     index in one pass, per-query top-20 via a partitioned window — the
     high-throughput lexical serving shape."""
-    docs = tables.load(spark, "documents", sf_dir)
-    postings = sparse.fit_tfidf(docs, cache=True)
+    postings = index_store.tfidf_postings(spark, sf_dir)
     return sparse.batch_tfidf_score(postings, _BATCH_SPARSE, k=20, round_to=6)

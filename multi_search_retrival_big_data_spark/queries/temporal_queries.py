@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark import index_store, tables
 from multi_search_retrival_big_data_spark.operators import filters, grouping, sparse, temporal
 from multi_search_retrival_big_data_spark.queries import query
 from multi_search_retrival_big_data_spark.queries.common import sql_det_round, sql_vec
@@ -120,7 +120,9 @@ def group_hits_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     join drops unknown ids, `_gather_infos` semantics) and group by
     the parent entity ranked by best hit (search_utils.py:62-93)."""
     docs = tables.load(spark, "documents", sf_dir)
-    hits = sparse.tfidf_score(sparse.fit_tfidf(docs, cache=True), _QTXT, k=100, round_to=6)
+    hits = sparse.tfidf_score(
+        index_store.tfidf_postings(spark, sf_dir), _QTXT, k=100, round_to=6
+    )
     hyd = grouping.hydrate(hits, docs, "doc_id", ["source"])
     return grouping.group_hits(hyd, ["source"], "doc_id", "score")
 

@@ -135,3 +135,31 @@ def test_lsh_recall_grid_monotone_in_bands(spark, sf_dir):
     recalls = [r.recall for r in rows]
     assert cands == sorted(cands)
     assert recalls == sorted(recalls)
+
+
+def test_ivf_query_plan_has_no_quantizer_recompute(spark, sf_dir):
+    """With precomputed inverted lists the executed query plan must
+    not re-run the coarse-quantizer assignment (corpus × centroids
+    argmin = a per-vec_id row_number window). The only windows/joins
+    allowed are the nprobe probe + pruned candidate join."""
+    from multi_search_retrival_big_data_spark import index_store, tables
+    from multi_search_retrival_big_data_spark.operators import ann
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    assign = index_store.ivf_assignments(spark, sf_dir)
+    df = ann.ann_ivf_topk(emb, [0.1] * 64, k=10, round_to=6, assign=assign)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan
+    assert "msrbd_ivf" in plan  # reads the stored assignment table
+
+
+def test_ivf_stored_matches_inline(spark, sf_dir):
+    from multi_search_retrival_big_data_spark import index_store, tables
+    from multi_search_retrival_big_data_spark.operators import ann
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    assign = index_store.ivf_assignments(spark, sf_dir)
+    q = [0.3] * 32 + [-0.2] * 32
+    a = ann.ann_ivf_topk(emb, q, k=20, round_to=6).collect()
+    b = ann.ann_ivf_topk(emb, q, k=20, round_to=6, assign=assign).collect()
+    assert [(r["vec_id"], r["score"]) for r in a] == [(r["vec_id"], r["score"]) for r in b]

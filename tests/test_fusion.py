@@ -49,3 +49,44 @@ def test_l2_dedup_keeps_max(spark):
     # id1: max(3/5, 1/1) = 1.0
     assert abs(got[1] - 1.0) < 1e-12
     assert abs(got[2] - 0.8) < 1e-12
+
+
+def test_dim_routed_fallback_picks_matching_space(spark, sf_dir):
+    """Reference faiss_processing.py:133-152: a query vector whose
+    dimension mismatches the requested index searches the other one."""
+    import pytest
+
+    from multi_search_retrival_big_data_spark import tables
+    from multi_search_retrival_big_data_spark.encoders import MODEL_B_DIM, model_b_encode
+    from multi_search_retrival_big_data_spark.operators import dense
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    emb_b = dense.model_b_embeddings(emb)
+    spaces = {"clip": (emb, 64), "clipv2": (emb_b, MODEL_B_DIM)}
+    qb = model_b_encode([0.1] * 64)
+
+    routed = dense.topk_cosine_dim_routed("clip", spaces, qb, k=10, round_to=6)
+    direct = dense.topk_cosine(emb_b, qb, k=10, round_to=6)
+    assert [tuple(r) for r in routed.collect()] == [tuple(r) for r in direct.collect()]
+
+    with pytest.raises(ValueError, match="no embedding space"):
+        dense.topk_cosine_dim_routed("clip", spaces, [0.0] * 7, k=10)
+
+
+def test_model_b_is_a_distinct_space(spark, sf_dir):
+    """Model B must be a different similarity, not a rescaled copy:
+    its top-k over the same corpus differs from model A's."""
+    from multi_search_retrival_big_data_spark import tables
+    from multi_search_retrival_big_data_spark.encoders import model_b_encode
+    from multi_search_retrival_big_data_spark.operators import dense
+    from multi_search_retrival_big_data_spark.queries.common import QUERY_VEC
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    a = [r["vec_id"] for r in dense.topk_cosine(emb, QUERY_VEC, k=20, round_to=6).collect()]
+    b = [
+        r["vec_id"]
+        for r in dense.topk_cosine(
+            dense.model_b_embeddings(emb), model_b_encode(QUERY_VEC), k=20, round_to=6
+        ).collect()
+    ]
+    assert a != b

@@ -1,0 +1,53 @@
+"""Persisted fitted-index store: build-once semantics and parity with
+an inline fit (the reference's fitted-artifact load path,
+object_retrieval.py:117-145)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark import index_store, tables
+from multi_search_retrival_big_data_spark.operators import sparse
+
+
+def test_postings_match_inline_fit(spark, sf_dir):
+    docs = tables.load(spark, "documents", sf_dir)
+    inline = {
+        (r["term"], r["doc_id"]): r["weight"]
+        for r in sparse.fit_tfidf(docs).collect()
+    }
+    stored = {
+        (r["term"], r["doc_id"]): r["weight"]
+        for r in index_store.tfidf_postings(spark, sf_dir).collect()
+    }
+    assert stored == inline
+
+
+def test_second_read_skips_build(spark, sf_dir):
+    t1 = index_store.tfidf_postings(spark, sf_dir)
+    name = [t.name for t in spark.catalog.listTables() if t.name.startswith("msrbd_tfidf_11")]
+    assert name, "expected a registered msrbd_tfidf_11_* table"
+    t2 = index_store.tfidf_postings(spark, sf_dir)
+    assert t1.count() == t2.count()
+
+
+def test_bucketed_groupby_term_has_no_exchange(spark, sf_dir):
+    """The whole point of the persisted layout: aggregations keyed by
+    `term` read pre-clustered buckets — no Exchange on the index."""
+    postings = index_store.tfidf_postings(spark, sf_dir)
+    plan = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_scoring_on_stored_postings_matches_inline(spark, sf_dir):
+    q = sparse.query_terms("fast query join merge window", (1, 1))
+    docs = tables.load(spark, "documents", sf_dir)
+    a = sparse.tfidf_score(sparse.fit_tfidf(docs, cache=True), q, k=20, round_to=6).collect()
+    b = sparse.tfidf_score(index_store.tfidf_postings(spark, sf_dir), q, k=20, round_to=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]

@@ -59,3 +59,40 @@ def test_dense_global_ids_are_dense_and_ordered(spark, sf_dir):
     out = temporal.dense_global_ids(docs, ["doc_id"], "gid").select("doc_id", "gid").collect()
     ids = sorted(out, key=lambda r: r.doc_id)
     assert [r.gid for r in ids] == list(range(50))
+
+
+def test_dense_global_ids_scalable_parity(spark, sf_dir):
+    """Scale-safe enumeration must be bit-equal to the global
+    row_number variant on a unique order key."""
+    from multi_search_retrival_big_data_spark import tables
+    from multi_search_retrival_big_data_spark.operators import temporal
+
+    docs = tables.load(spark, "documents", sf_dir).select("source", "doc_id")
+    a = temporal.dense_global_ids(docs, ["source", "doc_id"], id_col="gid")
+    b = temporal.dense_global_ids_scalable(docs, ["source", "doc_id"], id_col="gid")
+    ra = sorted((r["gid"], r["doc_id"]) for r in a.collect())
+    rb = sorted((r["gid"], r["doc_id"]) for r in b.collect())
+    assert ra == rb
+    assert [g for g, _ in ra] == list(range(len(ra)))
+
+
+def test_dense_global_ids_scalable_no_global_window(spark, sf_dir):
+    """The executed plan must not contain an un-partitioned window
+    (the single-task scale killer the variant exists to remove)."""
+    from multi_search_retrival_big_data_spark import tables
+    from multi_search_retrival_big_data_spark.operators import temporal
+
+    import re
+
+    docs = tables.load(spark, "documents", sf_dir).select("source", "doc_id")
+    big = temporal.dense_global_ids_scalable(docs, ["source", "doc_id"], id_col="gid")
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    # every row-level row_number window must be partitioned by the
+    # physical partition id — never a global (un-partitioned) sort
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).startswith("__pid"), m.group(0)
+    # the only un-partitioned window allowed is the prefix-sum over the
+    # |partitions|-row counts relation (a sum, never a row_number)
+    for m in re.finditer(r"Window \[(\w+)\(", plan):
+        if m.group(1) == "row_number":
+            assert "__pid" in plan[m.start() : m.start() + 120]

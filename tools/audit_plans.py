@@ -21,6 +21,7 @@ sys.path.insert(0, "/root/repo")
 # aggregate (min/max/norm/count) back into the plan.
 SCALAR_BROADCAST_OK = {
     "fusion_dual_model_ensemble",
+    "fusion_dual_model_true",    # min-max norm: 1-row scalar broadcast per list
     "fusion_l2_dedup_max",
     "fusion_hybrid_sparse_dense",
     "trimodal_context_search",
@@ -33,13 +34,15 @@ SCALAR_BROADCAST_OK = {
     "dense_rocchio_rerank",  # tiny vote set cross candidates
     "group_hits_by_source",  # sparse scorer's 1-row qnorm broadcast
     "emb_near_dup_exact",    # all-pairs audit path: cross join BY DESIGN
-    "ann_ivf_topk_cosine",   # coarse quantizer: every vec × small centroid set
-    "ann_recall_at_k",       # embeds the IVF quantizer above (audit metric query)
+    # (ann_ivf_topk_cosine / ann_recall_at_k no longer need an entry:
+    # the quantizer assignment is precomputed — index_store.ivf_assignments)
     "ann_lsh_recall_grid",   # 1-row candidates × 1-row hits scalar combine per config
+    "ann_ivf_recall_grid",   # same 1-row scalar combine per nprobe config
     "dense_batch_topk_cosine",  # corpus × request-sized query batch
     "text_bigram_lm_scores",    # 1-row vocabulary-size scalar broadcast
     "tpch_q22_dormant_balance", # 1-row avg-balance threshold broadcast
     "sparse_batch_tfidf_topk",  # batched query-side scalar norms broadcast
+    "skew_salted_join_lang",    # salted_join replicates the dim across shards BY DESIGN
 }
 
 
