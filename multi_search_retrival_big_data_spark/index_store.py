@@ -29,7 +29,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 
 from multi_search_retrival_big_data_spark import tables
-from multi_search_retrival_big_data_spark.operators import ann, sparse
+from multi_search_retrival_big_data_spark.operators import ann, dedup, sparse
 
 POSTINGS_BUCKETS = 32
 
@@ -121,4 +121,75 @@ def ivf_assignments(
         emb = tables.load(spark, "embeddings", sf_dir)
         _, assign = ann.ivf_assign(emb, stride=stride)
         ann.write_ivf_assignments(assign, name)
+    return spark.table(name)
+
+
+def _save_partitioned(df: DataFrame, name: str, cols: list[str]) -> None:
+    df.write.mode("overwrite").partitionBy(*cols).format("parquet").saveAsTable(name)
+
+
+def emb_lsh_bands(
+    spark: SparkSession,
+    sf_dir: str,
+    bands: int = ann.ANN_BANDS,
+    num_planes: int = ann.NUM_PLANES,
+) -> DataFrame:
+    """(vec_id, band, bval) — the hyperplane-LSH banding of the
+    embedding corpus, built once and persisted PARTITIONED BY
+    (band, bval): a query's band probe reads `bands` of the
+    bands × 2^rows partitions (partition pruning), and near-dup pair
+    mining equi-joins the table against itself — the per-run
+    16-hyperplane signature pass over every vector moves to ingest."""
+    name = _table_name("lshband", sf_dir, f"b{bands}p{num_planes}")
+    if not spark.catalog.tableExists(name):
+        _drop_stale_location(spark, name)
+        emb = tables.load(spark, "embeddings", sf_dir)
+        banded = ann.banded_signatures(emb, bands=bands, num_planes=num_planes)
+        _save_partitioned(banded, name, ["band", "bval"])
+    return spark.table(name)
+
+
+def doc_shingles(
+    spark: SparkSession, sf_dir: str, k: int = dedup.SHINGLE_K
+) -> DataFrame:
+    """(doc_id, shingle) — distinct char k-grams per document,
+    persisted bucketed by doc_id (the verify stage's joins and size
+    aggregation key). The explode+distinct over the corpus — the
+    widest stage of the dedup pipeline — runs once at ingest."""
+    name = _table_name("shingle", sf_dir, f"k{k}")
+    if not spark.catalog.tableExists(name):
+        _drop_stale_location(spark, name)
+        docs = tables.load(spark, "documents", sf_dir)
+        sh = dedup.char_shingles(docs, "doc_id", "text", k)
+        (
+            sh.write.mode("overwrite")
+            .bucketBy(POSTINGS_BUCKETS, "doc_id")
+            .sortBy("doc_id")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+def minhash_sigs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = dedup.SHINGLE_K,
+    num_perm: int = dedup.NUM_PERM,
+) -> DataFrame:
+    """(doc_id, h0..h{P-1}) — the minhash signature table derived from
+    the persisted shingles; one row per document, tiny at rest. The
+    md5-per-shingle permutation pass — the dedup pipeline's dominant
+    CPU cost — happens only here, at build time."""
+    name = _table_name("minhash", sf_dir, f"k{k}p{num_perm}")
+    if not spark.catalog.tableExists(name):
+        _drop_stale_location(spark, name)
+        sig = dedup.minhash_signatures(doc_shingles(spark, sf_dir, k), "doc_id", num_perm)
+        (
+            sig.write.mode("overwrite")
+            .bucketBy(POSTINGS_BUCKETS, "doc_id")
+            .sortBy("doc_id")
+            .format("parquet")
+            .saveAsTable(name)
+        )
     return spark.table(name)

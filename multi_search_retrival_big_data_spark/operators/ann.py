@@ -90,6 +90,38 @@ def query_bands(
     return [(b, sig[b * rows : (b + 1) * rows]) for b in range(bands)]
 
 
+def banded_signatures(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = NUM_PLANES,
+    bands: int = ANN_BANDS,
+) -> DataFrame:
+    """LSH BUILD job: (id, band, bval) — one row per (vector, band).
+    Persist PARTITIONED BY (band, bval) (index_store.emb_lsh_bands)
+    and a query's band probe becomes partition pruning: it reads
+    `bands` of the `bands × 2^rows` partitions, never the corpus. This
+    is the at-rest layout the module header promises."""
+    planes = hyperplanes(dim, num_planes)
+    rows = num_planes // bands
+    sig = emb.select(F.col(id_col), signature_bits(vec_col, planes).alias("__sig"))
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("__sig", b * rows + 1, rows).alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "e.band", "e.bval")
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_vec: Sequence[float],
@@ -99,26 +131,44 @@ def ann_lsh_topk(
     num_planes: int = NUM_PLANES,
     bands: int = ANN_BANDS,
     round_to: int | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: keep rows sharing ≥1 signature band with the query,
     rank candidates by exact cosine. Returns (id, score) — a strict
     subset of the exact scan's candidate set, identical ranking within
-    it. At scale the band predicate prunes partitions when the table is
-    laid out by band value; here it is a scan-level filter fused into
-    whole-stage codegen."""
-    emb = ensure_min_partitions(emb)  # 16 fold-expressions/row: CPU-bound
+    it.
+
+    `banded` is the precomputed (id, band, bval) table
+    (index_store.emb_lsh_bands): candidate selection is then a
+    partition-pruned read of the query's `bands` buckets + a semi-join
+    — the per-query 16-hyperplane signature pass over the corpus
+    disappears from the plan. Without it the signature is computed
+    inline (self-contained mode)."""
     dim = len(query_vec)
     planes = hyperplanes(dim, num_planes)
     rows = num_planes // bands
     qsig = signature_of(query_vec, planes)
+    score = cosine_sim(vec_col, lit_vec(query_vec))
+    if round_to is not None:
+        score = det_round(score, round_to)
+    if banded is not None:
+        cond = None
+        for b, qband in query_bands(qsig, bands, rows):
+            c = (F.col("band") == b) & (F.col("bval") == F.lit(qband))
+            cond = c if cond is None else cond | c
+        cand = banded.filter(cond).select(id_col).distinct()
+        return (
+            emb.join(cand, id_col, "left_semi")
+            .select(F.col(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+    emb = ensure_min_partitions(emb)  # 16 fold-expressions/row: CPU-bound
     sig = signature_bits(vec_col, planes)
     cond = None
     for b, qband in query_bands(qsig, bands, rows):
         c = F.substring(F.col("__sig"), b * rows + 1, rows) == F.lit(qband)
         cond = c if cond is None else cond | c
-    score = cosine_sim(vec_col, lit_vec(query_vec))
-    if round_to is not None:
-        score = det_round(score, round_to)
     return (
         emb.withColumn("__sig", sig)
         .filter(cond)
@@ -139,14 +189,18 @@ def embedding_near_dup_pairs(
     use_lsh: bool = True,
     round_to: int | None = None,
     strategy: str = "expr",
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a, id_b, cosine ≥
     threshold).
 
     use_lsh=True: candidates = pairs sharing ≥1 signature band
     (equi-join on (band, band_value) — shuffle partitions by band
-    value, no cross join). use_lsh=False: exact all-pairs via a single
-    self-join (audit path; quadratic — the oracle ground truth).
+    value, no cross join). `banded` supplies the PRECOMPUTED (id,
+    band, bval) table (index_store.emb_lsh_bands) so the per-corpus
+    signature pass happens at build time, not per run. use_lsh=False:
+    exact all-pairs via a single self-join (audit path; quadratic —
+    the oracle ground truth).
 
     strategy="arrow" (LSH path only) scores the candidate pairs with
     one vectorized NumPy pass per Arrow batch (`mapInPandas`) instead
@@ -155,26 +209,11 @@ def embedding_near_dup_pairs(
     floor(x·10^r + 0.5)/10^r (det_round semantics) inside the UDF."""
     emb = ensure_min_partitions(emb)
     if use_lsh:
-        planes = hyperplanes(dim, num_planes)
-        rows = num_planes // bands
-        sig = emb.select(F.col(id_col), signature_bits(vec_col, planes).alias("__sig"))
-        # bands carry only (id, band, bval): the pair dedup shuffles
-        # 16-byte keys, not embedding vectors — the vectors are joined
-        # back once per side after the distinct
-        banded = sig.select(
-            id_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.substring("__sig", b * rows + 1, rows).alias("bval"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("e"),
-        ).select(id_col, "e.band", "e.bval")
+        if banded is None:
+            # bands carry only (id, band, bval): the pair dedup
+            # shuffles 16-byte keys, not embedding vectors — the
+            # vectors are joined back once per side after the distinct
+            banded = banded_signatures(emb, id_col, vec_col, dim, num_planes, bands)
         a = banded.select(F.col(id_col).alias("id_a"), "band", "bval")
         b = banded.select(F.col(id_col).alias("id_b"), "band", "bval")
         id_pairs = (

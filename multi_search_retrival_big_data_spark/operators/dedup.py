@@ -224,17 +224,29 @@ def minhash_near_duplicates(
     num_perm: int = NUM_PERM,
     bands: int = LSH_BANDS,
     rows_per_band: int = LSH_ROWS,
+    shingles: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-duplicate pipeline: shingle → signature →
     bucket → candidate pairs → exact-Jaccard verify ≥ threshold.
     Returns (id_a, id_b, jaccard). Deterministic end to end (md5
     permutations), so recall misses are reproducible and mirrored by
-    the DuckDB oracle."""
-    # the shingle set feeds BOTH the signature branch and the exact
-    # Jaccard verify branch — materialize it once instead of paying the
-    # explode+distinct twice (production: a persisted shingle table)
-    sh = char_shingles(docs, id_col, text_col, k).cache()
-    sig = minhash_signatures(sh, id_col, num_perm)
+    the DuckDB oracle.
+
+    `shingles` / `signatures` supply the PERSISTED build artifacts
+    (index_store.doc_shingles / minhash_sigs): the explode+distinct
+    and the md5-per-shingle signature pass — the dominant costs — then
+    happen once at ingest, and a dedup run is only bucket → candidate
+    equi-join → candidate-bound verify. Without them the artifacts are
+    derived inline (self-contained mode; `.cache()` stands in for the
+    persisted table within the one plan)."""
+    sh = shingles
+    if sh is None:
+        # the shingle set feeds BOTH the signature branch and the exact
+        # Jaccard verify branch — materialize it once instead of paying
+        # the explode+distinct twice
+        sh = char_shingles(docs, id_col, text_col, k).cache()
+    sig = signatures if signatures is not None else minhash_signatures(sh, id_col, num_perm)
     # candidates are consumed three times by the verify stage (pair
     # broadcast + two semi-join prunes) — materialize once
     cand = lsh_candidate_pairs(

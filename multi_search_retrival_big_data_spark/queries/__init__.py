@@ -102,6 +102,9 @@ _PRIORITY = [
     "ann_ivf_recall_grid",
     "fusion_dual_model_true",
     "fusion_dual_model_dim_fallback",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
 ]
 
 

@@ -66,9 +66,12 @@ def _band_filter_sql() -> str:
 def ann_lsh_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: hyperplane-LSH band probe + exact cosine rank within
     the candidate bucket union — the scale path for Q1 when an exact
-    full scan is too expensive."""
+    full scan is too expensive. The banding is read from the persisted
+    (band, bval)-partitioned table (index_store.emb_lsh_bands), so the
+    probe is partition pruning, not a per-query signature pass."""
     emb = tables.load(spark, "embeddings", sf_dir)
-    return ann.ann_lsh_topk(emb, QUERY_VEC, k=50, round_to=6)
+    banded = index_store.emb_lsh_bands(spark, sf_dir)
+    return ann.ann_lsh_topk(emb, QUERY_VEC, k=50, round_to=6, banded=banded)
 
 
 def _near_dup_tail(pair_src: str, threshold: float) -> str:
@@ -128,12 +131,15 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     share ≥1 signature band (equi-join, no cross join), then exact
     cosine ≥ threshold — scored via the Arrow/NumPy strategy (one
     vectorized pass per candidate batch; ~1.6× the expression fold at
-    sf0.1, the pair list being candidate-volume bound)."""
+    sf0.1, the pair list being candidate-volume bound). Candidate
+    generation reads the persisted banding table
+    (index_store.emb_lsh_bands) — no per-run signature pass."""
     emb = tables.load(spark, "embeddings", sf_dir)
+    banded = index_store.emb_lsh_bands(spark, sf_dir)
     return (
         ann.embedding_near_dup_pairs(
             emb, COSINE_DUP_THRESHOLD, dim=EMB_DIM, use_lsh=True, round_to=6,
-            strategy="arrow",
+            strategy="arrow", banded=banded,
         )
         .orderBy(F.desc("cosine"), "id_a", "id_b")
     )
@@ -273,8 +279,9 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     assign = index_store.ivf_assignments(spark, sf_dir)
+    banded = index_store.emb_lsh_bands(spark, sf_dir)
     ivf = ann.ann_ivf_topk(emb, QUERY_VEC, k=_RECALL_K, round_to=6, assign=assign)
-    lsh = ann.ann_lsh_topk(emb, QUERY_VEC, k=_RECALL_K, round_to=6)
+    lsh = ann.ann_lsh_topk(emb, QUERY_VEC, k=_RECALL_K, round_to=6, banded=banded)
     return hits_row(ivf, "ivf").union(hits_row(lsh, "lsh")).orderBy("method")
 
 

@@ -136,10 +136,21 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified at
     threshold 0.8. Finds the corpus's planted ~0.99-Jaccard pairs with
-    no all-pairs comparison."""
+    no all-pairs comparison. Shingles and minhash signatures are read
+    from the persisted build artifacts (index_store.doc_shingles /
+    minhash_sigs) — a run is only bucket → candidate equi-join →
+    candidate-bound verify; the explode and md5-per-shingle passes
+    happen once at ingest."""
+    from multi_search_retrival_big_data_spark import index_store
+
     docs = tables.load(spark, "documents", sf_dir)
     out = dedup.minhash_near_duplicates(
-        docs, "doc_id", "text", JACCARD_THRESHOLD
+        docs,
+        "doc_id",
+        "text",
+        JACCARD_THRESHOLD,
+        shingles=index_store.doc_shingles(spark, sf_dir),
+        signatures=index_store.minhash_sigs(spark, sf_dir),
     )
     return (
         out.select("id_a", "id_b", det_round(F.col("jaccard")).alias("jaccard"))

@@ -562,3 +562,160 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numcust"), dsum(F.col("c_acctbal")).alias("totacctbal"))
         .orderBy("n_name")
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           {sql_det_round(
+               sql_dsum("CASE WHEN nation = 'NATION_7' THEN volume ELSE 0.0 END")
+               + " / " + sql_dsum("volume")
+           )} AS mkt_share
+    FROM vol
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), adapted to the driver schema
+    (no p_container; nation names are synthetic). Two roles for the
+    nation dim — customer side restricts the market (region ASIA),
+    supplier side labels the share — so `nation` joins twice, both
+    broadcast. The share is a ratio of two quantized sums, so the
+    division is over exact operands in both engines."""
+    p = tables.load(spark, "part", sf_dir)
+    li = tables.load(spark, "lineitem", sf_dir)
+    s = tables.load(spark, "supplier", sf_dir)
+    o = tables.load(spark, "orders", sf_dir)
+    c = tables.load(spark, "customer", sf_dir)
+    n = tables.load(spark, "nation", sf_dir)
+    r = tables.load(spark, "region", sf_dir)
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    vol = (
+        p.filter(F.col("p_type") == "ECONOMY")
+        .join(li, p["p_partkey"] == li["l_partkey"])
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "nation",
+        )
+    )
+    share = det_round(
+        dsum(F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(0.0))
+        / dsum(F.col("volume"))
+    )
+    return (
+        vol.groupBy("o_year").agg(share.alias("mkt_share")).orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    the max. The max-revenue threshold is a 1-row aggregate broadcast
+    back into the plan (no driver collect); revenue is a quantized sum
+    so the equality comparison cannot be split by float noise between
+    engines."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    s = tables.load(spark, "supplier", sf_dir)
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        s.join(rev, s["s_suppkey"] == rev["supplier_no"])
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pavg AS (
+      SELECT l_partkey, 0.2 * ({sql_dsum('l_quantity')} / COUNT(*)) AS qty_limit
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {sql_det_round(sql_dsum('l.l_extendedprice') + ' / 7.0')} AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pavg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#9' AND l.l_quantity < a.qty_limit
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted (no
+    p_container column). The correlated scalar subquery — 20% of the
+    part's average quantity — becomes a per-part aggregate joined back
+    on l_partkey; the average's numerator is a quantized sum over an
+    int count, so the 0.2·avg threshold is the identical double in
+    both engines and the row filter cannot diverge."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    p = tables.load(spark, "part", sf_dir)
+    pavg = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (dsum(F.col("l_quantity")) / F.count("*"))).alias("qty_limit")
+    )
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_brand") == "Brand#9")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(pavg.withColumnRenamed("l_partkey", "__pk"), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(det_round(dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )

@@ -51,3 +51,47 @@ def test_scoring_on_stored_postings_matches_inline(spark, sf_dir):
     a = sparse.tfidf_score(sparse.fit_tfidf(docs, cache=True), q, k=20, round_to=6).collect()
     b = sparse.tfidf_score(index_store.tfidf_postings(spark, sf_dir), q, k=20, round_to=6).collect()
     assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
+
+
+def test_lsh_bands_match_inline(spark, sf_dir):
+    from multi_search_retrival_big_data_spark.operators import ann
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    inline = {
+        (r["vec_id"], r["band"], r["bval"])
+        for r in ann.banded_signatures(emb).collect()
+    }
+    stored = {
+        (r["vec_id"], r["band"], r["bval"])
+        for r in index_store.emb_lsh_bands(spark, sf_dir).collect()
+    }
+    assert stored == inline
+
+
+def test_lsh_topk_banded_matches_inline(spark, sf_dir):
+    from multi_search_retrival_big_data_spark.operators import ann
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    q = [0.2] * 32 + [-0.1] * 32
+    a = ann.ann_lsh_topk(emb, q, k=20, round_to=6).collect()
+    b = ann.ann_lsh_topk(
+        emb, q, k=20, round_to=6, banded=index_store.emb_lsh_bands(spark, sf_dir)
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_minhash_store_matches_inline(spark, sf_dir):
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    docs = tables.load(spark, "documents", sf_dir)
+    inline = dedup.minhash_near_duplicates(docs, "doc_id", "text", 0.8)
+    stored = dedup.minhash_near_duplicates(
+        docs,
+        "doc_id",
+        "text",
+        0.8,
+        shingles=index_store.doc_shingles(spark, sf_dir),
+        signatures=index_store.minhash_sigs(spark, sf_dir),
+    )
+    key = lambda r: (r["id_a"], r["id_b"], round(r["jaccard"], 9))  # noqa: E731
+    assert sorted(map(key, inline.collect())) == sorted(map(key, stored.collect()))
