@@ -105,6 +105,12 @@ _PRIORITY = [
     "tpch_q8_market_share",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_shipments",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

@@ -719,3 +719,325 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(det_round(dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
     )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+    SELECT nation, o_year, {sql_dsum('amount')} AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.08 * p.p_retailprice * l.l_quantity AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit by nation and year), adapted: the
+    driver schema has no partsupp, so supply cost is proxied as
+    8% of p_retailprice per unit (documented deviation; the plan shape
+    — 5-way join with a LIKE-filtered part scan feeding the fact join,
+    then a two-key partial agg — is the Q9 shape). part/supplier/
+    nation broadcast; lineitem⋈orders shuffles once on orderkey. The
+    amount expression keeps identical operator association in both
+    engines so the quantized sum sees bit-equal addends."""
+    p = tables.load(spark, "part", sf_dir)
+    li = tables.load(spark, "lineitem", sf_dir)
+    s = tables.load(spark, "supplier", sf_dir)
+    o = tables.load(spark, "orders", sf_dir)
+    n = tables.load(spark, "nation", sf_dir)
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.08) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount")).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle=f"""
+    WITH val AS (
+      SELECT l.l_partkey, {sql_dsum('l.l_extendedprice * l.l_quantity')} AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey IN (1, 2, 3)
+      GROUP BY l.l_partkey
+    ),
+    tot AS (
+      SELECT {sql_dsum('l.l_extendedprice * l.l_quantity')} * 0.001 AS thr
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey IN (1, 2, 3)
+    )
+    SELECT v.l_partkey AS partkey, v.part_value
+    FROM val v CROSS JOIN tot
+    WHERE v.part_value > tot.thr
+    ORDER BY v.part_value DESC, v.l_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: no
+    partsupp, so a part's "stock value" is the traded value
+    Σ extendedprice·quantity restricted to suppliers of nations 1-3,
+    and the HAVING threshold is 0.1% of the global value — the Q11
+    shape (group-agg + scalar-subquery threshold) intact. The
+    threshold aggregate is a 1-row broadcast; both the per-part and
+    total sums are quantized so `part_value > thr` compares identical
+    doubles in both engines."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    s = tables.load(spark, "supplier", sf_dir)
+    base = li.join(
+        F.broadcast(s.filter(F.col("s_nationkey").isin(1, 2, 3))),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+    ).select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("__v"))
+    val = base.groupBy("l_partkey").agg(dsum(F.col("__v")).alias("part_value"))
+    tot = base.agg((dsum(F.col("__v")) * F.lit(0.001)).alias("__thr"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("__thr"))
+        .select(F.col("l_partkey").alias("partkey"), "part_value")
+        .orderBy(F.desc("part_value"), F.asc("partkey"))
+    )
+
+
+@query(
+    "tpch_q12_late_shipments",
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), adapted: the
+    driver lineitem has no l_shipmode/commitdate/receiptdate, so the
+    mode dimension is l_returnflag and "late" is shipped more than 90
+    days after the order date (a join-predicate on two tables' columns,
+    like the original's receipt/commit comparison). Pure integer
+    CASE-sums — no float hazard. One shuffle on orderkey; the
+    priority CASE folds into the partial agg."""
+    o = tables.load(spark, "orders", sf_dir)
+    li = tables.load(spark, "lineitem", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: supplier-part
+    pairs come from lineitem (no partsupp), and the excluded-supplier
+    subquery (complaints in the original) is suppliers with negative
+    balance. Shape intact: anti-join against a tiny broadcast exclusion
+    list, then COUNT(DISTINCT) per part attribute triple — Spark plans
+    the distinct as a two-phase partial/final expand, no row explosion
+    beyond the pair set."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    p = tables.load(spark, "part", sf_dir)
+    s = tables.load(spark, "supplier", sf_dir)
+    bad = s.filter(F.col("s_acctbal") < 0.0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20_dominant_suppliers",
+    oracle=f"""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, {sql_dsum('l_quantity')} AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l_suppkey, l_partkey
+    ),
+    pthr AS (
+      SELECT l_partkey, 0.5 * {sql_dsum('l_quantity')} AS thr
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM shipped sh
+    JOIN pthr t ON t.l_partkey = sh.l_partkey
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    WHERE sh.qty > t.thr
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: no partsupp
+    availqty, so the nested-aggregate condition becomes "supplier
+    shipped more than half of a red part's 1996 volume" — same shape:
+    an inner per-(supp,part) aggregate compared against a correlated
+    per-part aggregate, then a semi-join up to suppliers. The part
+    filter is a broadcast semi-join pushed below both aggregates;
+    quantized qty sums make the 0.5·total threshold engine-exact."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    p = tables.load(spark, "part", sf_dir)
+    s = tables.load(spark, "supplier", sf_dir)
+    red = p.filter(F.col("p_name").like("red%")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    base = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).join(F.broadcast(red), "l_partkey", "left_semi")
+    shipped = base.groupBy("l_suppkey", "l_partkey").agg(
+        dsum(F.col("l_quantity")).alias("qty")
+    )
+    pthr = base.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.5) * dsum(F.col("l_quantity"))).alias("thr")
+    )
+    return (
+        shipped.join(pthr, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("qty") > F.col("thr"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH lat AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    ord AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late
+      FROM lat
+      GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lat l
+    JOIN ord x ON l.l_orderkey = x.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE l.is_late = 1 AND x.n_supp > 1 AND x.n_late = 1 AND s.s_nationkey = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: "late"
+    is shipped >90 days after order date (no receipt/commit dates) and
+    the nation filter keeps NATION_1. The original's correlated
+    EXISTS (another supplier on the order) / NOT EXISTS (another LATE
+    supplier) pair is decorrelated into one per-order aggregate —
+    n_supp>1 ∧ n_late=1 — which is how Catalyst would rewrite the
+    subqueries anyway, but doing it explicitly shares one scan of the
+    late-flagged fact across both conditions. Integer counts only."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    o = tables.load(spark, "orders", sf_dir)
+    s = tables.load(spark, "supplier", sf_dir)
+    lat = (
+        li.join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_late"),
+        )
+    )
+    ordagg = lat.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    return (
+        lat.filter(F.col("is_late") == 1)
+        .join(ordagg, F.col("l_orderkey") == F.col("__ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(
+            F.broadcast(s.filter(F.col("s_nationkey") == 1)),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

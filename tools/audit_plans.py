@@ -41,6 +41,7 @@ SCALAR_BROADCAST_OK = {
     "dense_batch_topk_cosine",  # corpus × request-sized query batch
     "text_bigram_lm_scores",    # 1-row vocabulary-size scalar broadcast
     "tpch_q22_dormant_balance", # 1-row avg-balance threshold broadcast
+    "tpch_q11_important_parts", # 1-row total-value threshold broadcast
     "sparse_batch_tfidf_topk",  # batched query-side scalar norms broadcast
     "skew_salted_join_lang",    # salted_join replicates the dim across shards BY DESIGN
 }
