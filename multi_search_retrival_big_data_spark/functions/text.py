@@ -65,11 +65,18 @@ def char_ngrams(col: ColumnOrName, n_min: int = 3, n_max: int = 5) -> Column:
     object_retrieval.py:79-89); approximated as plain char n-grams of
     the lowercased string."""
     s = F.lower(_c(col))
+
+    # closure factory, NOT `lambda i, n=n:` — a default arg makes the
+    # lambda two-parameter, and Spark passes the ARRAY INDEX as the
+    # second argument of higher-order-function lambdas, silently
+    # rebinding n per element
+    def gram_fn(n: int):
+        return lambda i: s.substr(i, F.lit(n))
+
     out = None
     for n in range(n_min, n_max + 1):
         grams = F.transform(
-            F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
-            lambda i, n=n: s.substr(i, F.lit(n)),
+            F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)), gram_fn(n)
         )
         grams = F.when(F.length(s) >= n, grams).otherwise(F.array().cast("array<string>"))
         out = grams if out is None else F.concat(out, grams)

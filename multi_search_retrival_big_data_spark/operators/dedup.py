@@ -256,6 +256,71 @@ def minhash_near_duplicates(
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    near-duplicate pair graph → (node, cluster_id) with cluster_id =
+    the minimum doc id reachable from the node. The reference dedupes
+    pairwise only; a training pipeline needs the transitive closure
+    (A~B, B~C ⇒ {A,B,C} is ONE cluster with ONE kept representative).
+
+    Iterative min-label propagation: labels start as the node's own id;
+    each round takes the min of a node's label and its neighbors'
+    labels. Each round is ONE shuffle (groupBy node) over an edge⋈label
+    equi-join; rounds needed = graph diameter, and near-dup clusters
+    are shallow (diameter ≤ ~3 for transitive near-duplicates), so this
+    converges in 2-4 rounds in practice. `localCheckpoint` truncates
+    the lineage each round — without it the plan doubles per iteration
+    and Catalyst analysis cost explodes long before data cost does. At
+    a 100 TB corpus the same loop runs with the edge table persisted
+    and bucketed by `dst`; for adversarial deep-chain graphs switch to
+    the large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce"), which squares the label-jump per round.
+    Convergence is detected by an exact per-round change count — an
+    action per round, unavoidable for any fixed-point loop.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("node").alias("src"), "label"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str, text_col: str, threshold: float, k: int = SHINGLE_K
 ) -> DataFrame:

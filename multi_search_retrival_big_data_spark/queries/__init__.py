@@ -97,6 +97,7 @@ _PRIORITY = [
     "stream_attribution_join",
     "events_json_props_agg",
     # round-2 additions (new, never driver-checked)
+    "dedup_cluster_components",
     "skew_salted_join_lang",
     "ids_dense_enumeration_scalable",
     "ann_ivf_recall_grid",

@@ -63,7 +63,10 @@ def _jaccard_tail(threshold: float, pair_src: str) -> str:
     ORDER BY jaccard DESC, id_a, id_b"""
 
 
-def _minhash_oracle() -> str:
+def _minhash_cand_ctes() -> str:
+    """CTE chain shingles → sig → buckets → cand, mirroring the Spark
+    minhash/LSH candidate generation (shared by the pair query and the
+    cluster-components query)."""
     v = " + ".join(
         f"(instr('0123456789abcdef', substring(md5(shingle), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
         for j in range(8)
@@ -79,8 +82,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(LSH_BANDS)
     )
-    return f"""
-    WITH {_shingles_cte()},
+    return f"""{_shingles_cte()},
     sig AS (
       SELECT doc_id,
         {perms}
@@ -93,8 +95,60 @@ def _minhash_oracle() -> str:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM buckets a
       JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ),
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_cand_ctes()},
     {_jaccard_tail(JACCARD_THRESHOLD, "cand")}
+    """
+
+
+def _verified_pairs_cte(threshold: float) -> str:
+    """Verify stage as a `pairs` CTE (id_a, id_b) instead of a final
+    SELECT — feeds the recursive components closure."""
+    return f"""
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c
+      JOIN shingles x ON x.doc_id = c.id_a
+      JOIN shingles y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.i / CAST(sa.n + sb.n - i.i AS DOUBLE) >= {threshold}
+    )"""
+
+
+def _components_oracle() -> str:
+    """Transitive closure of the verified near-dup pair graph via a
+    recursive CTE (the single-machine spelling of what the Spark side
+    computes by iterated min-label propagation)."""
+    return f"""
+    WITH RECURSIVE {_minhash_cand_ctes()},
+    {_verified_pairs_cte(JACCARD_THRESHOLD)},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach AS (
+      SELECT n, n AS m FROM nodes
+      UNION
+      SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    ORDER BY doc_id
     """
 
 
@@ -155,6 +209,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.select("id_a", "id_b", det_round(F.col("jaccard")).alias("jaccard"))
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
+    )
+
+
+@query("dedup_cluster_components", oracle=_components_oracle())
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    MinHash-LSH verified pair graph (dedup.connected_components,
+    iterated min-label propagation with per-round lineage truncation).
+    Output: (doc_id, cluster_id = min reachable id, cluster_size) for
+    every document in a non-singleton cluster — the table a dedup job
+    joins against to keep one representative per cluster. The oracle
+    computes the same closure with a recursive CTE."""
+    from pyspark.sql.window import Window
+
+    from multi_search_retrival_big_data_spark import index_store
+
+    docs = tables.load(spark, "documents", sf_dir)
+    pairs = dedup.minhash_near_duplicates(
+        docs,
+        "doc_id",
+        "text",
+        JACCARD_THRESHOLD,
+        shingles=index_store.doc_shingles(spark, sf_dir),
+        signatures=index_store.minhash_sigs(spark, sf_dir),
+    )
+    comp = dedup.connected_components(pairs.select("id_a", "id_b"))
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.select(F.col("node").alias("doc_id"), "cluster_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
     )
 
 

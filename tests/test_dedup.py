@@ -72,3 +72,19 @@ def test_jaccard_value_matches_python(docs):
     sb = {b[i : i + 5] for i in range(len(b) - 4)}
     expected = len(sa & sb) / len(sa | sb)
     assert abs(row["jaccard"] - expected) < 1e-12
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """A 4-node chain (10-11-12-13), a triangle (20,21,22), and an
+    isolated pair (30,31): every node's cluster_id must be the minimum
+    id reachable via the transitive closure, which for the chain
+    requires more than one propagation round."""
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (20, 21), (21, 22), (20, 22), (30, 31)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
