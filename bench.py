@@ -58,6 +58,9 @@ OPTIONAL_QUERIES = [
     "text_bigram_lm_scores",
     "dense_topk_cosine_arrow",
     "dense_batch_topk_cosine_arrow",
+    "dedup_cluster_components",
+    "heavy_hitters_tokens",
+    "sketch_kmv_distinct_tokens",
 ]
 
 

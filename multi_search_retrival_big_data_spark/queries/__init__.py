@@ -62,6 +62,7 @@ _MODULES = [
     "multi_search_retrival_big_data_spark.queries.ann_queries",
     "multi_search_retrival_big_data_spark.queries.multimodal_queries",
     "multi_search_retrival_big_data_spark.queries.streaming_queries",
+    "multi_search_retrival_big_data_spark.queries.sampling_queries",
 ]
 
 # The driver records a CORRECTNESS row for (at most) the first 50
@@ -98,6 +99,12 @@ _PRIORITY = [
     "events_json_props_agg",
     # round-2 additions (new, never driver-checked)
     "dedup_cluster_components",
+    "sample_hash_threshold",
+    "sample_stratified_per_lang",
+    "sketch_kmv_distinct_tokens",
+    "heavy_hitters_tokens",
+    "profile_cube_lang_source",
+    "events_rank_percentiles",
     "skew_salted_join_lang",
     "ids_dense_enumeration_scalable",
     "ann_ivf_recall_grid",

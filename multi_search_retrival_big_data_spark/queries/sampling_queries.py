@@ -1,0 +1,227 @@
+"""Oracle-checked sampling / sketch / corpus-statistics queries —
+the reproducible-subset and cardinality tooling a training-data
+pipeline runs constantly (eval splits, per-language caps, vocabulary
+stats). All md5-keyed and therefore bit-identical between the Spark
+plan and the DuckDB oracle (see operators/sampling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark.functions import text as T
+from multi_search_retrival_big_data_spark.operators import sampling
+from multi_search_retrival_big_data_spark.queries import query
+from multi_search_retrival_big_data_spark.queries.common import det_round, sql_det_round
+
+# ~10% of the 128-bit md5 space as a 32-char lowercase hex literal
+SAMPLE_THRESHOLD_HEX = "1" + "9" * 31
+STRATUM_N = 40
+KMV_K = 256
+HH_K = 30
+
+
+def _sql_v(expr: str) -> str:
+    """32-bit integer view of md5(expr) — the SQL spelling of
+    dedup.shingle_int_value, digit-decoded positionally."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substring(md5({expr}), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+
+
+@query(
+    "sample_hash_threshold",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '{SAMPLE_THRESHOLD_HEX}'
+    ORDER BY doc_id
+    """,
+)
+def sample_hash_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample keyed on md5(doc_id) — the
+    reproducible eval-split draw. Row-local filter, zero shuffles; the
+    same rows are selected on any cluster layout or retry (unlike
+    df.sample(), whose output is partitioning-dependent)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return (
+        sampling.hash_sample(docs, "doc_id", SAMPLE_THRESHOLD_HEX)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_stratified_per_lang",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_rank
+    FROM ranked WHERE sample_rank <= {STRATUM_N}
+    ORDER BY lang, sample_rank
+    """,
+)
+def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-language sample (the hash-smallest N of each
+    stratum) — the per-language cap / balanced eval draw. One shuffle
+    partitioned by `lang`; strata count is bounded (5 languages), so
+    the per-stratum sort is task-local. For giant strata, pre-filter
+    with hash_sample at an oversampling factor and rank survivors —
+    same result, bounded task input."""
+    docs = tables.load(spark, "documents", sf_dir)
+    out = sampling.stratified_sample(docs, ["lang"], "doc_id", STRATUM_N)
+    return out.select("doc_id", "lang", "sample_rank").orderBy("lang", "sample_rank")
+
+
+@query(
+    "sketch_kmv_distinct_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+    ),
+    tok AS (SELECT DISTINCT unnest(t) AS token FROM toks),
+    v AS (SELECT DISTINCT {_sql_v("token")} AS v FROM tok),
+    small AS (SELECT v FROM v ORDER BY v LIMIT {KMV_K}),
+    kagg AS (SELECT count(*) AS k_min, max(v) AS kth_hash FROM small),
+    ex AS (SELECT count(*) AS exact_distinct FROM tok)
+    SELECT k_min, kth_hash,
+           {sql_det_round("(k_min - 1) * 4294967296.0 / kth_hash")} AS est_distinct,
+           exact_distinct,
+           {sql_det_round("abs((k_min - 1) * 4294967296.0 / kth_hash - exact_distinct) / exact_distinct")} AS rel_error
+    FROM kagg, ex
+    ORDER BY k_min
+    """,
+)
+def sketch_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-token estimate vs the exact
+    count — ONE row (k_min, kth_hash, est_distinct, exact_distinct,
+    rel_error). The sketch side moves only k·partitions hash values
+    (TakeOrdered merge over a map-side-combined distinct); the exact
+    side is the audit, same role as ann_recall_at_k for ANN. At 100 TB
+    the exact branch is dropped and the sketch stands alone; the
+    estimator and its audit are both deterministic (md5), so the
+    measured rel_error is reproducible."""
+    docs = tables.load(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(T.tokenize(F.col("text"))).alias("token"))
+    sketch = sampling.kmv_distinct(toks, "token", KMV_K)
+    exact = toks.select("token").distinct().agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    est = (F.col("k_min") - F.lit(1)).cast("double") * F.lit(
+        sampling.HASH_SPACE
+    ) / F.col("kth_hash").cast("double")
+    return (
+        sketch.select("k_min", "kth_hash")
+        .crossJoin(F.broadcast(exact))  # 1-row × 1-row scalar combine
+        .select(
+            "k_min",
+            "kth_hash",
+            det_round(est).alias("est_distinct"),
+            "exact_distinct",
+            det_round(
+                F.abs(est - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_error"),
+        )
+        .orderBy("k_min")
+    )
+
+
+@query(
+    "heavy_hitters_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+    ),
+    tok AS (SELECT DISTINCT doc_id, unnest(t) AS token FROM toks)
+    SELECT token, count(*) AS doc_freq
+    FROM tok GROUP BY token
+    ORDER BY doc_freq DESC, token
+    LIMIT {HH_K}
+    """,
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 tokens by document frequency — the vocabulary head a
+    tokenizer/stopword audit reads first. Per-doc dedup happens
+    BEFORE the explode (array_distinct on the token array), the count
+    aggregates map-side, and the top-k is TakeOrderedAndProject —
+    k·partitions rows move, no global sort."""
+    docs = tables.load(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.tokenize(F.col("text")))).alias("token"),
+    )
+    return sampling.heavy_hitters(per_doc, "token", HH_K).select(
+        "token", F.col("freq").alias("doc_freq")
+    )
+
+
+@query(
+    "profile_cube_lang_source",
+    oracle="""
+    SELECT lang, source, count(*) AS n
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    ORDER BY lang NULLS FIRST, source NULLS FIRST
+    """,
+)
+def profile_cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source): all four grouping sets in one pass
+    (Spark's Expand operator emits each input row once per grouping
+    set, partial-aggregated map-side) — completes the ROLLUP/pivot
+    profiling family."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return (
+        docs.cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("lang"), F.asc_nulls_first("source"))
+    )
+
+
+@query(
+    "events_rank_percentiles",
+    oracle="""
+    SELECT event_id, event_type,
+           row_number()   OVER w AS rn,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    ORDER BY event_type, rn
+    """,
+)
+def events_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-rank family over event values: row_number / ntile /
+    percent_rank / cume_dist per event_type, (value, event_id)-ordered
+    so every rank is total-order deterministic. percent_rank and
+    cume_dist are int/int divisions — bit-exact in both engines, no
+    quantization needed. NOTE the partition key has tiny cardinality
+    (5 event types): at 100 TB a per-type global rank needs the
+    range-partition + offset two-pass used by
+    temporal.dense_global_ids_scalable, not a 5-task window — this
+    query models the bounded-partition case (per-tenant, per-day)."""
+    ev = tables.load(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("event_type", "rn")
+    )

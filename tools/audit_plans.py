@@ -44,6 +44,7 @@ SCALAR_BROADCAST_OK = {
     "tpch_q11_important_parts", # 1-row total-value threshold broadcast
     "sparse_batch_tfidf_topk",  # batched query-side scalar norms broadcast
     "skew_salted_join_lang",    # salted_join replicates the dim across shards BY DESIGN
+    "sketch_kmv_distinct_tokens",  # 1-row sketch × 1-row exact-count scalar combine
 }
 
 
