@@ -61,6 +61,7 @@ OPTIONAL_QUERIES = [
     "dedup_cluster_components",
     "heavy_hitters_tokens",
     "sketch_kmv_distinct_tokens",
+    "emb_label_centroid_norms",
 ]
 
 

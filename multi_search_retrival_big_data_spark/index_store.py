@@ -66,16 +66,24 @@ def _read_or_build(
 
 
 def tfidf_postings(
-    spark: SparkSession, sf_dir: str, ngram_range: tuple[int, int] = (1, 1)
+    spark: SparkSession,
+    sf_dir: str,
+    ngram_range: tuple[int, int] = (1, 1),
+    analyzer: str = "word",
 ) -> DataFrame:
     """(term, doc_id, weight, idf) — sklearn-parity TF-IDF posting
-    lists for the corpus at `sf_dir`, persisted term-bucketed."""
-    name = _table_name("tfidf", sf_dir, f"{ngram_range[0]}{ngram_range[1]}")
+    lists for the corpus at `sf_dir`, persisted term-bucketed.
+    analyzer='char' builds the char-n-gram fallback channel
+    (object_retrieval.py:79-89) as its own persisted index."""
+    prefix = "c" if analyzer == "char" else ""
+    name = _table_name("tfidf", sf_dir, f"{prefix}{ngram_range[0]}{ngram_range[1]}")
     return _read_or_build(
         spark,
         name,
         lambda: sparse.fit_tfidf(
-            tables.load(spark, "documents", sf_dir), ngram_range=ngram_range
+            tables.load(spark, "documents", sf_dir),
+            ngram_range=ngram_range,
+            analyzer=analyzer,
         ),
     )
 

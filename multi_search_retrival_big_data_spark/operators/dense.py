@@ -375,3 +375,42 @@ def batch_topk_cosine(
         .drop("__rn")
         .orderBy("query_id", F.desc("score"), F.asc(id_col))
     )
+
+
+def label_centroid_norms(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid statistics → (label, n_vecs, centroid_norm).
+
+    The coarse building block behind every centroid structure the
+    engine uses — IVF cell centroids (FAISS trains them at build time,
+    /root/reference/utils/faiss_processing.py:17-22 loads the result)
+    and per-class mean embeddings for dataset audits.
+
+    Plan shape: posexplode to (label, dim, value) — d rows per vector —
+    then ONE partial-aggregated groupBy (label, dim) for the per-dim
+    means, then a d-row-per-label groupBy for the norm. Shuffle volume
+    is labels × d rows, independent of corpus size. Both sums are
+    quantized (functions.rounding.quantized_sum), so the result is
+    order-independent and engine-portable — a float mean over a
+    shuffled partitioning would otherwise differ run to run.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    )
+    per_dim = ex.groupBy("label", "dim").agg(
+        quantized_sum(F.col("v").cast("double")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = per_dim.select(
+        "label", "n", (F.col("s") / F.col("n").cast("double")).alias("m")
+    )
+    return (
+        mean.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sqrt(quantized_sum(F.col("m") * F.col("m"))).alias("__norm"),
+        )
+        .select("label", "n_vecs", det_round(F.col("__norm")).alias("centroid_norm"))
+    )

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from multi_search_retrival_big_data_spark.functions.text import (
+    char_ngrams,
     tokenize,
     word_ngrams_range,
 )
@@ -50,7 +51,15 @@ BM25_B = 0.75
 BM25_EPSILON = 0.25
 
 
-def _terms_col(text_col: str, ngram_range: tuple[int, int]) -> Column:
+def _terms_col(
+    text_col: str, ngram_range: tuple[int, int], analyzer: str = "word"
+) -> Column:
+    if analyzer == "char":
+        # the reference's empty-vocabulary fallback channel: sklearn
+        # re-fits with analyzer='char_wb' when the word vocabulary
+        # comes out empty (object_retrieval.py:79-89); approximated as
+        # plain char n-grams of the lowercased text (functions/text.py)
+        return char_ngrams(F.col(text_col), ngram_range[0], ngram_range[1])
     toks = tokenize(F.col(text_col))
     if ngram_range == (1, 1):
         return toks
@@ -62,6 +71,7 @@ def term_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram_range: tuple[int, int] = (1, 1),
+    analyzer: str = "word",
 ) -> DataFrame:
     """(doc_id, term, tf) — the raw doc-term matrix in COO form.
 
@@ -71,8 +81,15 @@ def term_counts(
     sf0.1. The multichannel fit, whose explode is ~5× wider, does
     widen (fit_tfidf_multichannel).
     """
+    # the char analyzer explodes ~(n_max - n_min + 1)·len(text) terms
+    # per doc — widen the (often single-row-group) input so the explode
+    # parallelizes; the word path stays as measured (see docstring)
+    src = ensure_min_partitions(docs) if analyzer == "char" else docs
     return (
-        docs.select(F.col(id_col).alias("doc_id"), _terms_col(text_col, ngram_range).alias("__terms"))
+        src.select(
+            F.col(id_col).alias("doc_id"),
+            _terms_col(text_col, ngram_range, analyzer).alias("__terms"),
+        )
         .select("doc_id", F.explode("__terms").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("tf"))
@@ -97,6 +114,7 @@ def fit_tfidf(
     text_col: str = "text",
     ngram_range: tuple[int, int] = (1, 1),
     cache: bool = False,
+    analyzer: str = "word",
 ) -> DataFrame:
     """S14 — build the sklearn-parity TF-IDF posting lists:
     (term, doc_id, weight, idf). Persist/bucket this by `term` for
@@ -107,7 +125,7 @@ def fit_tfidf(
     without materialization both branches recompute the fit. The
     production analogue is the persisted, term-bucketed index table
     (write_postings_bucketed)."""
-    tf = term_counts(docs, id_col, text_col, ngram_range)
+    tf = term_counts(docs, id_col, text_col, ngram_range, analyzer)
     dfreq = doc_frequencies(tf)
     n = _corpus_size(docs, id_col)
     raw = (
@@ -129,10 +147,21 @@ def fit_tfidf(
     return out.cache() if cache else out
 
 
-def query_terms(query: str, ngram_range: tuple[int, int] = (1, 1)) -> list[tuple[str, int]]:
+def query_terms(
+    query: str, ngram_range: tuple[int, int] = (1, 1), analyzer: str = "word"
+) -> list[tuple[str, int]]:
     """Driver-side query compilation (the reference encodes queries on
     the serving thread too — object_retrieval.py:303-311): lowercase,
-    `\\w+` tokens, optional word n-grams, term counts."""
+    `\\w+` tokens, optional word n-grams, term counts. analyzer='char'
+    mirrors _terms_col's char-n-gram fallback channel."""
+    if analyzer == "char":
+        s = query.lower()
+        grams = [
+            s[i : i + n]
+            for n in range(ngram_range[0], ngram_range[1] + 1)
+            for i in range(len(s) - n + 1)
+        ]
+        return sorted(Counter(grams).items())
     toks = TOKEN_RE.findall(query.lower())
     grams: list[str] = []
     for nlen in range(ngram_range[0], ngram_range[1] + 1):

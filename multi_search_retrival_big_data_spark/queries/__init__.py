@@ -105,6 +105,9 @@ _PRIORITY = [
     "heavy_hitters_tokens",
     "profile_cube_lang_source",
     "events_rank_percentiles",
+    "sparse_tfidf_char_fallback",
+    "emb_label_centroid_norms",
+    "stream_dedup_event_counts",
     "skew_salted_join_lang",
     "ids_dense_enumeration_scalable",
     "ann_ivf_recall_grid",

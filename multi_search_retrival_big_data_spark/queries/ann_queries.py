@@ -473,3 +473,42 @@ def ann_ivf_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in _IVF_GRID_NPROBE[1:]:
         out = out.union(cfg_row(p))
     return out.orderBy("nprobe")
+
+
+@query(
+    "emb_label_centroid_norms",
+    oracle="""
+    WITH ex AS (
+      SELECT label, CAST(i AS INT) AS dim,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    per_dim AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(FLOOR(v * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS s,
+             count(*) AS n
+      FROM ex GROUP BY label, dim
+    ),
+    mean AS (SELECT label, n, s / CAST(n AS DOUBLE) AS m FROM per_dim),
+    agg AS (
+      SELECT label, max(n) AS n_vecs,
+             CAST(SUM(CAST(FLOOR(m * m * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS ss
+      FROM mean GROUP BY label
+    )
+    SELECT label, n_vecs,
+           CAST(FLOOR(sqrt(ss) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS centroid_norm
+    FROM agg ORDER BY label
+    """,
+)
+def emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (dense.label_centroid_norms) —
+    the centroid-training building block behind IVF cells
+    (faiss_processing.py:17-22 loads FAISS-trained centroids) and
+    per-class corpus audits. Shuffle volume after the partial agg is
+    labels × d rows regardless of corpus size; all float sums are
+    quantized so the mean is order-independent (a plain float mean
+    over a shuffled partitioning differs run to run)."""
+    from multi_search_retrival_big_data_spark.operators import dense
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return dense.label_centroid_norms(emb).orderBy("label")

@@ -27,20 +27,41 @@ def _values(qterms: list[tuple[str, float | int]]) -> str:
     return ", ".join(f"('{t}', {float(c)})" for t, c in qterms)
 
 
-def tfidf_cte(prefix: str, ngram_range: tuple[int, int], qterms: list[tuple[str, int]],
-              table: str = "documents", subset_where: str = "") -> str:
-    """CTE chain building sklearn-parity postings + normalized query
-    vector + per-doc scores, namespaced by `prefix`."""
+def char_tok_chain(prefix: str, n_min: int, n_max: int, table: str = "documents") -> str:
+    """`{p}tok (doc_id, term)` as char n-grams of the lowercased text —
+    the SQL mirror of functions.text.char_ngrams (the reference's
+    empty-vocabulary fallback analyzer, object_retrieval.py:79-89)."""
     p = prefix
-    grams = _NGRAM_SETS[ngram_range]
+    lens = ", ".join(str(n) for n in range(n_min, n_max + 1))
     return f"""
+    {p}lens AS (SELECT CAST(unnest([{lens}]) AS INT) AS g),
+    {p}cpos AS (SELECT CAST(unnest(range(1, (SELECT MAX(length(text)) FROM {table}) + 1)) AS INT) AS s),
+    {p}tok AS (
+      SELECT doc_id, substring(lower(text), s, g) AS term
+      FROM {table}, {p}lens, {p}cpos WHERE s <= length(text) - g + 1
+    )"""
+
+
+def tfidf_cte(prefix: str, ngram_range: tuple[int, int], qterms: list[tuple[str, int]],
+              table: str = "documents", subset_where: str = "",
+              tok_chain: str | None = None) -> str:
+    """CTE chain building sklearn-parity postings + normalized query
+    vector + per-doc scores, namespaced by `prefix`. `tok_chain`
+    overrides the token source (must define `{p}tok (doc_id, term)`);
+    default is the word n-gram chain."""
+    p = prefix
+    if tok_chain is None:
+        grams = _NGRAM_SETS[ngram_range]
+        tok_chain = f"""
     {p}toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM {table}),
     {p}pos AS (SELECT CAST(unnest(range(1, (SELECT MAX(len(t)) FROM {p}toks) + 1)) AS INT) AS s),
     {p}grams AS (SELECT unnest({grams}) AS g),
     {p}tok AS (
       SELECT doc_id, array_to_string(t[s:s+g-1], ' ') AS term
       FROM {p}toks, {p}pos, {p}grams WHERE s <= len(t) - g + 1
-    ),
+    )"""
+    return f"""
+    {tok_chain},
     {p}tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM {p}tok GROUP BY 1, 2),
     {p}dfreq AS (SELECT term, COUNT(*) AS df FROM {p}tf GROUP BY 1),
     {p}n AS (SELECT COUNT(*) AS n FROM {table}),
@@ -278,3 +299,27 @@ def sparse_batch_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-throughput lexical serving shape."""
     postings = index_store.tfidf_postings(spark, sf_dir)
     return sparse.batch_tfidf_score(postings, _BATCH_SPARSE, k=20, round_to=6)
+
+
+_QC = sparse.query_terms(QUERY_TEXT, (3, 5), analyzer="char")
+
+
+@query(
+    "sparse_tfidf_char_fallback",
+    oracle=f"""
+    WITH {tfidf_cte('', (3, 5), _QC, tok_chain=char_tok_chain('', 3, 5))}
+    SELECT doc_id, score FROM topk ORDER BY score DESC, doc_id LIMIT 50
+    """,
+)
+def sparse_tfidf_char_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's empty-vocabulary fallback channel: when the word
+    vocabulary comes out empty, sklearn re-fits with a char analyzer
+    (object_retrieval.py:79-89). Here it is a first-class persisted
+    char-(3,5)-gram TF-IDF index scored exactly like the word channel —
+    same posting-join plan, ~20× more postings per doc (every char
+    position × 3 lengths), which is why it stays a fallback, not the
+    default."""
+    postings = index_store.tfidf_postings(
+        spark, sf_dir, ngram_range=(3, 5), analyzer="char"
+    )
+    return sparse.tfidf_score(postings, _QC, k=50, round_to=6)

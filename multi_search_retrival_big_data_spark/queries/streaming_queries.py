@@ -154,6 +154,34 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_event_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under at-least-once delivery: the landing
+    directory stages the events file TWICE (every event delivered
+    twice, across separate source files), and
+    dropDuplicatesWithinWatermark(event_id) must collapse the
+    redeliveries so the per-type counts equal the batch counts over
+    the UNIQUE events — the idempotent-ingest contract of any
+    replayed pipeline. State is bounded by the watermark horizon
+    (1 hour of event-time per key), not by stream length."""
+    stream = ingest.read_event_stream(spark, sf_dir, copies=2)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    from pyspark.sql import functions as F
+
+    counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    return ingest.run_to_memory(counts, "dedup_counts").orderBy("event_type")
+
+
+@query(
     "events_json_props_agg",
     oracle="""
     SELECT event_type,

@@ -28,15 +28,19 @@ EVENTS_RAW_SCHEMA = (
 )
 
 
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_event_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # FileStreamSource wants a directory it can watch for appended
     # files; the driver ships a single parquet file, so stage a
     # symlink into a temp "landing" directory — exactly the layout an
-    # append-only ingest folder would have in production.
+    # append-only ingest folder would have in production. `copies > 1`
+    # stages the same file N times — the at-least-once redelivery a
+    # dedup stage must absorb (each copy is a separate source file, so
+    # duplicates arrive across micro-batch boundaries too).
     src = os.path.join(sf_dir, "events.parquet")
     landing = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(src, os.path.join(landing, "events.parquet"))
+    for i in range(copies):
+        os.symlink(src, os.path.join(landing, f"events_{i}.parquet"))
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(landing)
     # `div` (integer division) — double `/ 1000` can round up 1µs
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
