@@ -63,6 +63,7 @@ _MODULES = [
     "multi_search_retrival_big_data_spark.queries.multimodal_queries",
     "multi_search_retrival_big_data_spark.queries.streaming_queries",
     "multi_search_retrival_big_data_spark.queries.sampling_queries",
+    "multi_search_retrival_big_data_spark.queries.source_queries",
 ]
 
 # The driver records a CORRECTNESS row for (at most) the first 50
@@ -108,6 +109,9 @@ _PRIORITY = [
     "sparse_tfidf_char_fallback",
     "emb_label_centroid_norms",
     "stream_dedup_event_counts",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    "sink_partitioned_parquet_pruned",
     "skew_salted_join_lang",
     "ids_dense_enumeration_scalable",
     "ann_ivf_recall_grid",

@@ -1,0 +1,105 @@
+"""Oracle-checked source/sink round-trip queries (sources.py).
+
+Each query writes the `documents` table through a non-parquet format
+into a session-scoped temp directory, reads it back with an explicit
+schema, and aggregates — the oracle computes the same aggregate over
+the original table, so a pass proves the sink+source pair is lossless
+(including newline- and quote-bearing text). The aggregate includes a
+content checksum (sum over md5-prefix values of the text) so silent
+corruption of ANY row fails the hash compare, not just row counts.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark import sources, tables
+from multi_search_retrival_big_data_spark.operators.dedup import shingle_int_value
+from multi_search_retrival_big_data_spark.queries import query
+
+DOCS_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+# sum of 32-bit md5-prefix values per lang — a deterministic content
+# checksum both engines compute identically (dedup.shingle_int_value)
+_SQL_V = " + ".join(
+    f"(instr('0123456789abcdef', substring(md5(text), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+    for j in range(8)
+)
+
+_ROUNDTRIP_ORACLE = f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM({_SQL_V}) AS BIGINT) AS text_checksum
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(shingle_int_value(F.col("text"))).alias("text_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _tmp(kind: str) -> str:
+    return os.path.join(tempfile.mkdtemp(prefix=f"src_{kind}_"), "docs")
+
+
+@query("source_jsonl_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSONL sink → schema-explicit JSONL source →
+    checksummed per-lang aggregate. Proves the reference's .json
+    interchange role (app.py:150-162) on a line-splittable,
+    executor-parallel format."""
+    docs = tables.load(spark, "documents", sf_dir)
+    path = _tmp("jsonl")
+    sources.write_jsonl(docs, path)
+    return _roundtrip_agg(sources.read_jsonl(spark, path, DOCS_SCHEMA))
+
+
+@query("source_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → fully-quoted CSV sink → multiLine CSV source →
+    checksummed per-lang aggregate. multiLine=True because quoted text
+    may carry newlines (cost: per-file parallelism — see sources.py)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    path = _tmp("csv")
+    sources.write_csv(docs, path)
+    return _roundtrip_agg(sources.read_csv(spark, path, DOCS_SCHEMA))
+
+
+@query(
+    "sink_partitioned_parquet_pruned",
+    oracle=f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM({_SQL_V}) AS BIGINT) AS text_checksum
+    FROM documents
+    WHERE lang IN ('fr', 'zh')
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sink_partitioned_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → lang-partitioned parquet layout → read back
+    filtering lang IN ('fr','zh'). The filter must become a
+    PartitionFilter (directory pruning — asserted by
+    tools/audit_plans.py), so the scan reads 2 of 5 partition dirs
+    before any row IO: the at-rest layout for per-language corpus
+    slices at 100 TB."""
+    docs = tables.load(spark, "documents", sf_dir)
+    path = _tmp("part")
+    sources.write_partitioned_parquet(docs, path, ["lang"])
+    back = sources.read_parquet(spark, path).filter(F.col("lang").isin("fr", "zh"))
+    return _roundtrip_agg(back)

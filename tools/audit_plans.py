@@ -61,6 +61,12 @@ HYDRATION_BROADCAST_EXPECTED = {
     "endpoint_textsearch_grouped",
 }
 
+# queries whose scan MUST carry a non-empty PartitionFilters entry
+# (directory-level pruning on a partitioned layout)
+PARTITION_PRUNING_EXPECTED = {
+    "sink_partitioned_parquet_pruned",
+}
+
 
 def audit(name: str, plan: str) -> list[str]:
     flags = []
@@ -81,6 +87,10 @@ def audit(name: str, plan: str) -> list[str]:
             flags.append("lineitem scan without pushed filters")
     if name in HYDRATION_BROADCAST_EXPECTED and "BroadcastHashJoin" not in plan:
         flags.append("hydration join is not broadcast")
+    if name in PARTITION_PRUNING_EXPECTED and not re.search(
+        r"PartitionFilters: \[(?!\])", plan
+    ):
+        flags.append("partition filter did not prune")
     return flags
 
 
