@@ -62,6 +62,7 @@ OPTIONAL_QUERIES = [
     "heavy_hitters_tokens",
     "sketch_kmv_distinct_tokens",
     "emb_label_centroid_norms",
+    "ann_pq_adc_topk",
 ]
 
 

@@ -201,3 +201,22 @@ def minhash_sigs(
             .saveAsTable(name)
         )
     return spark.table(name)
+
+
+def pq_codes(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = ann.PQ_M,
+    ks: int = ann.PQ_KS,
+    stride: int = ann.PQ_STRIDE,
+) -> DataFrame:
+    """(vec_id, c0..c{M-1}) — the PQ code table, built ONCE by the
+    encode job (ann.pq_encode, FAISS IndexPQ.add analogue) and
+    persisted bucketed by vec_id. The ADC query path reads ONLY this
+    table — M small ints per vector — never the embeddings."""
+    name = _table_name("pq", sf_dir, f"m{m}k{ks}s{stride}")
+    if not spark.catalog.tableExists(name):
+        _drop_stale_location(spark, name)
+        emb = tables.load(spark, "embeddings", sf_dir)
+        ann.write_pq_codes(ann.pq_encode(emb, m=m, ks=ks, stride=stride), name)
+    return spark.table(name)

@@ -402,3 +402,167 @@ def ann_ivf_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the third ANN scale path (after LSH and
+# IVF): compress each vector to M sub-space code bytes at build time,
+# then answer queries from the code table alone via asymmetric
+# distance computation (ADC, Jégou et al. TPAMI'11). FAISS exposes the
+# same structure as IndexPQ/IndexIVFPQ; the reference stays with
+# IndexFlatIP (faiss_processing.py:17-22), so like LSH/IVF this is the
+# documented 100 TB alternative, with a recall-grid audit to govern it.
+#
+# Codebooks are DETERMINISTIC, like the IVF coarse quantizer: the
+# codebook for sub-space m is the m-th slice of the first KS
+# stride-spaced corpus vectors (k-means would drift between engines;
+# fixed sampling keeps the DuckDB oracle exact while the structure —
+# per-sub-space argmin encode, LUT + additive scoring — is the real PQ
+# dataflow).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # sub-spaces (64-d → 8 slices of 8 dims)
+PQ_KS = 16        # codes per sub-space (4-bit PQ)
+PQ_STRIDE = 31    # training vectors: vec_id ∈ {0, 31, ..., 31·(KS-1)}
+
+
+def pq_codebook(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    stride: int = PQ_STRIDE,
+) -> DataFrame:
+    """(m, code, cv) — the PQ codebook, read via a pushed-down id
+    filter (ks rows of one column) and exploded into M sub-slices.
+    Always broadcast-sized: M·KS rows of dim/M doubles."""
+    dsub = dim // m
+    train = emb.filter(
+        (F.col(id_col) % stride == 0) & (F.col(id_col) < ks * stride)
+    ).select(
+        F.floor(F.col(id_col) / stride).cast("int").alias("code"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    slices = [
+        F.struct(
+            F.lit(i).alias("m"),
+            F.slice("__v", i * dsub + 1, dsub).alias("cv"),
+        )
+        for i in range(m)
+    ]
+    return train.select("code", F.explode(F.array(*slices)).alias("e")).select(
+        "e.m", "code", "e.cv"
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    stride: int = PQ_STRIDE,
+) -> DataFrame:
+    """PQ BUILD job (FAISS `IndexPQ.add`): encode every vector as M
+    sub-space codes → one WIDE row (id, c0..c{M-1}). Persist this
+    (index_store.pq_codes) and the query path never touches the
+    vectors again — M bytes per vector at rest.
+
+    Plan: explode each vector into M sub-slices (M rows/vector), join
+    the broadcast codebook on `m` (KS-way fanout), then ONE map-side-
+    combined groupBy(id) computes all M argmins at once via
+    MIN(struct(dist, code)) — struct ordering gives the deterministic
+    (distance, code) tiebreak, and no window function appears anywhere
+    (a per-(id, m) row_number would shuffle the same rows for less)."""
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist
+
+    dsub = dim // m
+    cb = F.broadcast(pq_codebook(emb, id_col, vec_col, dim, m, ks, stride))
+    slices = [
+        F.struct(
+            F.lit(i).alias("m"),
+            F.slice(F.col(vec_col).cast("array<double>"), i * dsub + 1, dsub).alias(
+                "sub"
+            ),
+        )
+        for i in range(m)
+    ]
+    longf = ensure_min_partitions(emb).select(
+        F.col(id_col), F.explode(F.array(*slices)).alias("e")
+    ).select(id_col, "e.m", "e.sub")
+    d = l2_dist("sub", "cv")
+    paired = longf.join(cb, "m").select(
+        F.col(id_col),
+        F.col("m"),
+        F.col("code"),
+        (d * d).alias("__d2"),
+    )
+    aggs = [
+        F.min(F.when(F.col("m") == i, F.struct(F.col("__d2"), F.col("code"))))
+        .getField("code")
+        .alias(f"c{i}")
+        for i in range(m)
+    ]
+    return paired.groupBy(id_col).agg(*aggs)
+
+
+def write_pq_codes(codes: DataFrame, table_name: str, buckets: int = 32) -> None:
+    """Persist the code table bucketed by id — the at-rest PQ index
+    (M small ints per vector; 100 TB of 768-d floats become ~100 GB of
+    codes, which is the entire point)."""
+    (
+        codes.write.mode("overwrite")
+        .bucketBy(buckets, codes.columns[0])
+        .sortBy(codes.columns[0])
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def ann_pq_adc_topk(
+    emb: DataFrame,
+    codes: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    stride: int = PQ_STRIDE,
+    round_to: int | None = None,
+) -> DataFrame:
+    """PQ QUERY path (FAISS `IndexPQ.search`): asymmetric distance —
+    approx ||q - x||² = Σ_m ||q_m - cb[m, code_m(x)]||² — computed
+    entirely from the code table. The per-sub-space lookup tables are
+    KS-row broadcast DataFrames derived in-plan from the codebook, so
+    the executed plan is: narrow scan of (id, c0..c{M-1}) + M
+    broadcast hash joins (map-side, zero shuffle) + a projection sum +
+    TakeOrderedAndProject — no vector is read at query time. Returns
+    (id, approx_dist) ascending."""
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+
+    dim = len(query_vec)
+    dsub = dim // m
+    cb = pq_codebook(emb, id_col, "embedding", dim, m, ks, stride)
+    out = codes
+    for i in range(m):
+        qsub = lit_vec([float(x) for x in query_vec[i * dsub : (i + 1) * dsub]])
+        d = l2_dist("cv", qsub)
+        lut = cb.filter(F.col("m") == i).select(
+            F.col("code").alias(f"__code{i}"), (d * d).alias(f"__d{i}")
+        )
+        out = out.join(F.broadcast(lut), out[f"c{i}"] == lut[f"__code{i}"]).drop(
+            f"__code{i}"
+        )
+    score = F.col("__d0")
+    for i in range(1, m):
+        score = score + F.col(f"__d{i}")  # fixed left-to-right order, oracle-identical
+    if round_to is not None:
+        score = det_round(score, round_to)
+    return (
+        out.select(F.col(id_col), score.alias("approx_dist"))
+        .orderBy(F.asc("approx_dist"), F.asc(id_col))
+        .limit(k)
+    )

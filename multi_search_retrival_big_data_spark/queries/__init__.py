@@ -112,6 +112,8 @@ _PRIORITY = [
     "source_jsonl_roundtrip",
     "source_csv_roundtrip",
     "sink_partitioned_parquet_pruned",
+    "ann_pq_adc_topk",
+    "ann_pq_recall_grid",
     "skew_salted_join_lang",
     "ids_dense_enumeration_scalable",
     "ann_ivf_recall_grid",

@@ -512,3 +512,147 @@ def emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load(spark, "embeddings", sf_dir)
     return dense.label_centroid_norms(emb).orderBy("label")
+
+
+# --- Product quantization (PQ/ADC) -----------------------------------------
+
+_PQ_M, _PQ_KS, _PQ_STRIDE = ann.PQ_M, ann.PQ_KS, ann.PQ_STRIDE
+_PQ_DSUB = EMB_DIM // _PQ_M
+_PQ_K = 100
+_PQ_RECALL_K = 20
+_PQ_GRID_R = (50, 200)
+
+
+def _pq_sub(expr: str, i: int) -> str:
+    return f"{expr}[{i * _PQ_DSUB + 1}:{(i + 1) * _PQ_DSUB}]"
+
+
+def _pq_ctes() -> str:
+    """CTE chain: train → per-sub-space codebooks → per-sub-space
+    argmin encodes → wide code table → per-sub-space query LUTs —
+    mirroring ann.pq_codebook / pq_encode / ann_pq_adc_topk."""
+    parts = [
+        f"""train AS (
+      SELECT CAST(vec_id // {_PQ_STRIDE} AS INT) AS code, {_V} AS v
+      FROM embeddings
+      WHERE vec_id % {_PQ_STRIDE} = 0 AND vec_id < {_PQ_KS * _PQ_STRIDE}
+    )"""
+    ]
+    for i in range(_PQ_M):
+        qsub = sql_vec(QUERY_VEC[i * _PQ_DSUB : (i + 1) * _PQ_DSUB])
+        parts.append(
+            f"cb{i} AS (SELECT code, {_pq_sub('v', i)} AS cv FROM train)"
+        )
+        parts.append(
+            f"""e{i} AS (
+      SELECT e.vec_id, c.code,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance({_pq_sub(_V, i)}, c.cv) ASC, c.code ASC
+             ) AS rn
+      FROM embeddings e CROSS JOIN cb{i} c
+    )"""
+        )
+        parts.append(
+            f"lut{i} AS (SELECT code, (list_distance(cv, {qsub}) * list_distance(cv, {qsub})) AS d FROM cb{i})"
+        )
+    joins = " ".join(
+        f"JOIN e{i} ON e{i}.vec_id = e0.vec_id AND e{i}.rn = 1" for i in range(1, _PQ_M)
+    )
+    parts.append(
+        f"""codes AS (
+      SELECT e0.vec_id, {", ".join(f"e{i}.code AS c{i}" for i in range(_PQ_M))}
+      FROM e0 {joins}
+      WHERE e0.rn = 1
+    )"""
+    )
+    dist = " + ".join(f"l{i}.d" for i in range(_PQ_M))
+    lut_joins = " ".join(
+        f"JOIN lut{i} l{i} ON codes.c{i} = l{i}.code" for i in range(_PQ_M)
+    )
+    parts.append(
+        f"""adc AS (
+      SELECT codes.vec_id, {sql_det_round(dist)} AS approx_dist
+      FROM codes {lut_joins}
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_pq_ctes()}
+    SELECT vec_id, approx_dist FROM adc
+    ORDER BY approx_dist ASC, vec_id ASC LIMIT {_PQ_K}
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k (ann.ann_pq_adc_topk over the persisted
+    index_store.pq_codes table): the query answers from M code bytes
+    per vector — narrow code scan + M broadcast LUT joins + projection
+    sum + TakeOrderedAndProject; no vector IO, no shuffle. The third
+    ANN scale path after hyperplane LSH and IVF (FAISS IndexPQ;
+    the reference stays exact-flat, faiss_processing.py:17-22)."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    codes = index_store.pq_codes(spark, sf_dir)
+    return ann.ann_pq_adc_topk(emb, codes, QUERY_VEC, k=_PQ_K, round_to=6)
+
+
+@query(
+    "ann_pq_recall_grid",
+    oracle=f"""
+    WITH {_pq_ctes()},
+    adc_ranked AS (
+      SELECT vec_id, row_number() OVER (ORDER BY approx_dist ASC, vec_id ASC) AS rn
+      FROM adc
+    ),
+    exact AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY list_distance({_V}, {sql_vec(QUERY_VEC)}) ASC, vec_id ASC
+      LIMIT {_PQ_RECALL_K}
+    )
+    {" UNION ALL ".join(
+        f'''SELECT {r} AS r, {_PQ_RECALL_K} AS k,
+               (SELECT count(*) FROM adc_ranked a JOIN exact x ON a.vec_id = x.vec_id
+                WHERE a.rn <= {r}) AS hits,
+               (SELECT count(*) FROM adc_ranked a JOIN exact x ON a.vec_id = x.vec_id
+                WHERE a.rn <= {r}) / CAST({_PQ_RECALL_K} AS DOUBLE) AS recall'''
+        for r in _PQ_GRID_R
+    )}
+    ORDER BY r
+    """,
+)
+def ann_pq_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-candidate-count audit for the PQ path: for each
+    shortlist size R, how many of the exact-L2 top-{k} survive in the
+    ADC top-R — the measurement that governs a PQ rollout exactly as
+    ann_lsh_recall_grid / ann_ivf_recall_grid govern theirs (two-stage
+    PQ serving reranks the top-R shortlist exactly)."""
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    codes = index_store.pq_codes(spark, sf_dir)
+    exact = (
+        emb.select("vec_id", l2_dist("embedding", lit_vec(QUERY_VEC)).alias("__d"))
+        .orderBy(F.asc("__d"), F.asc("vec_id"))
+        .limit(_PQ_RECALL_K)
+        .select("vec_id")
+    )
+
+    def cfg_row(r: int) -> DataFrame:
+        cand = ann.ann_pq_adc_topk(emb, codes, QUERY_VEC, k=r, round_to=6).select(
+            "vec_id"
+        )
+        hits = cand.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
+        return hits.select(
+            F.lit(r).alias("r"),
+            F.lit(_PQ_RECALL_K).alias("k"),
+            F.col("hits"),
+            (F.col("hits").cast("double") / F.lit(float(_PQ_RECALL_K))).alias("recall"),
+        )
+
+    out = cfg_row(_PQ_GRID_R[0])
+    for r in _PQ_GRID_R[1:]:
+        out = out.union(cfg_row(r))
+    return out.orderBy("r")

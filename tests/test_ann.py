@@ -163,3 +163,51 @@ def test_ivf_stored_matches_inline(spark, sf_dir):
     a = ann.ann_ivf_topk(emb, q, k=20, round_to=6).collect()
     b = ann.ann_ivf_topk(emb, q, k=20, round_to=6, assign=assign).collect()
     assert [(r["vec_id"], r["score"]) for r in a] == [(r["vec_id"], r["score"]) for r in b]
+
+
+def test_pq_encode_wide_schema_and_code_range(spark, sf_dir):
+    from multi_search_retrival_big_data_spark import tables
+    from multi_search_retrival_big_data_spark.operators import ann
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    codes = ann.pq_encode(emb)
+    assert codes.columns == ["vec_id"] + [f"c{i}" for i in range(ann.PQ_M)]
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        for i in range(ann.PQ_M):
+            assert 0 <= r[f"c{i}"] < ann.PQ_KS
+
+
+def test_pq_training_vectors_encode_to_own_codes(spark, sf_dir):
+    """A training vector's sub-slices are at distance 0 from their own
+    codebook entry, so vector j*stride must encode to code j in every
+    sub-space."""
+    from multi_search_retrival_big_data_spark import tables
+    from multi_search_retrival_big_data_spark.operators import ann
+    from pyspark.sql import functions as F
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    codes = ann.pq_encode(emb).filter(
+        (F.col("vec_id") % ann.PQ_STRIDE == 0)
+        & (F.col("vec_id") < ann.PQ_KS * ann.PQ_STRIDE)
+    )
+    for r in codes.collect():
+        j = r["vec_id"] // ann.PQ_STRIDE
+        assert all(r[f"c{i}"] == j for i in range(ann.PQ_M)), r
+
+
+def test_pq_adc_no_shuffle_and_reads_code_table(spark, sf_dir):
+    from multi_search_retrival_big_data_spark import index_store, tables
+    from multi_search_retrival_big_data_spark.operators import ann
+    from multi_search_retrival_big_data_spark.queries.common import QUERY_VEC
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    codes = index_store.pq_codes(spark, sf_dir)
+    df = ann.ann_pq_adc_topk(emb, codes, QUERY_VEC, k=10, round_to=6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "msrbd_pq" in plan           # reads the persisted code table
+    assert "BroadcastHashJoin" in plan  # LUTs arrive by broadcast
+    # the only acceptable exchange is the broadcast itself — no
+    # hash-partition shuffle anywhere in the ADC path
+    assert "hashpartitioning" not in plan
