@@ -114,6 +114,7 @@ _PRIORITY = [
     "sink_partitioned_parquet_pruned",
     "ann_pq_adc_topk",
     "ann_pq_recall_grid",
+    "events_resample_hourly_gapfill",
     "skew_salted_join_lang",
     "ids_dense_enumeration_scalable",
     "ann_ivf_recall_grid",

@@ -379,3 +379,89 @@ def events_lag_lead_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "events_resample_hourly_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             count(*) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS hour_value
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+    grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM span),
+    types AS (SELECT DISTINCT event_type FROM events),
+    filled AS (
+      SELECT g.h, t.event_type,
+             coalesce(x.n_events, 0) AS n_events,
+             x.hour_value
+      FROM grid g CROSS JOIN types t
+      LEFT JOIN hourly x ON x.h = g.h AND x.event_type = t.event_type
+    )
+    SELECT h, event_type, n_events,
+           last_value(hour_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS UNBOUNDED PRECEDING
+           ) AS carried_value
+    FROM filled
+    ORDER BY event_type, h
+    """,
+)
+def events_resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: hourly per-type buckets densified onto
+    the full hour grid (missing hours appear with n_events = 0) with
+    the last observed hourly value carried forward — the
+    resample+ffill shape every metrics/feature pipeline needs and the
+    reference (a request/response engine) never had.
+
+    Plan: ONE aggregation builds the observed buckets; the hour grid
+    comes from exploding a 1-row min/max span (no driver round-trip);
+    densify = grid × type-dim (a deliberate small×small cartesian —
+    the dimension table IS the product space) left-joined to the
+    observed buckets; forward fill = last(ignorenulls) over a
+    per-type window. Hourly sums are quantized (1e-6), so the carried
+    values are engine-exact. At scale the window partitions by the
+    series key — bounded series cardinality is the operating
+    assumption, same as events_rank_percentiles."""
+    from pyspark.sql.window import Window
+
+    ev = tables.load(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("hour_value"),
+    )
+    span = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    grid = span.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    filled = (
+        grid.crossJoin(F.broadcast(types))
+        .join(hourly, ["h", "event_type"], "left")
+        .select(
+            "h",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "hour_value",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        filled.select(
+            "h",
+            "event_type",
+            "n_events",
+            F.last("hour_value", ignorenulls=True).over(w).alias("carried_value"),
+        )
+        .orderBy("event_type", "h")
+    )

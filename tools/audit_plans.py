@@ -46,6 +46,7 @@ SCALAR_BROADCAST_OK = {
     "sparse_batch_tfidf_topk",  # batched query-side scalar norms broadcast
     "skew_salted_join_lang",    # salted_join replicates the dim across shards BY DESIGN
     "sketch_kmv_distinct_tokens",  # 1-row sketch × 1-row exact-count scalar combine
+    "events_resample_hourly_gapfill",  # hour-grid × type-dim densify: the product space IS the output
 }
 
 
