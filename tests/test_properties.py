@@ -143,3 +143,63 @@ def test_quality_ratios_bounded(spark, texts):
     for r in ta.quality_features(docs, "doc_id", "text").collect():
         for c in ("word_char_ratio", "punct_ratio", "digit_ratio", "stopword_ratio", "quality"):
             assert -1e-9 <= r[c] <= 1.0 + 1e-9
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(edges=edge_lists)
+def test_connected_components_fixed_point_property(spark, edges):
+    """Every node's cluster_id is a member of its own cluster, is ≤ the
+    node id, and both endpoints of every edge share a cluster."""
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    for a, b in edges:
+        assert got[a] == got[b]
+    for node, cid in got.items():
+        assert cid <= node
+        assert got[cid] == cid  # the representative labels itself
+
+
+@SETTINGS
+@given(vals=st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=6), min_size=1, max_size=60))
+def test_kmv_exact_when_distinct_below_k(spark, vals):
+    """With fewer distinct values than k, the sketch degenerates to an
+    exact count of distinct hashes (k_min == |distinct|, modulo 32-bit
+    hash-prefix collisions which the md5 prefix makes negligible)."""
+    from multi_search_retrival_big_data_spark.operators import sampling
+
+    df = spark.createDataFrame([(v,) for v in vals], ["t"])
+    row = sampling.kmv_distinct(df, "t", 256).collect()[0]
+    assert row["k_min"] == len(set(vals))
+
+
+@SETTINGS
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=5, max_size=60, unique=True),
+    n=st.integers(1, 5),
+)
+def test_stratified_sample_is_hash_prefix(spark, ids, n):
+    """The n-per-stratum sample must be exactly the n hash-smallest ids
+    — i.e. a prefix of the md5 order, never an arbitrary subset."""
+    import hashlib
+
+    from multi_search_retrival_big_data_spark.operators import sampling
+
+    df = spark.createDataFrame([(i, "g") for i in ids], ["id", "grp"])
+    got = sorted(
+        r["id"] for r in sampling.stratified_sample(df, ["grp"], "id", n).collect()
+    )
+    expected = sorted(
+        sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:n]
+    )
+    assert got == expected
