@@ -67,68 +67,25 @@ _MODULES = [
 ]
 
 # The driver records a CORRECTNESS row for (at most) the first 50
-# registry entries per round. Round 1 proved entries 1-50 in module
-# order; these are the 24 that never got a driver row, plus every
-# query added in round 2 — they go FIRST so CORRECTNESS_r02 covers
-# them. The remainder keeps module registration order (all already
-# driver-green in CORRECTNESS_r01.json).
+# registry entries per round. Rounds 1+2 proved 100 distinct entries;
+# the 4 TPC-H queries below were registered in r2 but fell past the
+# 50-row window (positions 51-54), so they go FIRST this round,
+# followed by every query added in round 3. The remainder keeps module
+# registration order (all already driver-green in CORRECTNESS_r01/r02).
 _PRIORITY = [
-    # round-1 entries 51-74 (judge-verified locally, no driver row yet)
-    "profile_rollup_lang_source",
-    "profile_pivot_source_lang",
-    "text_simhash_fingerprints",
-    "text_simhash_near_dups",
-    "text_winnow_fingerprints",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_counts",
-    "text_bigram_lm_scores",
-    "ann_lsh_topk_cosine",
-    "emb_near_dup_exact",
-    "emb_near_dup_lsh",
-    "ann_ivf_topk_cosine",
-    "ann_recall_at_k",
-    "ann_lsh_recall_grid",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_fake_embedding",
-    "stream_tumbling_event_counts",
-    "stream_sliding_event_counts",
-    "session_window_stats",
-    "stream_stateful_user_counts",
-    "stream_attribution_join",
-    "events_json_props_agg",
-    # round-2 additions (new, never driver-checked)
-    "dedup_cluster_components",
-    "sample_hash_threshold",
-    "sample_stratified_per_lang",
-    "sketch_kmv_distinct_tokens",
-    "heavy_hitters_tokens",
-    "profile_cube_lang_source",
-    "events_rank_percentiles",
-    "sparse_tfidf_char_fallback",
-    "emb_label_centroid_norms",
-    "stream_dedup_event_counts",
-    "source_jsonl_roundtrip",
-    "source_csv_roundtrip",
-    "sink_partitioned_parquet_pruned",
-    "ann_pq_adc_topk",
-    "ann_pq_recall_grid",
-    "events_resample_hourly_gapfill",
-    "skew_salted_join_lang",
-    "ids_dense_enumeration_scalable",
-    "ann_ivf_recall_grid",
-    "fusion_dual_model_true",
-    "fusion_dual_model_dim_fallback",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_parts",
+    # round-2 entries 51-54 (judge-verified locally, no driver row yet)
     "tpch_q12_late_shipments",
     "tpch_q16_supplier_part_counts",
     "tpch_q20_dominant_suppliers",
     "tpch_q21_waiting_suppliers",
+    # round-3 additions (new, never driver-checked)
+    "ann_pq_rerank_topk",
+    "ann_pq_rerank_recall_grid",
+    "index_incremental_update_parity",
+    "ann_ivf_trained_recall_grid",
+    "ann_pq_trained_recall_grid",
+    "dedup_cluster_components_lss",
+    "sketch_kmv_distinct_tokens",  # estimator fixed this round → re-prove
 ]
 
 
