@@ -295,6 +295,7 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.select(F.col("node").alias("src"), "label"), "src")
@@ -318,6 +319,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # min-label propagation needs ~diameter rounds; a deep chain can
+        # exhaust max_iter and the partial labels would be silently wrong
+        # (nodes not yet holding their component's minimum). Fail loudly —
+        # callers on adversarial graphs should raise max_iter or use
+        # connected_components_lss (large-star/small-star).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or use "
+            "connected_components_lss for deep-chain graphs"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -75,10 +75,14 @@ def kmv_distinct(values: DataFrame, col: str, k: int) -> DataFrame:
     """KMV distinct-count sketch over a value column (duplicates
     allowed) → ONE row (k_min, kth_hash, est_distinct). est =
     (k-1) · 2³² / kth_hash where kth_hash is the k-th smallest distinct
-    32-bit hash value. The distinct-hash reduction is a map-side
-    partial agg (shuffle volume = distinct hashes, not rows); the
-    k-minimum merge is TakeOrdered — only k·partitions hash values
-    move."""
+    32-bit hash value. When the sketch is underfilled (fewer than k
+    distinct hashes survive) the estimator degenerates — standard KMV
+    then returns the exact count k_min; likewise if kth_hash is 0 (the
+    lone minimum hash is the zero value) the ratio would divide by
+    zero, so the exact branch takes over. The distinct-hash reduction
+    is a map-side partial agg (shuffle volume = distinct hashes, not
+    rows); the k-minimum merge is TakeOrdered — only k·partitions hash
+    values move."""
     # single-column distinct compiles to a hash aggregate with map-side
     # partial aggregation — shuffle volume is distinct hashes, not rows
     vals = values.select(shingle_int_value(F.col(col)).alias("v")).distinct()
@@ -89,11 +93,16 @@ def kmv_distinct(values: DataFrame, col: str, k: int) -> DataFrame:
     ).select(
         "k_min",
         "kth_hash",
-        (
+        F.when(
+            (F.col("k_min") < F.lit(k)) | (F.col("kth_hash") <= F.lit(0)),
+            F.col("k_min").cast("double"),
+        )
+        .otherwise(
             (F.col("k_min") - F.lit(1)).cast("double")
             * F.lit(HASH_SPACE)
             / F.col("kth_hash").cast("double")
-        ).alias("est_distinct"),
+        )
+        .alias("est_distinct"),
     )
 
 

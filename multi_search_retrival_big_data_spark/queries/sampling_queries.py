@@ -93,12 +93,20 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (SELECT DISTINCT {_sql_v("token")} AS v FROM tok),
     small AS (SELECT v FROM v ORDER BY v LIMIT {KMV_K}),
     kagg AS (SELECT count(*) AS k_min, max(v) AS kth_hash FROM small),
+    est AS (
+      SELECT k_min, kth_hash,
+             CASE WHEN k_min < {KMV_K} OR kth_hash <= 0
+                  THEN CAST(k_min AS DOUBLE)
+                  ELSE (k_min - 1) * 4294967296.0 / kth_hash
+             END AS est
+      FROM kagg
+    ),
     ex AS (SELECT count(*) AS exact_distinct FROM tok)
     SELECT k_min, kth_hash,
-           {sql_det_round("(k_min - 1) * 4294967296.0 / kth_hash")} AS est_distinct,
+           {sql_det_round("est")} AS est_distinct,
            exact_distinct,
-           {sql_det_round("abs((k_min - 1) * 4294967296.0 / kth_hash - exact_distinct) / exact_distinct")} AS rel_error
-    FROM kagg, ex
+           {sql_det_round("abs(est - exact_distinct) / exact_distinct")} AS rel_error
+    FROM est, ex
     ORDER BY k_min
     """,
 )
@@ -117,11 +125,11 @@ def sketch_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = toks.select("token").distinct().agg(
         F.count(F.lit(1)).alias("exact_distinct")
     )
-    est = (F.col("k_min") - F.lit(1)).cast("double") * F.lit(
-        sampling.HASH_SPACE
-    ) / F.col("kth_hash").cast("double")
+    est = F.col("est_distinct_raw")
     return (
-        sketch.select("k_min", "kth_hash")
+        sketch.select(
+            "k_min", "kth_hash", F.col("est_distinct").alias("est_distinct_raw")
+        )
         .crossJoin(F.broadcast(exact))  # 1-row × 1-row scalar combine
         .select(
             "k_min",

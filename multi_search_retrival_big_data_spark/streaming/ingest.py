@@ -8,9 +8,11 @@ Trigger.AvailableNow and returns the final result as a batch
 DataFrame — which is what lets the driver's DuckDB oracle verify a
 REAL streaming execution value-for-value.
 
-The events parquet stores TIMESTAMP(NANOS); like tables._load_events,
-the stream reads nanos as LONG and truncates to microseconds
-(identical to DuckDB's ns→us truncation).
+The events parquet has shipped as TIMESTAMP(NANOS) in some testdata
+generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others
+(see tables._load_events); the stream peeks the parquet footer with a
+batch read and picks the matching source schema + ts conversion, so
+both layouts produce the identical session-TZ timestamp column.
 """
 
 from __future__ import annotations
@@ -21,15 +23,19 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampType
 
-EVENTS_RAW_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+_EVENTS_SCHEMA_TMPL = (
+    "event_id BIGINT, ts {ts_type}, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed in newer Spark → nanos files unsupported there
     # FileStreamSource wants a directory it can watch for appended
     # files; the driver ships a single parquet file, so stage a
     # symlink into a temp "landing" directory — exactly the layout an
@@ -38,12 +44,26 @@ def read_event_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> Data
     # dedup stage must absorb (each copy is a separate source file, so
     # duplicates arrive across micro-batch boundaries too).
     src = os.path.join(sf_dir, "events.parquet")
+    # footer peek (batch read plans only the schema; no data scan)
+    ts_type = spark.read.parquet(src).schema["ts"].dataType
     landing = tempfile.mkdtemp(prefix="events_stream_")
     for i in range(copies):
         os.symlink(src, os.path.join(landing, f"events_{i}.parquet"))
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(landing)
-    # `div` (integer division) — double `/ 1000` can round up 1µs
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, LongType):
+        raw = spark.readStream.schema(
+            _EVENTS_SCHEMA_TMPL.format(ts_type="BIGINT")
+        ).parquet(landing)
+        # `div` (integer division) — double `/ 1000` can round up 1µs
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(ts_type, TimestampType):
+        raw = spark.readStream.schema(
+            _EVENTS_SCHEMA_TMPL.format(ts_type="TIMESTAMP_NTZ")
+        ).parquet(landing)
+        # identity wall-clock under the UTC session timezone
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return spark.readStream.schema(
+        _EVENTS_SCHEMA_TMPL.format(ts_type="TIMESTAMP")
+    ).parquet(landing)
 
 
 def run_to_memory(

@@ -41,16 +41,29 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; read nanos as LONG and truncate to
-    microseconds (identical to DuckDB's ns→us truncation)."""
+    """events.parquet has shipped as TIMESTAMP(NANOS) in some testdata
+    generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others.
+    Handle both: NANOS is read as LONG (legacy conf) and truncated to
+    microseconds (identical to DuckDB's ns→us truncation); MICROS-NTZ
+    arrives as timestamp_ntz and is cast to session-TZ timestamp
+    (identity wall-clock under the UTC session, see session.py) so
+    downstream watermarks/windows see one consistent type."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed in newer Spark → nanos files unsupported there
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # integer division — a double `/ 1000` can round UP across a
-    # microsecond boundary, drifting 1µs from DuckDB's exact truncation
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # integer division — a double `/ 1000` can round UP across a
+        # microsecond boundary, drifting 1µs from DuckDB's truncation
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(ts_type, TimestampType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
