@@ -566,3 +566,65 @@ def ann_pq_adc_topk(
         .orderBy(F.asc("approx_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+PQ_RERANK_SHORTLIST = 200
+
+
+def ann_pq_rerank_topk(
+    emb: DataFrame,
+    codes: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    shortlist: int = PQ_RERANK_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    stride: int = PQ_STRIDE,
+    round_to: int | None = None,
+    shortlist_round_to: int | None = None,
+) -> DataFrame:
+    """Two-stage PQ serving (the standard ADC deployment shape, FAISS
+    `IndexPQ.search` + refine / IndexRefineFlat): stage 1 shortlists
+    `shortlist` ids from the code table alone (ann_pq_adc_topk — M-byte
+    rows, zero vector IO); stage 2 re-ranks ONLY the shortlist by exact
+    L2 against the stored vectors. Returns (id, dist) ascending.
+
+    Scale shape: the shortlist is k-bounded (hundreds of rows), so it
+    broadcasts and the exact stage is a broadcast-semi-pruned scan of
+    the embeddings — at rest the embeddings table is id-bucketed, so
+    the fetch touches |shortlist| bucket rows, not the corpus. Within
+    the shortlist the re-rank is exact, so recall@k equals shortlist
+    recall — the ann_pq_rerank_recall_grid query measures exactly that
+    curve against the exact scan (reference analogue: the exact FAISS
+    flat scan, faiss_processing.py:17-22, applied to a candidate set).
+    `round_to` rounds the final exact distance; `shortlist_round_to`
+    (default: same as round_to) rounds the stage-1 ADC ranking — the
+    two are separate because an oracle comparison may need the
+    shortlist deterministic but the re-rank raw.
+    """
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist
+
+    if shortlist_round_to is None:
+        shortlist_round_to = round_to
+    short = ann_pq_adc_topk(
+        emb,
+        codes,
+        query_vec,
+        k=shortlist,
+        id_col=id_col,
+        m=m,
+        ks=ks,
+        stride=stride,
+        round_to=shortlist_round_to,
+    ).select(id_col)
+    d = l2_dist(vec_col, lit_vec(query_vec))
+    if round_to is not None:
+        d = det_round(d, round_to)
+    return (
+        emb.join(F.broadcast(short), id_col, "left_semi")
+        .select(F.col(id_col), d.alias("dist"))
+        .orderBy(F.asc("dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -548,7 +548,8 @@ def _pq_ctes() -> str:
       SELECT e.vec_id, c.code,
              row_number() OVER (
                PARTITION BY e.vec_id
-               ORDER BY list_distance({_pq_sub(_V, i)}, c.cv) ASC, c.code ASC
+               ORDER BY (list_distance({_pq_sub(_V, i)}, c.cv)
+                         * list_distance({_pq_sub(_V, i)}, c.cv)) ASC, c.code ASC
              ) AS rn
       FROM embeddings e CROSS JOIN cb{i} c
     )"""
@@ -656,3 +657,100 @@ def ann_pq_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in _PQ_GRID_R[1:]:
         out = out.union(cfg_row(r))
     return out.orderBy("r")
+
+
+# --- Two-stage PQ: ADC shortlist → exact re-rank ---------------------------
+
+_PQ_RERANK_K = 50
+_PQ_RERANK_R = ann.PQ_RERANK_SHORTLIST
+_PQ_RERANK_GRID_R = (50, 200, 400, 800)
+
+
+@query(
+    "ann_pq_rerank_topk",
+    oracle=f"""
+    WITH {_pq_ctes()},
+    short AS (
+      SELECT vec_id FROM adc ORDER BY approx_dist ASC, vec_id ASC LIMIT {_PQ_RERANK_R}
+    )
+    SELECT e.vec_id,
+           {sql_det_round(f"list_distance({_V}, {sql_vec(QUERY_VEC)})")} AS dist
+    FROM embeddings e JOIN short USING (vec_id)
+    ORDER BY dist ASC, e.vec_id ASC LIMIT {_PQ_RERANK_K}
+    """,
+)
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT PQ serving query: ADC shortlist of {R} from the
+    persisted code table (no vector IO), exact-L2 re-rank of the
+    shortlist only (ann.ann_pq_rerank_topk) — recall@k becomes
+    shortlist recall (see ann_pq_rerank_recall_grid) at the cost of
+    |shortlist| exact distance folds instead of |corpus|."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    codes = index_store.pq_codes(spark, sf_dir)
+    return ann.ann_pq_rerank_topk(
+        emb, codes, QUERY_VEC, k=_PQ_RERANK_K, shortlist=_PQ_RERANK_R, round_to=6
+    )
+
+
+@query(
+    "ann_pq_rerank_recall_grid",
+    oracle=f"""
+    WITH {_pq_ctes()},
+    adc_ranked AS (
+      SELECT vec_id, row_number() OVER (ORDER BY approx_dist ASC, vec_id ASC) AS rn
+      FROM adc
+    ),
+    exact AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY list_distance({_V}, {sql_vec(QUERY_VEC)}) ASC, vec_id ASC
+      LIMIT {_PQ_RERANK_K}
+    )
+    {" UNION ALL ".join(
+        f'''SELECT {r} AS shortlist, {_PQ_RERANK_K} AS k,
+               (SELECT count(*) FROM adc_ranked a JOIN exact x ON a.vec_id = x.vec_id
+                WHERE a.rn <= {r}) AS hits,
+               (SELECT count(*) FROM adc_ranked a JOIN exact x ON a.vec_id = x.vec_id
+                WHERE a.rn <= {r}) / CAST({_PQ_RERANK_K} AS DOUBLE) AS recall'''
+        for r in _PQ_RERANK_GRID_R
+    )}
+    ORDER BY shortlist
+    """,
+)
+def ann_pq_rerank_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the two-stage PQ query per shortlist size — since
+    the second stage re-ranks exactly, recall@k IS the shortlist's
+    coverage of the exact top-k, so this grid directly prices the
+    shortlist-size knob (the FAISS `k_factor` sweep for IndexRefineFlat).
+    One row per config: (shortlist, k, hits, recall)."""
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    codes = index_store.pq_codes(spark, sf_dir)
+    exact = (
+        emb.select("vec_id", l2_dist("embedding", lit_vec(QUERY_VEC)).alias("__d"))
+        .orderBy(F.asc("__d"), F.asc("vec_id"))
+        .limit(_PQ_RERANK_K)
+        .select("vec_id")
+    )
+
+    def cfg_row(r: int) -> DataFrame:
+        # round_to=None: the re-rank must order by the RAW distance here
+        # so its top-k equals shortlist∩exact-top-k set-wise (the oracle
+        # counts shortlist membership); 1e-6-rounded ties at the k
+        # boundary could otherwise swap one boundary member by id
+        reranked = ann.ann_pq_rerank_topk(
+            emb, codes, QUERY_VEC, k=_PQ_RERANK_K, shortlist=r,
+            round_to=None, shortlist_round_to=6,
+        ).select("vec_id")
+        hits = reranked.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
+        return hits.select(
+            F.lit(r).alias("shortlist"),
+            F.lit(_PQ_RERANK_K).alias("k"),
+            F.col("hits"),
+            (F.col("hits").cast("double") / F.lit(float(_PQ_RERANK_K))).alias("recall"),
+        )
+
+    out = cfg_row(_PQ_RERANK_GRID_R[0])
+    for r in _PQ_RERANK_GRID_R[1:]:
+        out = out.union(cfg_row(r))
+    return out.orderBy("shortlist")

@@ -11,7 +11,9 @@ corruption of ANY row fails the hash compare, not just row counts.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,8 +54,18 @@ def _roundtrip_agg(df: DataFrame) -> DataFrame:
     )
 
 
+_TMP_ROOT: str | None = None
+
+
 def _tmp(kind: str) -> str:
-    return os.path.join(tempfile.mkdtemp(prefix=f"src_{kind}_"), "docs")
+    """One session-scoped temp root, removed at interpreter exit —
+    repeated runs overwrite the same per-kind path (all sinks write
+    mode=overwrite) instead of leaking a corpus copy per execution."""
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        _TMP_ROOT = tempfile.mkdtemp(prefix="src_roundtrip_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+    return os.path.join(_TMP_ROOT, kind, "docs")
 
 
 @query("source_jsonl_roundtrip", oracle=_ROUNDTRIP_ORACLE)
