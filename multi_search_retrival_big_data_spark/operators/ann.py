@@ -425,6 +425,15 @@ PQ_M = 8          # sub-spaces (64-d → 8 slices of 8 dims)
 PQ_KS = 16        # codes per sub-space (4-bit PQ)
 PQ_STRIDE = 31    # training vectors: vec_id ∈ {0, 31, ..., 31·(KS-1)}
 
+# Lloyd-TRAINED PQ configuration (index_store.pq_trained): finer
+# sub-spaces + a larger trained codebook. Measured on the sf0.01 grid:
+# the M=8/KS=16 stride default tops out at recall@50 ≈ 0.86 with a
+# 200-row shortlist; M=16/KS=32 + 2 Lloyd rounds reaches 1.00 — still
+# only 16 small ints per vector at rest.
+PQT_M = 16
+PQT_KS = 32
+PQT_STRIDE = 15   # 32 seeds need ks·stride = 480 ≤ |corpus|
+
 
 def pq_codebook(
     emb: DataFrame,
@@ -465,6 +474,8 @@ def pq_encode(
     m: int = PQ_M,
     ks: int = PQ_KS,
     stride: int = PQ_STRIDE,
+    codebook: DataFrame | None = None,
+    squared: bool = True,
 ) -> DataFrame:
     """PQ BUILD job (FAISS `IndexPQ.add`): encode every vector as M
     sub-space codes → one WIDE row (id, c0..c{M-1}). Persist this
@@ -476,11 +487,21 @@ def pq_encode(
     combined groupBy(id) computes all M argmins at once via
     MIN(struct(dist, code)) — struct ordering gives the deterministic
     (distance, code) tiebreak, and no window function appears anywhere
-    (a per-(id, m) row_number would shuffle the same rows for less)."""
+    (a per-(id, m) row_number would shuffle the same rows for less).
+
+    `codebook` overrides the default stride-sampled codebook with any
+    (m, code, cv) table — e.g. the Lloyd-trained one from
+    operators/kmeans.py. `squared=False` ranks by the unsquared
+    distance (kmeans._assign_sub / the trained oracle's ORDER BY
+    list_distance); the default squared ranking matches the stride
+    oracle. Same argmin either way except ulp-level ties — the rank
+    expression just has to MATCH the oracle's spelling."""
     from multi_search_retrival_big_data_spark.functions.vector import l2_dist
 
     dsub = dim // m
-    cb = F.broadcast(pq_codebook(emb, id_col, vec_col, dim, m, ks, stride))
+    if codebook is None:
+        codebook = pq_codebook(emb, id_col, vec_col, dim, m, ks, stride)
+    cb = F.broadcast(codebook)
     slices = [
         F.struct(
             F.lit(i).alias("m"),
@@ -498,7 +519,7 @@ def pq_encode(
         F.col(id_col),
         F.col("m"),
         F.col("code"),
-        (d * d).alias("__d2"),
+        ((d * d) if squared else d).alias("__d2"),
     )
     aggs = [
         F.min(F.when(F.col("m") == i, F.struct(F.col("__d2"), F.col("code"))))
@@ -532,6 +553,7 @@ def ann_pq_adc_topk(
     ks: int = PQ_KS,
     stride: int = PQ_STRIDE,
     round_to: int | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """PQ QUERY path (FAISS `IndexPQ.search`): asymmetric distance —
     approx ||q - x||² = Σ_m ||q_m - cb[m, code_m(x)]||² — computed
@@ -545,7 +567,11 @@ def ann_pq_adc_topk(
 
     dim = len(query_vec)
     dsub = dim // m
-    cb = pq_codebook(emb, id_col, "embedding", dim, m, ks, stride)
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(emb, id_col, "embedding", dim, m, ks, stride)
+    )
     out = codes
     for i in range(m):
         qsub = lit_vec([float(x) for x in query_vec[i * dsub : (i + 1) * dsub]])
@@ -584,6 +610,7 @@ def ann_pq_rerank_topk(
     stride: int = PQ_STRIDE,
     round_to: int | None = None,
     shortlist_round_to: int | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage PQ serving (the standard ADC deployment shape, FAISS
     `IndexPQ.search` + refine / IndexRefineFlat): stage 1 shortlists
@@ -618,6 +645,7 @@ def ann_pq_rerank_topk(
         ks=ks,
         stride=stride,
         round_to=shortlist_round_to,
+        codebook=codebook,
     ).select(id_col)
     d = l2_dist(vec_col, lit_vec(query_vec))
     if round_to is not None:

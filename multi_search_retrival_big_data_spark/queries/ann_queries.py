@@ -604,11 +604,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_pq_recall_grid",
     oracle=f"""
     WITH {_pq_ctes()},
-    adc_ranked AS (
+    adc_ranked AS MATERIALIZED (
       SELECT vec_id, row_number() OVER (ORDER BY approx_dist ASC, vec_id ASC) AS rn
       FROM adc
     ),
-    exact AS (
+    exact AS MATERIALIZED (
       SELECT vec_id FROM embeddings
       ORDER BY list_distance({_V}, {sql_vec(QUERY_VEC)}) ASC, vec_id ASC
       LIMIT {_PQ_RECALL_K}
@@ -696,11 +696,11 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_pq_rerank_recall_grid",
     oracle=f"""
     WITH {_pq_ctes()},
-    adc_ranked AS (
+    adc_ranked AS MATERIALIZED (
       SELECT vec_id, row_number() OVER (ORDER BY approx_dist ASC, vec_id ASC) AS rn
       FROM adc
     ),
-    exact AS (
+    exact AS MATERIALIZED (
       SELECT vec_id FROM embeddings
       ORDER BY list_distance({_V}, {sql_vec(QUERY_VEC)}) ASC, vec_id ASC
       LIMIT {_PQ_RERANK_K}
@@ -754,3 +754,286 @@ def ann_pq_rerank_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in _PQ_RERANK_GRID_R[1:]:
         out = out.union(cfg_row(r))
     return out.orderBy("shortlist")
+
+
+# --- Lloyd-trained quantizers (operators/kmeans.py, kmeans_sql.py) ---------
+
+from multi_search_retrival_big_data_spark.queries.kmeans_sql import (  # noqa: E402
+    KEM_CTE,
+    ivf_lloyd_ctes,
+    pq_lloyd_ctes,
+)
+
+_KM_ITERS = 2
+
+_IVF_TRAIN_CTES, _IVF_TRAIN_FINAL = ivf_lloyd_ctes(_STRIDE, EMB_DIM, _KM_ITERS)
+
+
+def _ivf_trained_grid_cfg_sql(nprobe: int) -> str:
+    return f"""
+    SELECT {nprobe} AS nprobe, {_RECALL_K} AS k,
+           (SELECT count(*) FROM tassign a
+            JOIN (SELECT cid FROM tcent ORDER BY {_l2_sql('cv', sql_vec(QUERY_VEC))}, cid
+                  LIMIT {nprobe}) p USING (cid)) AS candidates,
+           (SELECT count(*) FROM (
+              SELECT vec_id FROM (
+                SELECT e.vec_id, {sql_det_round(_cos_sql(_V, sql_vec(QUERY_VEC)))} AS score
+                FROM embeddings e
+                JOIN (SELECT a.vec_id FROM tassign a
+                      JOIN (SELECT cid FROM tcent ORDER BY {_l2_sql('cv', sql_vec(QUERY_VEC))}, cid
+                            LIMIT {nprobe}) p USING (cid)) c USING (vec_id)
+                ORDER BY score DESC, e.vec_id LIMIT {_RECALL_K}) t
+              JOIN exact USING (vec_id)) h) AS hits"""
+
+
+@query(
+    "ann_ivf_trained_recall_grid",
+    oracle=f"""
+    WITH {KEM_CTE},
+    {_IVF_TRAIN_CTES},
+    tcent AS MATERIALIZED (SELECT cid, cv FROM {_IVF_TRAIN_FINAL}),
+    tassign AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.cv) ASC, c.cid ASC
+               ) AS rn
+        FROM kem e CROSS JOIN tcent c
+      ) WHERE rn = 1
+    ),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, {sql_det_round(_cos_sql(_V, sql_vec(QUERY_VEC)))} AS score
+        FROM embeddings ORDER BY score DESC, vec_id LIMIT {_RECALL_K})
+    ),
+    grid AS (
+      {" UNION ALL ".join(_ivf_trained_grid_cfg_sql(p) for p in _IVF_GRID_NPROBE)}
+    )
+    SELECT nprobe, k, candidates, hits,
+           CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall
+    FROM grid ORDER BY nprobe
+    """,
+)
+def ann_ivf_trained_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall-vs-nprobe sweep under Lloyd-TRAINED coarse
+    centroids (kmeans.train_lloyd, FAISS IndexIVFFlat.train analogue) —
+    comparable row-for-row with ann_ivf_recall_grid's stride-sampled
+    centroids, so trained-vs-stride recall at equal probe cost is read
+    straight off the two grids. Spark reads the PERSISTED trained
+    centroid + inverted-list tables (index_store.ivf_trained); the
+    oracle re-derives the training from the raw corpus (possible
+    because every Lloyd step is engine-portable — see
+    operators/kmeans.py) and doubles as a staleness check on the
+    stored model."""
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+    from multi_search_retrival_big_data_spark.operators import dense
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    cent_df, assign = index_store.ivf_trained(spark, sf_dir, iters=_KM_ITERS)
+    exact = dense.topk_cosine(emb, QUERY_VEC, k=_RECALL_K, round_to=6).select("vec_id")
+    score = None
+
+    def cfg_row(nprobe: int) -> DataFrame:
+        probed = (
+            cent_df.select("cid", l2_dist("cv", lit_vec(QUERY_VEC)).alias("__d"))
+            .orderBy(F.asc("__d"), F.asc("cid"))
+            .limit(nprobe)
+            .select("cid")
+        )
+        cand = assign.join(F.broadcast(probed), "cid")
+        n_cand = cand.agg(F.count(F.lit(1)).alias("candidates"))
+        from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
+        from multi_search_retrival_big_data_spark.functions.rounding import det_round
+
+        topk = (
+            emb.join(cand.select("vec_id"), "vec_id", "left_semi")
+            .select(
+                "vec_id",
+                det_round(cosine_sim("embedding", lit_vec(QUERY_VEC)), 6).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(_RECALL_K)
+        )
+        n_hits = (
+            topk.select("vec_id")
+            .join(exact, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        return n_cand.crossJoin(n_hits).select(
+            F.lit(nprobe).alias("nprobe"),
+            F.lit(_RECALL_K).alias("k"),
+            F.col("candidates"),
+            F.col("hits"),
+            (F.col("hits").cast("double") / F.lit(float(_RECALL_K))).alias("recall"),
+        )
+
+    out = cfg_row(_IVF_GRID_NPROBE[0])
+    for p in _IVF_GRID_NPROBE[1:]:
+        out = out.union(cfg_row(p))
+    return out.orderBy("nprobe")
+
+
+_PQT_M, _PQT_KS, _PQT_STRIDE = ann.PQT_M, ann.PQT_KS, ann.PQT_STRIDE
+_PQT_DSUB = EMB_DIM // _PQT_M
+
+_PQ_TRAIN_CTES, _PQ_TRAIN_FINALS = pq_lloyd_ctes(
+    _PQT_M, _PQT_KS, _PQT_STRIDE, EMB_DIM, _KM_ITERS
+)
+
+
+def _pq_trained_ctes() -> str:
+    """Trained-codebook encode + ADC CTEs: ranks sub-space codes by
+    UNSQUARED list_distance (matching kmeans._assign_sub's (d, code)
+    struct-min, which the persisted trained code table was built
+    with), unlike the stride path's squared pq_encode ranking."""
+    parts = []
+    for i in range(_PQT_M):
+        lo, hi = i * _PQT_DSUB + 1, (i + 1) * _PQT_DSUB
+        qsub = sql_vec(QUERY_VEC[i * _PQT_DSUB : (i + 1) * _PQT_DSUB])
+        parts.append(
+            f"""te{i} AS (
+      SELECT e.vec_id, c.code,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.v[{lo}:{hi}], c.cv) ASC, c.code ASC
+             ) AS rn
+      FROM kem e CROSS JOIN {_PQ_TRAIN_FINALS[i]} c
+    )"""
+        )
+        parts.append(
+            f"tlut{i} AS (SELECT code, (list_distance(cv, {qsub}) * list_distance(cv, {qsub})) AS d FROM {_PQ_TRAIN_FINALS[i]})"
+        )
+    joins = " ".join(
+        f"JOIN te{i} ON te{i}.vec_id = te0.vec_id AND te{i}.rn = 1"
+        for i in range(1, _PQT_M)
+    )
+    parts.append(
+        f"""tcodes AS (
+      SELECT te0.vec_id, {", ".join(f"te{i}.code AS c{i}" for i in range(_PQT_M))}
+      FROM te0 {joins}
+      WHERE te0.rn = 1
+    )"""
+    )
+    dist = " + ".join(f"l{i}.d" for i in range(_PQT_M))
+    lut_joins = " ".join(
+        f"JOIN tlut{i} l{i} ON tcodes.c{i} = l{i}.code" for i in range(_PQT_M)
+    )
+    parts.append(
+        f"""tadc AS (
+      SELECT tcodes.vec_id, {sql_det_round(dist)} AS approx_dist
+      FROM tcodes {lut_joins}
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "ann_pq_trained_recall_grid",
+    oracle=f"""
+    WITH {KEM_CTE},
+    {_PQ_TRAIN_CTES},
+    {_pq_trained_ctes()},
+    adc_ranked AS MATERIALIZED (
+      SELECT vec_id, row_number() OVER (ORDER BY approx_dist ASC, vec_id ASC) AS rn
+      FROM tadc
+    ),
+    exact AS MATERIALIZED (
+      SELECT vec_id FROM embeddings
+      ORDER BY list_distance({_V}, {sql_vec(QUERY_VEC)}) ASC, vec_id ASC
+      LIMIT {_PQ_RERANK_K}
+    )
+    {" UNION ALL ".join(
+        f'''SELECT {r} AS shortlist, {_PQ_RERANK_K} AS k,
+               (SELECT count(*) FROM adc_ranked a JOIN exact x ON a.vec_id = x.vec_id
+                WHERE a.rn <= {r}) AS hits,
+               (SELECT count(*) FROM adc_ranked a JOIN exact x ON a.vec_id = x.vec_id
+                WHERE a.rn <= {r}) / CAST({_PQ_RERANK_K} AS DOUBLE) AS recall'''
+        for r in _PQ_RERANK_GRID_R
+    )}
+    ORDER BY shortlist
+    """,
+)
+def ann_pq_trained_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the two-stage PQ query per shortlist size, with
+    Lloyd-TRAINED sub-space codebooks (kmeans.train_lloyd_pq, FAISS
+    IndexPQ.train analogue) — row-for-row comparable with
+    ann_pq_rerank_recall_grid's stride codebooks: the trained cells
+    should lift shortlist coverage at every R. Spark reads the
+    PERSISTED trained codebook + code tables (index_store.pq_trained);
+    the oracle re-trains from the raw corpus in CTEs (bit-parity, see
+    operators/kmeans.py) — also a staleness check on the stored
+    model."""
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    book_df, codes = index_store.pq_trained(spark, sf_dir, iters=_KM_ITERS)
+    exact = (
+        emb.select("vec_id", l2_dist("embedding", lit_vec(QUERY_VEC)).alias("__d"))
+        .orderBy(F.asc("__d"), F.asc("vec_id"))
+        .limit(_PQ_RERANK_K)
+        .select("vec_id")
+    )
+
+    def cfg_row(r: int) -> DataFrame:
+        reranked = ann.ann_pq_rerank_topk(
+            emb, codes, QUERY_VEC, k=_PQ_RERANK_K, shortlist=r, m=_PQT_M,
+            round_to=None, shortlist_round_to=6, codebook=book_df,
+        ).select("vec_id")
+        hits = reranked.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
+        return hits.select(
+            F.lit(r).alias("shortlist"),
+            F.lit(_PQ_RERANK_K).alias("k"),
+            F.col("hits"),
+            (F.col("hits").cast("double") / F.lit(float(_PQ_RERANK_K))).alias("recall"),
+        )
+
+    out = cfg_row(_PQ_RERANK_GRID_R[0])
+    for r in _PQ_RERANK_GRID_R[1:]:
+        out = out.union(cfg_row(r))
+    return out.orderBy("shortlist")
+
+
+# --- incremental index maintenance parity ----------------------------------
+
+_INCR_BASE = "vec_id < 400"
+_INCR_DELTA = "vec_id >= 400"
+
+
+@query(
+    "index_incremental_update_parity",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, {_sig_sql(_V)} AS s FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, CAST(b AS INTEGER) AS band,
+             substring(s, CAST(b AS INTEGER) * {_ROWS} + 1, {_ROWS}) AS bval
+      FROM sig, unnest(range(0, {ann.ANN_BANDS})) AS t(b)
+    )
+    SELECT band, bval, count(*) AS n_vecs, CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+    FROM banded GROUP BY band, bval
+    ORDER BY band, bval
+    """,
+)
+def index_incremental_update_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance proof: the LSH band table is built
+    from the base corpus slice ({base}), the delta slice ({delta}) is
+    APPENDED partition-wise (index_store.lsh_bands_incremental — band
+    rows are per-vector pure functions, so appends never rewrite
+    existing partitions), and the post-append table is aggregated per
+    (band, bval). The oracle computes the same aggregate from a
+    FROM-SCRATCH banding of the full corpus — a hash match proves
+    append ≡ rebuild (the reference's idempotent skip-if-exists
+    re-ingest, clip.ipynb cell 7, upgraded to true increments). The
+    same banding body runs per micro-batch under a foreachBatch sink
+    for streaming ingest."""
+    t = index_store.lsh_bands_incremental(spark, sf_dir, _INCR_BASE, _INCR_DELTA)
+    return (
+        t.groupBy("band", "bval")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .orderBy("band", "bval")
+    )

@@ -95,3 +95,35 @@ def test_minhash_store_matches_inline(spark, sf_dir):
     )
     key = lambda r: (r["id_a"], r["id_b"], round(r["jaccard"], 9))  # noqa: E731
     assert sorted(map(key, inline.collect())) == sorted(map(key, stored.collect()))
+
+
+def test_corpus_fingerprint_tracks_content(tmp_path):
+    """A rewritten corpus under the SAME path must produce a different
+    index table name (the r2 verdict's staleness hazard)."""
+    import shutil
+    import time
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy(src, d / "embeddings.parquet")
+    f1 = index_store._corpus_fingerprint(str(d), "embeddings")
+    assert f1 == index_store._corpus_fingerprint(str(d), "embeddings")  # stable
+    time.sleep(0.01)
+    shutil.copy(src, d / "embeddings.parquet")  # rewrite-in-place → new mtime
+    f2 = index_store._corpus_fingerprint(str(d), "embeddings")
+    assert f1 != f2
+    n1 = index_store._table_name("tfidf", str(d), "11", "embeddings")
+    assert f1 not in n1 and f2 in n1
+
+
+def test_lsh_incremental_append_matches_rebuild(spark, sf_dir):
+    from multi_search_retrival_big_data_spark.operators import ann
+
+    t = index_store.lsh_bands_incremental(
+        spark, sf_dir, "vec_id < 100", "vec_id >= 100"
+    )
+    emb = tables.load(spark, "embeddings", sf_dir)
+    full = ann.banded_signatures(emb)
+    key = lambda r: (r["vec_id"], r["band"], r["bval"])  # noqa: E731
+    assert sorted(map(key, t.collect())) == sorted(map(key, full.collect()))

@@ -39,6 +39,7 @@ SCALAR_BROADCAST_OK = {
     # the quantizer assignment is precomputed — index_store.ivf_assignments)
     "ann_lsh_recall_grid",   # 1-row candidates × 1-row hits scalar combine per config
     "ann_ivf_recall_grid",   # same 1-row scalar combine per nprobe config
+    "ann_ivf_trained_recall_grid",  # same 1-row scalar combine, trained centroids
     "dense_batch_topk_cosine",  # corpus × request-sized query batch
     "text_bigram_lm_scores",    # 1-row vocabulary-size scalar broadcast
     "tpch_q22_dormant_balance", # 1-row avg-balance threshold broadcast
