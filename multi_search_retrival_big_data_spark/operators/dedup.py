@@ -333,6 +333,96 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_lss(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the documented escape hatch for graphs whose diameter
+    defeats per-round min-label propagation (connected_components):
+    star operations SQUARE the label-jump per round, so convergence is
+    O(log² n) rounds on ANY graph shape, including an n-node chain
+    (propagation needs ~n rounds there).
+
+    large-star(u): connect every strictly-greater neighbor of u to
+    m(u) = min(Γ(u) ∪ {u}); small-star(u): connect every
+    less-or-equal neighbor (and u) to m(u). Each operation is ONE
+    groupBy(src) shuffle producing the per-node neighborhood min, one
+    join to emit the re-wired edges, then a distinct. At the fixed
+    point every component is a star rooted at its minimum id, so the
+    labels fall out as min(Γ(u) ∪ {u}).
+
+    Scale notes: per round the edge set only shrinks-or-rewires (never
+    grows beyond 2|E|); both stars are equi-joins + map-side-combined
+    mins — no cross joins, no windows; `localCheckpoint` truncates
+    lineage per round like the propagation loop. The fixed point is
+    detected by an exact edge-set difference (exceptAll + isEmpty —
+    one action per round, the analogue of the propagation loop's
+    change count).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def nbr_min(e: DataFrame) -> DataFrame:
+        return e.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+
+    def symmetric(e: DataFrame) -> DataFrame:
+        return (
+            e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        # large-star: (v, m(u)) for v ∈ Γ(u), v > u
+        lm = nbr_min(edges)
+        large = (
+            edges.join(lm, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        # keep each node's link to its min so components cannot split
+        keep = lm.select(F.col("src"), F.col("m").alias("dst"))
+        e1 = symmetric(large.union(keep)).localCheckpoint()
+        # small-star: (v, m(u)) for v ∈ Γ(u) ∪ {u}, v ≤ u
+        sm = nbr_min(e1)
+        small = (
+            e1.join(sm, "src")
+            .filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        keep2 = sm.select(F.col("src"), F.col("m").alias("dst"))
+        new_edges = symmetric(small.union(keep2)).localCheckpoint()
+        if (
+            new_edges.exceptAll(edges).isEmpty()
+            and edges.exceptAll(new_edges).isEmpty()
+        ):
+            edges = new_edges
+            converged = True
+            break
+        edges = new_edges
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_lss did not converge in {max_iter} rounds; "
+            "raise max_iter (O(log^2 n) rounds suffice for any graph)"
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
+        .select(F.col("src").alias("node"), "cluster_id")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str, text_col: str, threshold: float, k: int = SHINGLE_K
 ) -> DataFrame:

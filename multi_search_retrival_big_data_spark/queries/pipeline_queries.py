@@ -243,6 +243,38 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_cluster_components_lss", oracle=_components_oracle())
+def dedup_cluster_components_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same duplicate-cluster table as dedup_cluster_components,
+    computed by the alternating large-star/small-star algorithm
+    (dedup.connected_components_lss) instead of min-label propagation —
+    the diameter-robust variant (O(log² n) rounds on ANY graph,
+    including chains that would exhaust the propagation loop). Sharing
+    the recursive-CTE oracle with the propagation query makes the two
+    implementations mutually parity-checked on the real near-dup
+    graph."""
+    from pyspark.sql.window import Window
+
+    from multi_search_retrival_big_data_spark import index_store
+
+    docs = tables.load(spark, "documents", sf_dir)
+    pairs = dedup.minhash_near_duplicates(
+        docs,
+        "doc_id",
+        "text",
+        JACCARD_THRESHOLD,
+        shingles=index_store.doc_shingles(spark, sf_dir),
+        signatures=index_store.minhash_sigs(spark, sf_dir),
+    )
+    comp = dedup.connected_components_lss(pairs.select("id_a", "id_b"))
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.select(F.col("node").alias("doc_id"), "cluster_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )
+
+
 @query("dedup_ngram_jaccard_exact", oracle=_exact_jaccard_oracle())
 def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs char-5-gram Jaccard ≥ 0.8 — the ground truth the

@@ -88,3 +88,33 @@ def test_connected_components_chain_and_triangle(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_lss_components_deep_chain(spark):
+    """A 60-node chain defeats per-round min-label propagation at low
+    max_iter (needs ~diameter rounds) but LSS converges in O(log² n)."""
+    import pytest as _pytest
+
+    from multi_search_retrival_big_data_spark.operators import dedup as _d
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a BIGINT, id_b BIGINT"
+    )
+    out = _d.connected_components_lss(chain, max_iter=10)
+    assert all(r["cluster_id"] == 0 for r in out.collect())
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        _d.connected_components(chain, max_iter=5)
+
+
+def test_lss_components_parity_random_graph(spark):
+    import random
+
+    from multi_search_retrival_big_data_spark.operators import dedup as _d
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(80), rng.randrange(80)) for _ in range(50)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    pdf = spark.createDataFrame(pairs, "id_a BIGINT, id_b BIGINT")
+    a = {(r["node"], r["cluster_id"]) for r in _d.connected_components(pdf).collect()}
+    b = {(r["node"], r["cluster_id"]) for r in _d.connected_components_lss(pdf).collect()}
+    assert a == b
