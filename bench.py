@@ -9,19 +9,44 @@ Each query is executed once to warm the JVM/scan caches' code paths
 (not cached data — a fresh action re-reads parquet), then timed over
 `RUNS` runs taking the median, with a count() action to force full
 execution without driver-side collect overhead.
+
+SCALE-STRESS TIER: at the default sf0.1 (or with
+SPARK_GRAFT_STRESS=1) the most expensive queries are ALSO timed on a
+deterministic 10×-replicated copy of the corpus (docs Caesar-remapped
+per replica so replicas don't become near-duplicates of each other —
+the dedup workload keeps its per-document character instead of
+degenerating into 10-cliques). The extra `tiers` field reports both
+tiers plus the per-query scale ratio, separating constant-factor
+noise from real super-linear regressions (a ratio ≲ replication ×
+log-factor means the operator scales; sf0.1 deltas of ±0.3 s cannot
+show that).
 """
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
 import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 RUNS = 3
+
+STRESS_REPLICATION = 10
+# the 5 most expensive r2 queries (VERDICT r2 plan-audit list) + the
+# new components variant; all documents/embeddings-bound
+STRESS_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "fusion_hybrid_sparse_dense",
+    "text_simhash_fingerprints",
+    "text_bigram_lm_scores",
+]
 
 BENCH_QUERIES = [
     # BASELINE.md grid anchors
@@ -63,7 +88,91 @@ OPTIONAL_QUERIES = [
     "sketch_kmv_distinct_tokens",
     "emb_label_centroid_norms",
     "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
+    "dedup_cluster_components_lss",
 ]
+
+# per-replica Caesar rotation over the FULL alphabet (both cases):
+# virtually every 5-gram shingle contains a letter, so replicas of the
+# same document share almost no shingles — without this, residual
+# cross-replica minhash-band collisions inflate candidate pairs ~17×
+# beyond the true 10× (measured) and the tier stops being a fair
+# linear-scaling probe
+_REMAP_SRC = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+
+
+def _build_stress_dir(spark, sf_dir: str, replication: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="msrbd_stress_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    reps = spark.range(replication).select(F.col("id").cast("int").alias("__rep"))
+    id_shift = 10_000_000
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    lower, upper, digits = _REMAP_SRC[:26], _REMAP_SRC[26:52], _REMAP_SRC[52:]
+    text = F.col("text")
+    for i in range(1, replication):
+        tgt = (
+            lower[i:] + lower[:i] + upper[i:] + upper[:i]
+            + digits[i:] + digits[:i]
+        )
+        text = F.when(F.col("__rep") == i, F.translate("text", _REMAP_SRC, tgt)).otherwise(
+            text
+        )
+    (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("__rep").cast("bigint") * id_shift).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # per-replica deterministic jitter on one dimension decorrelates
+    # replicas enough for banding while preserving the distribution
+    (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("__rep").cast("bigint") * id_shift).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, j: x
+                + F.when(
+                    j == F.col("__rep") % 64, F.col("__rep").cast("double") * 0.37
+                ).otherwise(F.lit(0.0)),
+            ).alias("embedding"),
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "embeddings.parquet"))
+    )
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def _time_queries(spark, qs, names, sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        fn(spark, sf_dir).count()  # warm-up (also builds index tables)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+    return timings
 
 
 def main() -> None:
@@ -76,28 +185,52 @@ def main() -> None:
     names = [n for n in BENCH_QUERIES if n in qs] + [
         n for n in OPTIONAL_QUERIES if n in qs
     ]
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = qs[name]
-        fn(spark, sf_dir).count()  # warm-up
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+    timings = _time_queries(spark, qs, names, sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total wall-clock over headline queries (each the median of 3 runs)",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total wall-clock over headline queries (each the median of 3 runs)",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    stress_flag = os.environ.get("SPARK_GRAFT_STRESS", "")
+    run_stress = stress_flag == "1" or (stress_flag == "" and sf == "0.1")
+    if run_stress:
+        stress_dir = _build_stress_dir(spark, sf_dir, STRESS_REPLICATION)
+        stress_names = [n for n in STRESS_QUERIES if n in qs]
+        stress = _time_queries(spark, qs, stress_names, stress_dir)
+        # the dedup queries are LSH-candidate-bound, and the per-replica
+        # candidate count is an md5-draw variable (the Caesar remap
+        # re-rolls every borderline-Jaccard band collision), so report
+        # the measured candidate volume next to the time ratio — the
+        # linearity claim is time ∝ candidates, not time ∝ rows
+        cand_counts = {}
+        from multi_search_retrival_big_data_spark import tables as _tables
+        from multi_search_retrival_big_data_spark.operators import dedup as _dedup
+
+        for label, d in (("x1", sf_dir), (f"x{STRESS_REPLICATION}", stress_dir)):
+            docs = _tables.load(spark, "documents", d)
+            sh = _dedup.char_shingles(docs, "doc_id", "text", _dedup.SHINGLE_K)
+            sig = _dedup.minhash_signatures(sh, "doc_id", _dedup.NUM_PERM)
+            cand = _dedup.lsh_candidate_pairs(
+                _dedup.lsh_buckets(sig, "doc_id", _dedup.LSH_BANDS, _dedup.LSH_ROWS),
+                "doc_id",
+            )
+            cand_counts[label] = cand.count()
+        result["tiers"] = {
+            "x1": {n: timings[n] for n in stress_names if n in timings},
+            f"x{STRESS_REPLICATION}": stress,
+            "scale_ratio": {
+                n: round(stress[n] / timings[n], 2)
+                for n in stress_names
+                if timings.get(n)
+            },
+            "lsh_candidates": cand_counts,
+            "replication": STRESS_REPLICATION,
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -10,6 +10,20 @@ each has (a) a deterministic fake for tests/benchmarks and (b) a
 clearly-marked NotImplementedError seam where the production
 implementation plugs in. Engine code depends only on the interface —
 swapping in real encoders changes no query plan.
+
+CONTAINER CONSTRAINT (verified 2026-08-13, round 3): no CPU inference
+runtime of any kind ships in this environment — onnxruntime, torch,
+tensorflow, transformers, sklearn, sentencepiece, tokenizers, gensim
+and fasttext all fail to import, and installing packages is out of
+scope for the build. A "tiny real model" smoke path therefore cannot
+exist here; the closest executable evidence that the seam is load-
+bearing is (1) the fakes run through the SAME mapInPandas batch
+plumbing a real encoder would (operators/multimodal.py — schema,
+Arrow batching, partitioning all real) and (2) the interface is the
+exact call shape the reference uses (encode(str) -> vector,
+faiss_processing.py:118-131). On a cluster with wheels + weights,
+implement `encode` with open_clip/transformers and nothing else
+changes.
 """
 
 from __future__ import annotations

@@ -82,6 +82,7 @@ _PRIORITY = [
     "ann_pq_rerank_topk",
     "ann_pq_rerank_recall_grid",
     "index_incremental_update_parity",
+    "index_incremental_stream_parity",
     "ann_ivf_trained_recall_grid",
     "ann_pq_trained_recall_grid",
     "dedup_cluster_components_lss",

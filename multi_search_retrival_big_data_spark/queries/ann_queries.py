@@ -1037,3 +1037,40 @@ def index_incremental_update_parity(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("band", "bval")
     )
+
+
+@query(
+    "index_incremental_stream_parity",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, {_sig_sql(_V)} AS s FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, CAST(b AS INTEGER) AS band,
+             substring(s, CAST(b AS INTEGER) * {_ROWS} + 1, {_ROWS}) AS bval
+      FROM sig, unnest(range(0, {ann.ANN_BANDS})) AS t(b)
+    )
+    SELECT band, bval, count(*) AS n_vecs, CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+    FROM banded GROUP BY band, bval
+    ORDER BY band, bval
+    """,
+)
+def index_incremental_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental index maintenance proof: the delta corpus
+    slices arrive through a real Structured Streaming file source (one
+    micro-batch per landed file, maxFilesPerTrigger=1) and a
+    foreachBatch sink appends each micro-batch's band rows to the
+    partitioned index table (index_store.lsh_bands_stream_incremental).
+    The oracle recomputes the aggregate from a from-scratch banding of
+    the full corpus — a hash match proves that an index following an
+    append-only ingest feed micro-batch by micro-batch equals the
+    batch rebuild."""
+    t = index_store.lsh_bands_stream_incremental(spark, sf_dir)
+    return (
+        t.groupBy("band", "bval")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .orderBy("band", "bval")
+    )

@@ -127,3 +127,13 @@ def test_lsh_incremental_append_matches_rebuild(spark, sf_dir):
     full = ann.banded_signatures(emb)
     key = lambda r: (r["vec_id"], r["band"], r["bval"])  # noqa: E731
     assert sorted(map(key, t.collect())) == sorted(map(key, full.collect()))
+
+
+def test_lsh_stream_incremental_matches_rebuild(spark, sf_dir):
+    from multi_search_retrival_big_data_spark.operators import ann
+
+    t = index_store.lsh_bands_stream_incremental(spark, sf_dir)
+    emb = tables.load(spark, "embeddings", sf_dir)
+    full = ann.banded_signatures(emb)
+    key = lambda r: (r["vec_id"], r["band"], r["bval"])  # noqa: E731
+    assert sorted(map(key, t.collect())) == sorted(map(key, full.collect()))
