@@ -461,3 +461,69 @@ def lsh_bands_stream_incremental(
     for d in (landing, stage, ckpt):
         _shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)
+
+
+def ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    coarse_stride: int = ann.IVF_CENTROID_STRIDE,
+    m: int = ann.PQ_M,
+    ks: int = ann.PQ_KS,
+    pq_stride: int = ann.PQ_STRIDE,
+    dim: int = 64,
+    iters: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(centroids(cid, cv), codebook(m, code, cv), codes(vec_id, cid,
+    c0..c{M-1})) — the combined IVF-PQ index (FAISS IndexIVFPQ): Lloyd-
+    trained coarse centroids, PQ codebooks Lloyd-trained on the
+    RESIDUALS, and the residual code table persisted PARTITIONED BY
+    cid so a query's cell probe is partition pruning. Build runs once
+    (coarse train → residuals → residual-PQ train → encode, each one
+    corpus pass per iteration); queries read three tables and touch no
+    vectors."""
+    from pyspark.sql import functions as F
+
+    from multi_search_retrival_big_data_spark.operators import kmeans
+
+    if iters is None:
+        iters = kmeans.KMEANS_ITERS
+    v = f"s{coarse_stride}m{m}k{ks}p{pq_stride}i{iters}"
+    cname = _table_name("ivfpqc", sf_dir, v, "embeddings")
+    bname = _table_name("ivfpqb", sf_dir, v, "embeddings")
+    kname = _table_name("ivfpqk", sf_dir, v, "embeddings")
+    if not all(
+        spark.catalog.tableExists(n) for n in (cname, bname, kname)
+    ):
+        emb = tables.load(spark, "embeddings", sf_dir)
+        cents = kmeans.train_lloyd(
+            emb, kmeans.stride_init(emb, stride=coarse_stride), iters
+        )
+        # residuals feed the init collect, every training iteration and
+        # the encode — materialize once for the build job
+        res = ann.ivfpq_residuals(emb, cents).cache()
+        init = kmeans.pq_stride_init(
+            res, vec_col="r", dim=dim, m=m, ks=ks, stride=pq_stride
+        )
+        books = kmeans.train_lloyd_pq(res, init, dim, iters, vec_col="r")
+        book_rows = [
+            (int(mi), int(code), [float(x) for x in cv])
+            for mi, book in sorted(books.items())
+            for code, cv in book
+        ]
+        _drop_stale_location(spark, cname)
+        kmeans.centroids_df(emb, cents).write.mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(cname)
+        _drop_stale_location(spark, bname)
+        spark.createDataFrame(
+            book_rows, "m INT, code INT, cv ARRAY<DOUBLE>"
+        ).write.mode("overwrite").format("parquet").saveAsTable(bname)
+        codes = ann.pq_encode(
+            res, vec_col="r", dim=dim, m=m, ks=ks, stride=pq_stride,
+            codebook=spark.table(bname), squared=False,
+        ).join(res.select("vec_id", "cid"), "vec_id")
+        _drop_stale_location(spark, kname)
+        codes.write.mode("overwrite").partitionBy("cid").format(
+            "parquet"
+        ).saveAsTable(kname)
+    return spark.table(cname), spark.table(bname), spark.table(kname)

@@ -656,3 +656,109 @@ def ann_pq_rerank_topk(
         .orderBy(F.asc("dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the combined index (FAISS IndexIVFPQ): coarse-quantize each
+# vector to its nearest trained centroid, PQ-encode the RESIDUAL
+# (vector − centroid), store (cid, c0..c{M-1}) partitioned by cell.
+# A query probes nprobe cells and scores candidates entirely from the
+# code table via per-CELL ADC lookup tables built from the residual
+# query (q − centroid). This is the at-rest layout that serves
+# billion-vector corpora: cells give partition pruning, residual codes
+# give ~M bytes/vector, and the two quantizers compose (Jégou et al.
+# TPAMI'11 §IV; the reference stays exact-flat,
+# faiss_processing.py:17-22).
+# ---------------------------------------------------------------------------
+
+IVFPQ_NPROBE = 2
+
+
+def ivfpq_residuals(
+    emb: DataFrame,
+    cents: "list[tuple[int, list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, r): coarse assignment (literal-centroid argmin — a
+    pure projection) plus the residual vector. The broadcast join only
+    attaches the k·dim centroid table to fetch each row's centroid for
+    the subtraction."""
+    from multi_search_retrival_big_data_spark.operators import kmeans
+
+    spark = emb.sparkSession
+    cents_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in cv]) for c, cv in cents],
+            "cid INT, __cv ARRAY<DOUBLE>",
+        )
+    )
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        kmeans.assign_cid(vec_col, cents).alias("cid"),
+    )
+    return assigned.join(cents_df, "cid").select(
+        id_col,
+        "cid",
+        F.zip_with("__v", "__cv", lambda a, b: a - b).alias("r"),
+    )
+
+
+def ann_ivfpq_adc_topk(
+    codes: DataFrame,
+    cents_table: DataFrame,
+    codebook: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    nprobe: int = IVFPQ_NPROBE,
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVF-PQ QUERY path: probe the nprobe nearest centroids (a scan of
+    the k-row centroid table), prune the code table to those cells
+    (partition pruning at rest), then ADC with PER-CELL lookup tables —
+    each probed cell's LUT is built in-plan from the RESIDUAL query
+    (q − centroid) against the broadcast codebook (nprobe·M·KS rows),
+    and candidates join their cell's LUT on (cid, code). No vector is
+    read at query time; returns (id, approx_dist) ascending."""
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist
+
+    q = lit_vec(query_vec)
+    dim = len(query_vec)
+    dsub = dim // m
+    probed = (
+        cents_table.select("cid", "cv", l2_dist("cv", q).alias("__d"))
+        .orderBy(F.asc("__d"), F.asc("cid"))
+        .limit(nprobe)
+    )
+    qres = probed.select(
+        "cid", F.zip_with(q, F.col("cv").cast("array<double>"), lambda a, b: a - b).alias("__qr")
+    )
+    luts = qres.join(F.broadcast(codebook), F.lit(True))
+    out = codes.join(F.broadcast(probed.select("cid")), "cid")
+    for i in range(m):
+        d = l2_dist(F.slice("__qr", i * dsub + 1, dsub), "cv")
+        lut_i = (
+            luts.filter(F.col("m") == i)
+            .select(
+                F.col("cid").alias(f"__cid{i}"),
+                F.col("code").alias(f"__code{i}"),
+                (d * d).alias(f"__d{i}"),
+            )
+        )
+        out = out.join(
+            F.broadcast(lut_i),
+            (out["cid"] == lut_i[f"__cid{i}"]) & (out[f"c{i}"] == lut_i[f"__code{i}"]),
+        ).drop(f"__cid{i}", f"__code{i}")
+    score = F.col("__d0")
+    for i in range(1, m):
+        score = score + F.col(f"__d{i}")  # fixed fold order, oracle-identical
+    if round_to is not None:
+        score = det_round(score, round_to)
+    return (
+        out.select(F.col(id_col), score.alias("approx_dist"))
+        .orderBy(F.asc("approx_dist"), F.asc(id_col))
+        .limit(k)
+    )

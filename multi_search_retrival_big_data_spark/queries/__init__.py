@@ -85,6 +85,8 @@ _PRIORITY = [
     "index_incremental_stream_parity",
     "ann_ivf_trained_recall_grid",
     "ann_pq_trained_recall_grid",
+    "ann_ivfpq_adc_topk",
+    "ann_ivfpq_recall_grid",
     "dedup_cluster_components_lss",
     "sketch_kmv_distinct_tokens",  # estimator fixed this round → re-prove
 ]

@@ -1074,3 +1074,196 @@ def index_incremental_stream_parity(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("band", "bval")
     )
+
+
+# --- IVF-PQ: coarse cells + residual PQ codes (FAISS IndexIVFPQ) -----------
+
+_IVFPQ_K = 100
+_IVFPQ_NPROBE = ann.IVFPQ_NPROBE
+_IVFPQ_GRID_NPROBE = (1, 2, 4)
+_IVFPQ_SHORTLIST = 200
+
+_RPQ_TRAIN_CTES, _RPQ_FINALS = pq_lloyd_ctes(
+    _PQ_M, _PQ_KS, _PQ_STRIDE, EMB_DIM, _KM_ITERS, src="resv", vcol="r", prefix="r"
+)
+
+
+def _ivfpq_base_ctes() -> str:
+    """kem → trained coarse (c2) → assignment → residuals → residual-PQ
+    training → encode → wide code table. Shared by the top-k query and
+    the recall grid."""
+    enc = []
+    for i in range(_PQ_M):
+        lo, hi = i * _PQ_DSUB + 1, (i + 1) * _PQ_DSUB
+        enc.append(
+            f"""re{i} AS (
+      SELECT e.vec_id, c.code,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.r[{lo}:{hi}], c.cv) ASC, c.code ASC
+             ) AS rn
+      FROM resv e CROSS JOIN {_RPQ_FINALS[i]} c
+    )"""
+        )
+    joins = " ".join(
+        f"JOIN re{i} ON re{i}.vec_id = re0.vec_id AND re{i}.rn = 1"
+        for i in range(1, _PQ_M)
+    )
+    enc.append(
+        f"""rcodes AS MATERIALIZED (
+      SELECT re0.vec_id, rv.cid, {", ".join(f"re{i}.code AS c{i}" for i in range(_PQ_M))}
+      FROM re0 {joins}
+      JOIN resv rv ON rv.vec_id = re0.vec_id
+      WHERE re0.rn = 1
+    )"""
+    )
+    enc_sql = ",\n    ".join(enc)
+    return f"""{KEM_CTE},
+    {_IVF_TRAIN_CTES},
+    tassign AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.cv) ASC, c.cid ASC
+               ) AS rn
+        FROM kem e CROSS JOIN {_IVF_TRAIN_FINAL} c
+      ) WHERE rn = 1
+    ),
+    resv AS MATERIALIZED (
+      SELECT e.vec_id, a.cid,
+             list_transform(range(1, {EMB_DIM + 1}),
+                            i -> e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS r
+      FROM kem e JOIN tassign a USING (vec_id) JOIN {_IVF_TRAIN_FINAL} c USING (cid)
+    ),
+    {_RPQ_TRAIN_CTES},
+    {enc_sql}"""
+
+
+def _ivfpq_adc_cte(nprobe: int, tag: str) -> str:
+    """probe → residual query → per-cell LUTs → ADC, namespaced by tag."""
+    parts = [
+        f"""{tag}probed AS (
+      SELECT cid, cv FROM {_IVF_TRAIN_FINAL}
+      ORDER BY {_l2_sql('cv', sql_vec(QUERY_VEC))} ASC, cid ASC LIMIT {nprobe}
+    )""",
+        f"""{tag}qres AS (
+      SELECT cid, list_transform(range(1, {EMB_DIM + 1}),
+                                 i -> ({sql_vec(QUERY_VEC)})[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS qr
+      FROM {tag}probed
+    )""",
+    ]
+    for i in range(_PQ_M):
+        lo, hi = i * _PQ_DSUB + 1, (i + 1) * _PQ_DSUB
+        parts.append(
+            f"""{tag}lut{i} AS (
+      SELECT q.cid, b.code,
+             (list_distance(q.qr[{lo}:{hi}], b.cv) * list_distance(q.qr[{lo}:{hi}], b.cv)) AS d
+      FROM {tag}qres q CROSS JOIN {_RPQ_FINALS[i]} b
+    )"""
+        )
+    dist = " + ".join(f"l{i}.d" for i in range(_PQ_M))
+    lut_joins = " ".join(
+        f"JOIN {tag}lut{i} l{i} ON l{i}.cid = k.cid AND k.c{i} = l{i}.code"
+        for i in range(_PQ_M)
+    )
+    parts.append(
+        f"""{tag}adc AS (
+      SELECT k.vec_id, {sql_det_round(dist)} AS approx_dist
+      FROM rcodes k JOIN {tag}probed p ON k.cid = p.cid {lut_joins}
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "ann_ivfpq_adc_topk",
+    oracle=f"""
+    WITH {_ivfpq_base_ctes()},
+    {_ivfpq_adc_cte(_IVFPQ_NPROBE, "t")}
+    SELECT vec_id, approx_dist FROM tadc
+    ORDER BY approx_dist ASC, vec_id ASC LIMIT {_IVFPQ_K}
+    """,
+)
+def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (FAISS IndexIVFPQ.search): probe nprobe trained
+    cells, score their members from the RESIDUAL code table alone via
+    per-cell ADC lookup tables (ann.ann_ivfpq_adc_topk over the
+    persisted index_store.ivfpq tables). The plan reads the k-row
+    centroid table + the probed partitions of the M-byte code table —
+    no vector IO; cells compose with codes exactly as in Jégou et al.
+    TPAMI'11 §IV. Oracle re-derives coarse training, residuals,
+    residual-PQ training, encode and the per-cell LUTs from the raw
+    corpus — full hash-match."""
+    cents_t, book_t, codes_t = index_store.ivfpq(spark, sf_dir, iters=_KM_ITERS)
+    return ann.ann_ivfpq_adc_topk(
+        codes_t, cents_t, book_t, QUERY_VEC, k=_IVFPQ_K,
+        nprobe=_IVFPQ_NPROBE, round_to=6,
+    )
+
+
+_IVFPQ_GRID_ADC = ",\n    ".join(
+    _ivfpq_adc_cte(p, f"g{p}") for p in _IVFPQ_GRID_NPROBE
+)
+
+
+@query(
+    "ann_ivfpq_recall_grid",
+    oracle=f"""
+    WITH {_ivfpq_base_ctes()},
+    {_IVFPQ_GRID_ADC},
+    exact AS MATERIALIZED (
+      SELECT vec_id FROM embeddings
+      ORDER BY list_distance({_V}, {sql_vec(QUERY_VEC)}) ASC, vec_id ASC
+      LIMIT {_PQ_RERANK_K}
+    )
+    {" UNION ALL ".join(
+        f'''SELECT {p} AS nprobe, {_IVFPQ_SHORTLIST} AS shortlist, {_PQ_RERANK_K} AS k,
+               (SELECT count(*) FROM (
+                  SELECT vec_id FROM g{p}adc
+                  ORDER BY approx_dist ASC, vec_id ASC LIMIT {_IVFPQ_SHORTLIST}) s
+                JOIN exact USING (vec_id)) AS hits,
+               (SELECT count(*) FROM (
+                  SELECT vec_id FROM g{p}adc
+                  ORDER BY approx_dist ASC, vec_id ASC LIMIT {_IVFPQ_SHORTLIST}) s
+                JOIN exact USING (vec_id)) / CAST({_PQ_RERANK_K} AS DOUBLE) AS recall'''
+        for p in _IVFPQ_GRID_NPROBE
+    )}
+    ORDER BY nprobe
+    """,
+)
+def ann_ivfpq_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ recall sweep: coverage of the exact-L2 top-{k} by the
+    nprobe-cell ADC shortlist ({S} candidates) — the recall-vs-nprobe
+    curve that governs an IndexIVFPQ rollout (cell coverage bounds the
+    achievable recall; residual codes then rank within it). One row
+    per nprobe: (nprobe, shortlist, k, hits, recall)."""
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    cents_t, book_t, codes_t = index_store.ivfpq(spark, sf_dir, iters=_KM_ITERS)
+    exact = (
+        emb.select("vec_id", l2_dist("embedding", lit_vec(QUERY_VEC)).alias("__d"))
+        .orderBy(F.asc("__d"), F.asc("vec_id"))
+        .limit(_PQ_RERANK_K)
+        .select("vec_id")
+    )
+
+    def cfg_row(p: int) -> DataFrame:
+        short = ann.ann_ivfpq_adc_topk(
+            codes_t, cents_t, book_t, QUERY_VEC, k=_IVFPQ_SHORTLIST,
+            nprobe=p, round_to=6,
+        ).select("vec_id")
+        hits = short.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
+        return hits.select(
+            F.lit(p).alias("nprobe"),
+            F.lit(_IVFPQ_SHORTLIST).alias("shortlist"),
+            F.lit(_PQ_RERANK_K).alias("k"),
+            F.col("hits"),
+            (F.col("hits").cast("double") / F.lit(float(_PQ_RERANK_K))).alias("recall"),
+        )
+
+    out = cfg_row(_IVFPQ_GRID_NPROBE[0])
+    for p in _IVFPQ_GRID_NPROBE[1:]:
+        out = out.union(cfg_row(p))
+    return out.orderBy("nprobe")

@@ -61,56 +61,67 @@ def ivf_lloyd_ctes(stride: int, dim: int, iters: int, sum_scale: int = 9) -> tup
 
 
 def pq_lloyd_ctes(
-    m: int, ks: int, stride: int, dim: int, iters: int, sum_scale: int = 9
+    m: int,
+    ks: int,
+    stride: int,
+    dim: int,
+    iters: int,
+    sum_scale: int = 9,
+    src: str = "kem",
+    vcol: str = "v",
+    prefix: str = "p",
 ) -> tuple[str, list[str]]:
     """Returns (cte_sql, [final codebook CTE name per sub-space]).
-    Requires KEM_CTE in scope. Mirrors kmeans.train_lloyd_pq over
-    kmeans.pq_stride_init."""
+    Mirrors kmeans.train_lloyd_pq over kmeans.pq_stride_init. `src` is
+    the training-corpus CTE exposing (vec_id, `vcol`) — "kem" for raw
+    vectors, or a residual CTE for IVF-PQ; `prefix` namespaces the CTE
+    chain so two trainings can coexist in one query."""
     dsub = dim // m
+    p = prefix
     parts = [
-        f"""ptrain AS (
-      SELECT CAST(vec_id // {stride} AS INT) AS code, v
-      FROM kem WHERE vec_id % {stride} = 0 AND vec_id < {ks * stride}
+        f"""{p}train AS (
+      SELECT CAST(vec_id // {stride} AS INT) AS code, {vcol} AS v
+      FROM {src} WHERE vec_id % {stride} = 0 AND vec_id < {ks * stride}
     )"""
     ]
     finals = []
     for mi in range(m):
         lo, hi = mi * dsub + 1, (mi + 1) * dsub
         parts.append(
-            f"pcb{mi}_0 AS (SELECT code, v[{lo}:{hi}] AS cv FROM ptrain)"
+            f"{p}cb{mi}_0 AS (SELECT code, v[{lo}:{hi}] AS cv FROM {p}train)"
         )
         for t in range(iters):
             parts.append(
-                f"""pa{mi}_{t} AS (
+                f"""{p}a{mi}_{t} AS (
       SELECT vec_id, code FROM (
         SELECT e.vec_id, c.code,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY list_distance(e.v[{lo}:{hi}], c.cv) ASC, c.code ASC
+                 ORDER BY list_distance(e.{vcol}[{lo}:{hi}], c.cv) ASC, c.code ASC
                ) AS rn
-        FROM kem e CROSS JOIN pcb{mi}_{t} c
+        FROM {src} e CROSS JOIN {p}cb{mi}_{t} c
       ) WHERE rn = 1
     )"""
             )
             parts.append(
-                f"""ps{mi}_{t} AS (
+                f"""{p}s{mi}_{t} AS (
       SELECT a.code, CAST(t.i AS INT) AS dim,
-             {sql_dsum(f"e.v[CAST({lo - 1} + t.i AS INT)]", sum_scale)} AS s,
+             {sql_dsum(f"e.{vcol}[CAST({lo - 1} + t.i AS INT)]", sum_scale)} AS s,
              count(*) AS n
-      FROM pa{mi}_{t} a JOIN kem e USING (vec_id), unnest(range(1, {dsub + 1})) AS t(i)
+      FROM {p}a{mi}_{t} a JOIN {src} e USING (vec_id), unnest(range(1, {dsub + 1})) AS t(i)
       GROUP BY a.code, t.i
     )"""
             )
             parts.append(
-                f"pm{mi}_{t} AS (SELECT code, list(s / n ORDER BY dim) AS cv "
-                f"FROM ps{mi}_{t} GROUP BY code)"
+                f"{p}m{mi}_{t} AS (SELECT code, list(s / n ORDER BY dim) AS cv "
+                f"FROM {p}s{mi}_{t} GROUP BY code)"
             )
             # final codebooks are each read twice (encode + query LUT);
             # MATERIALIZED stops chain re-evaluation per reference
             mat = " MATERIALIZED" if t + 1 == iters else ""
             parts.append(
-                f"pcb{mi}_{t + 1} AS{mat} (SELECT c.code, COALESCE(p.cv, c.cv) AS cv "
-                f"FROM pcb{mi}_{t} c LEFT JOIN pm{mi}_{t} p USING (code))"
+                f"{p}cb{mi}_{t + 1} AS{mat} (SELECT c.code, COALESCE(m.cv, c.cv) AS cv "
+                f"FROM {p}cb{mi}_{t} c LEFT JOIN {p}m{mi}_{t} m USING (code))"
             )
-        finals.append(f"pcb{mi}_{iters}")
+        finals.append(f"{p}cb{mi}_{iters}")
     return ",\n    ".join(parts), finals

@@ -211,3 +211,51 @@ def test_pq_adc_no_shuffle_and_reads_code_table(spark, sf_dir):
     # the only acceptable exchange is the broadcast itself — no
     # hash-partition shuffle anywhere in the ADC path
     assert "hashpartitioning" not in plan
+
+
+def test_ivfpq_residuals_reconstruct(spark):
+    from multi_search_retrival_big_data_spark.operators import ann as _ann
+
+    rows = [(i, [float(i), float(-i), 1.0, 0.5]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    cents = [(0, [0.0, 0.0, 1.0, 0.5]), (10, [10.0, -10.0, 1.0, 0.5])]
+    res = _ann.ivfpq_residuals(emb, cents)
+    got = {r["vec_id"]: (r["cid"], r["r"]) for r in res.collect()}
+    cent = dict(cents)
+    for i, v in rows:
+        cid, r = got[i]
+        # centroid + residual reconstructs the vector exactly
+        rec = [c + x for c, x in zip(cent[cid], r)]
+        assert rec == v, (i, cid, rec, v)
+
+
+def test_ivfpq_adc_candidates_come_from_probed_cells(spark, sf_dir):
+    from multi_search_retrival_big_data_spark import index_store
+    from multi_search_retrival_big_data_spark.operators import ann as _ann
+    from multi_search_retrival_big_data_spark.queries.common import QUERY_VEC
+
+    cents_t, book_t, codes_t = index_store.ivfpq(spark, sf_dir)
+    out = _ann.ann_ivfpq_adc_topk(
+        codes_t, cents_t, book_t, QUERY_VEC, k=500, nprobe=2, round_to=6
+    )
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+    from pyspark.sql import functions as F
+
+    probed = {
+        r["cid"]
+        for r in cents_t.select(
+            "cid", l2_dist("cv", lit_vec(QUERY_VEC)).alias("d")
+        )
+        .orderBy("d", "cid")
+        .limit(2)
+        .collect()
+    }
+    member_cids = {
+        r["cid"]
+        for r in codes_t.join(out.select("vec_id"), "vec_id", "left_semi")
+        .select("cid")
+        .distinct()
+        .collect()
+    }
+    assert member_cids <= probed
+    assert out.count() > 0

@@ -40,6 +40,8 @@ SCALAR_BROADCAST_OK = {
     "ann_lsh_recall_grid",   # 1-row candidates × 1-row hits scalar combine per config
     "ann_ivf_recall_grid",   # same 1-row scalar combine per nprobe config
     "ann_ivf_trained_recall_grid",  # same 1-row scalar combine, trained centroids
+    "ann_ivfpq_adc_topk",     # nprobe-row probe x M.KS-row codebook LUT build
+    "ann_ivfpq_recall_grid",  # same tiny LUT cross + 1-row scalar combines
     "dense_batch_topk_cosine",  # corpus × request-sized query batch
     "text_bigram_lm_scores",    # 1-row vocabulary-size scalar broadcast
     "tpch_q22_dormant_balance", # 1-row avg-balance threshold broadcast
