@@ -359,9 +359,12 @@ def connected_components_lss(
     grows beyond 2|E|); both stars are equi-joins + map-side-combined
     mins — no cross joins, no windows; `localCheckpoint` truncates
     lineage per round like the propagation loop. The fixed point is
-    detected by an exact edge-set difference (exceptAll + isEmpty —
-    one action per round, the analogue of the propagation loop's
-    change count).
+    detected by an exact edge-set difference, gated behind a cheap
+    count compare: counts read off the checkpointed rounds are nearly
+    free, and only when they match does the one-directional exceptAll
+    run (equal-size distinct sets are equal iff one difference is
+    empty) — the expensive check fires once, at the actual fixed
+    point, not every round.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -383,6 +386,7 @@ def connected_components_lss(
         )
 
     converged = False
+    prev_count = edges.count()
     for _ in range(max_iter):
         # large-star: (v, m(u)) for v ∈ Γ(u), v > u
         lm = nbr_min(edges)
@@ -403,14 +407,16 @@ def connected_components_lss(
         )
         keep2 = sm.select(F.col("src"), F.col("m").alias("dst"))
         new_edges = symmetric(small.union(keep2)).localCheckpoint()
-        if (
-            new_edges.exceptAll(edges).isEmpty()
-            and edges.exceptAll(new_edges).isEmpty()
-        ):
+        new_count = new_edges.count()
+        # distinct edge sets of EQUAL size are identical iff the
+        # one-directional difference is empty — so the expensive
+        # exceptAll only runs on count-stable rounds
+        if new_count == prev_count and new_edges.exceptAll(edges).isEmpty():
             edges = new_edges
             converged = True
             break
         edges = new_edges
+        prev_count = new_count
     if not converged:
         raise RuntimeError(
             f"connected_components_lss did not converge in {max_iter} rounds; "

@@ -54,19 +54,24 @@ def topk_cosine(
     subset: DataFrame | None = None,
     normalized: bool = False,
     round_to: int | None = None,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Q1 — text→image dense top-k (reference text_search,
     utils/faiss_processing.py:118-173). `normalized=True` assumes the
     ingest-time L2-normalization invariant (cosine == dot), matching
     IndexFlatIP over pre-normalized vectors. `round_to` rounds the
-    score *before* the sort so oracle comparisons are float-noise-proof."""
+    score *before* the sort so oracle comparisons are float-noise-proof.
+    `keep_vec=True` carries the embedding through the top-k (k·dim
+    extra bytes through TakeOrderedAndProject) so a downstream consumer
+    (rocchio_rerank) does not re-join the corpus for k vectors."""
     q = lit_vec(query_vec)
     score = dot(vec_col, q) if normalized else cosine_sim(vec_col, q)
     if round_to is not None:
         score = det_round(score, round_to)
-    scored = restrict_ids(emb, subset, id_col).select(
-        F.col(id_col), score.alias("score")
-    )
+    cols = [F.col(id_col), score.alias("score")]
+    if keep_vec:
+        cols.append(F.col(vec_col))
+    scored = restrict_ids(emb, subset, id_col).select(*cols)
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
@@ -124,20 +129,29 @@ def rocchio_rerank(
 
     Plan shape: votes ⋈ embeddings (tiny, broadcast) × candidates ⋈
     embeddings → per-pair dot → groupBy(candidate) sum. The only
-    shuffle is the final aggregation over |candidates| rows."""
+    shuffle is the final aggregation over |candidates| rows. If
+    `candidates` already carries the vector column (topk_cosine
+    keep_vec=True), the candidate-side corpus join disappears — the
+    whole rerank then touches the corpus only for the |votes| rows."""
     cand_id, prev = candidates.columns[0], candidates.columns[1]
     vote_id, sign = votes.columns[0], votes.columns[1]
     neg = votes.filter(F.col(sign) < 0).select(F.col(vote_id).alias(cand_id))
-    kept = candidates.select(
-        F.col(cand_id).alias(id_col), F.col(prev).alias("prev_score")
-    ).join(neg.withColumnRenamed(cand_id, id_col), on=id_col, how="left_anti")
+    has_vec = vec_col in candidates.columns
+    kept_cols = [F.col(cand_id).alias(id_col), F.col(prev).alias("prev_score")]
+    if has_vec:
+        kept_cols.append(F.col(vec_col))
+    kept = candidates.select(*kept_cols).join(
+        neg.withColumnRenamed(cand_id, id_col), on=id_col, how="left_anti"
+    )
 
     vote_vecs = F.broadcast(
         votes.join(emb, votes[vote_id] == emb[id_col], "inner").select(
             F.col(sign).alias("__sign"), F.col(vec_col).alias("__qvec")
         )
     )
-    cand_vecs = kept.join(emb.select(id_col, vec_col), on=id_col, how="inner")
+    cand_vecs = (
+        kept if has_vec else kept.join(emb.select(id_col, vec_col), on=id_col)
+    )
     pairs = cand_vecs.crossJoin(vote_vecs).select(
         F.col(id_col),
         F.col("prev_score"),
