@@ -90,6 +90,8 @@ OPTIONAL_QUERIES = [
     "ann_pq_adc_topk",
     "ann_pq_rerank_topk",
     "dedup_cluster_components_lss",
+    "ann_ivfpq_adc_topk",
+    "ann_sq8_topk",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

@@ -527,3 +527,28 @@ def ivfpq(
             "parquet"
         ).saveAsTable(kname)
     return spark.table(cname), spark.table(bname), spark.table(kname)
+
+
+def sq8(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(bounds(dim, vmin, vmax), codes(vec_id, codes ARRAY<INT>)) —
+    the SQ8 scalar-quantization index (FAISS IndexScalarQuantizer
+    QT_8bit analogue): d bytes per vector at rest, per-dimension
+    affine dequantization at query time. Train is one min/max agg;
+    encode is one projection against the collected dim-row model."""
+    bname = _table_name("sq8b", sf_dir, "d64", "embeddings")
+    cname = _table_name("sq8c", sf_dir, "d64", "embeddings")
+    if not (spark.catalog.tableExists(bname) and spark.catalog.tableExists(cname)):
+        emb = tables.load(spark, "embeddings", sf_dir)
+        bounds = ann.sq8_train(emb)
+        _drop_stale_location(spark, bname)
+        bounds.write.mode("overwrite").format("parquet").saveAsTable(bname)
+        codes = ann.sq8_encode(emb, spark.table(bname))
+        _drop_stale_location(spark, cname)
+        (
+            codes.write.mode("overwrite")
+            .bucketBy(POSTINGS_BUCKETS, "vec_id")
+            .sortBy("vec_id")
+            .format("parquet")
+            .saveAsTable(cname)
+        )
+    return spark.table(bname), spark.table(cname)

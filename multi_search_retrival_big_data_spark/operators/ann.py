@@ -762,3 +762,92 @@ def ann_ivfpq_adc_topk(
         .orderBy(F.asc("approx_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the fourth compression path (FAISS
+# IndexScalarQuantizer QT_8bit): each dimension is affinely mapped to
+# one unsigned byte using per-dimension (min, max) trained over the
+# corpus; a query scores DEQUANTIZED vectors. Unlike PQ the code
+# length is d bytes (not M), but reconstruction is per-dimension exact
+# to 1/255 of the range — the standard memory/recall middle ground
+# between raw floats and PQ.
+# ---------------------------------------------------------------------------
+
+
+def sq8_train(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """SQ8 TRAIN job: per-dimension (vmin, vmax) over the corpus — one
+    posexplode + map-side-combined min/max agg, dim rows out (model
+    table, always broadcast-sized)."""
+    exploded = emb.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x")
+    )
+    return exploded.groupBy("dim").agg(
+        F.min("x").alias("vmin"), F.max("x").alias("vmax")
+    )
+
+
+def sq8_encode(
+    emb: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 BUILD job: (id, codes ARRAY<INT>) with code_j =
+    floor((x_j - vmin_j) / (vmax_j - vmin_j) * 255 + 0.5) clamped to
+    [0, 255] — pure IEEE ops, so the DuckDB oracle encodes
+    identically. The bounds table is collected to a literal array
+    (model state, dim rows) so the encode is a single projection."""
+    b = sorted(
+        ((int(r["dim"]), float(r["vmin"]), float(r["vmax"])) for r in bounds.collect())
+    )
+    vmin = F.array(*[F.lit(x[1]) for x in b])
+    scale = F.array(
+        *[F.lit(255.0 / (x[2] - x[1]) if x[2] > x[1] else 0.0) for x in b]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.zip_with(
+        F.zip_with(v, vmin, lambda x, lo: x - lo),
+        scale,
+        lambda d, s: F.greatest(
+            F.lit(0), F.least(F.lit(255), F.floor(d * s + F.lit(0.5)).cast("int"))
+        ),
+    )
+    return emb.select(F.col(id_col), codes.alias("codes"))
+
+
+def ann_sq8_topk(
+    codes: DataFrame,
+    bounds: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """SQ8 QUERY path: dequantize each code row in-plan (x̂_j = vmin_j
+    + code_j · (vmax_j − vmin_j)/255) and rank by exact L2 to the
+    query over the RECONSTRUCTIONS — a scan of the byte table plus a
+    projection; no float vector is read. Returns (id, approx_dist)
+    ascending (FAISS IndexScalarQuantizer.search)."""
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist
+
+    b = sorted(
+        ((int(r["dim"]), float(r["vmin"]), float(r["vmax"])) for r in bounds.collect())
+    )
+    vmin = F.array(*[F.lit(x[1]) for x in b])
+    step = F.array(*[F.lit((x[2] - x[1]) / 255.0) for x in b])
+    recon = F.zip_with(
+        F.zip_with(F.col("codes"), step, lambda c, s: c.cast("double") * s),
+        vmin,
+        lambda d, lo: d + lo,
+    )
+    d = l2_dist(recon, lit_vec(query_vec))
+    if round_to is not None:
+        d = det_round(d, round_to)
+    return (
+        codes.select(F.col(id_col), d.alias("approx_dist"))
+        .orderBy(F.asc("approx_dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -87,6 +87,8 @@ _PRIORITY = [
     "ann_pq_trained_recall_grid",
     "ann_ivfpq_adc_topk",
     "ann_ivfpq_recall_grid",
+    "ann_sq8_topk",
+    "ann_sq8_recall",
     "dedup_cluster_components_lss",
     "sketch_kmv_distinct_tokens",  # estimator fixed this round → re-prove
 ]

@@ -1267,3 +1267,99 @@ def ann_ivfpq_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in _IVFPQ_GRID_NPROBE[1:]:
         out = out.union(cfg_row(p))
     return out.orderBy("nprobe")
+
+
+# --- SQ8 scalar quantization ------------------------------------------------
+
+_SQ8_K = 100
+_SQ8_RECALL_K = 50
+
+_SQ8_CTES = f"""{KEM_CTE},
+    bnd AS (
+      SELECT CAST(t.i AS INT) AS i,
+             min(e.v[CAST(t.i AS INT)]) AS vmin,
+             max(e.v[CAST(t.i AS INT)]) AS vmax
+      FROM kem e, unnest(range(1, {EMB_DIM + 1})) AS t(i)
+      GROUP BY 1
+    ),
+    barr AS (
+      SELECT list(vmin ORDER BY i) AS lo,
+             list(CASE WHEN vmax > vmin THEN 255.0 / (vmax - vmin) ELSE 0.0 END
+                  ORDER BY i) AS sc,
+             list((vmax - vmin) / 255.0 ORDER BY i) AS st
+      FROM bnd
+    ),
+    recon AS MATERIALIZED (
+      SELECT e.vec_id,
+             list_transform(range(1, {EMB_DIM + 1}),
+               i -> GREATEST(0, LEAST(255,
+                      CAST(FLOOR((e.v[CAST(i AS INT)] - b.lo[CAST(i AS INT)])
+                                 * b.sc[CAST(i AS INT)] + 0.5) AS INT)))
+                    * b.st[CAST(i AS INT)] + b.lo[CAST(i AS INT)]) AS rv
+      FROM kem e CROSS JOIN barr b
+    )"""
+
+
+@query(
+    "ann_sq8_topk",
+    oracle=f"""
+    WITH {_SQ8_CTES}
+    SELECT vec_id,
+           {sql_det_round(f"list_distance(rv, {sql_vec(QUERY_VEC)})")} AS approx_dist
+    FROM recon
+    ORDER BY approx_dist ASC, vec_id ASC LIMIT {_SQ8_K}
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 top-k (FAISS IndexScalarQuantizer QT_8bit): rank by exact
+    L2 over per-dimension AFFINE-DEQUANTIZED byte codes
+    (ann.ann_sq8_topk over the persisted index_store.sq8 tables) — the
+    fourth compression path after LSH buckets, IVF cells and PQ codes:
+    d bytes/vector, reconstruction exact to 1/255 of each dimension's
+    range, no float vector read at query time."""
+    bounds, codes = index_store.sq8(spark, sf_dir)
+    return ann.ann_sq8_topk(codes, bounds, QUERY_VEC, k=_SQ8_K, round_to=6)
+
+
+@query(
+    "ann_sq8_recall",
+    oracle=f"""
+    WITH {_SQ8_CTES},
+    sq AS (
+      SELECT vec_id FROM recon
+      ORDER BY list_distance(rv, {sql_vec(QUERY_VEC)}) ASC, vec_id ASC
+      LIMIT {_SQ8_RECALL_K}
+    ),
+    exact AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY list_distance({_V}, {sql_vec(QUERY_VEC)}) ASC, vec_id ASC
+      LIMIT {_SQ8_RECALL_K}
+    )
+    SELECT {_SQ8_RECALL_K} AS k, count(*) AS hits,
+           count(*) / CAST({_SQ8_RECALL_K} AS DOUBLE) AS recall
+    FROM sq JOIN exact USING (vec_id)
+    """,
+)
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the SQ8 path vs the exact scan — the audit row
+    that prices 8-bit quantization (expected ≈ 1.0: 1/255-of-range
+    per-dimension error rarely reorders a top-50)."""
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    bounds, codes = index_store.sq8(spark, sf_dir)
+    exact = (
+        emb.select("vec_id", l2_dist("embedding", lit_vec(QUERY_VEC)).alias("__d"))
+        .orderBy(F.asc("__d"), F.asc("vec_id"))
+        .limit(_SQ8_RECALL_K)
+        .select("vec_id")
+    )
+    sq = ann.ann_sq8_topk(
+        codes, bounds, QUERY_VEC, k=_SQ8_RECALL_K, round_to=None
+    ).select("vec_id")
+    hits = sq.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
+    return hits.select(
+        F.lit(_SQ8_RECALL_K).alias("k"),
+        F.col("hits"),
+        (F.col("hits").cast("double") / F.lit(float(_SQ8_RECALL_K))).alias("recall"),
+    )

@@ -259,3 +259,23 @@ def test_ivfpq_adc_candidates_come_from_probed_cells(spark, sf_dir):
     }
     assert member_cids <= probed
     assert out.count() > 0
+
+
+def test_sq8_roundtrip_error_bounded(spark):
+    from multi_search_retrival_big_data_spark.operators import ann as _ann
+    from pyspark.sql import functions as F
+
+    rows = [(i, [(-1) ** i * (i / 7.0), 0.25 * i, -3.0 + i]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    bounds = _ann.sq8_train(emb, dim=3)
+    codes = _ann.sq8_encode(emb, bounds)
+    b = {int(r["dim"]): (r["vmin"], r["vmax"]) for r in bounds.collect()}
+    got = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    for i, v in rows:
+        for j, x in enumerate(v):
+            lo, hi = b[j]
+            code = got[i][j]
+            assert 0 <= code <= 255
+            recon = lo + code * (hi - lo) / 255.0
+            # reconstruction error bounded by half a quantization step
+            assert abs(recon - x) <= (hi - lo) / 255.0 / 2 + 1e-12

@@ -51,7 +51,13 @@ def test_registry_sanity():
     }
     for name, sql in oracles.items():
         # table refs appear as FROM/JOIN <ident>; CTE names are declared
-        ctes = set(re.findall(r"(\w+)\s*(?:\([^)]*\))?\s+AS\s*\(", sql, re.IGNORECASE))
+        ctes = set(
+            re.findall(
+                r"(\w+)\s*(?:\([^)]*\))?\s+AS\s*(?:MATERIALIZED\s*)?\(",
+                sql,
+                re.IGNORECASE,
+            )
+        )
         refs = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql, re.IGNORECASE))
         unknown = {r for r in refs if r.lower() not in known} - ctes - {"unnest", "range"}
         assert not unknown, f"{name}: unknown table refs {unknown}"
