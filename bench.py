@@ -92,6 +92,7 @@ OPTIONAL_QUERIES = [
     "dedup_cluster_components_lss",
     "ann_ivfpq_adc_topk",
     "ann_sq8_topk",
+    "ann_pq_rerank_trained_topk",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

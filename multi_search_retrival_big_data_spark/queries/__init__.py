@@ -88,6 +88,7 @@ _PRIORITY = [
     "ann_ivfpq_adc_topk",
     "ann_ivfpq_recall_grid",
     "ann_sq8_topk",
+    "ann_pq_rerank_trained_topk",
     "ann_sq8_recall",
     "dedup_cluster_components_lss",
     "sketch_kmv_distinct_tokens",  # estimator fixed this round → re-prove
