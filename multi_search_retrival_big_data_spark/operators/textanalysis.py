@@ -325,3 +325,113 @@ def char_bigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFr
             det_round(dsum(F.col("lp"), scale=9) / F.count(F.lit(1))).alias("avg_logprob"),
         )
     )
+
+
+def decontamination_overlap(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile 13-gram protocol,
+    scaled to this corpus's ~80-token documents with word n-grams of
+    `n`): find corpus documents sharing ≥ `min_hits` distinct word
+    n-grams with any eval-set document → (corpus_id, eval_id,
+    shared_ngrams). A training pipeline drops or flags the hits before
+    training so eval numbers stay honest.
+
+    Plan shape: per-side distinct (id, gram) explode, equi-join on the
+    GRAM VALUE (never a cross join — only docs sharing a gram meet),
+    map-side-combined pair count. At 100 TB the eval side is tiny and
+    broadcast, so the corpus side never shuffles; hash the gram to an
+    8-byte key (shingle_int_value) if gram strings dominate the
+    exchange. Same candidate-generation shape as
+    dedup.ngram_jaccard_pairs (reference has no decontamination —
+    training-pipeline extension)."""
+    from multi_search_retrival_big_data_spark.functions.text import (
+        tokenize,
+        word_ngrams,
+    )
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(word_ngrams(tokenize(F.col(text_col)), n))
+            ).alias("gram"),
+        )
+
+    pairs = (
+        grams(corpus, "corpus_id")
+        .join(F.broadcast(grams(evalset, "eval_id")), "gram")
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_hits)
+    )
+    return pairs
+
+
+def repetition_features(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters (Rae et al. 2021
+    §A1.1.2, public protocol): duplicate-line fraction, most-frequent
+    word-bigram fraction, duplicated word-trigram fraction — the
+    signals that drop boilerplate/spam pages before training. All
+    count-based int/int ratios (engine-exact, no rounding needed).
+
+    Plan shape: the line features and the distinct-counts are pure
+    array expressions (codegen, no shuffle); the top-bigram
+    multiplicity is an explode + ONE map-side-combined
+    groupBy(doc, gram) → groupBy(doc) reduce — linear in tokens. (A
+    shuffle-free O(g·distinct-g) `transform(array_distinct, filter)`
+    fold exists but falls out of codegen into interpreted expression
+    trees — measured 30× slower already at 200-token documents, so the
+    exploded reduce is the default at every scale.)"""
+    from multi_search_retrival_big_data_spark.functions.text import (
+        tokenize,
+        word_ngrams,
+    )
+
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    toks = tokenize(t)
+    tri = word_ngrams(toks, 3)
+    n_tri = F.size(tri)
+    dup_tri_frac = F.when(
+        n_tri > 0,
+        F.lit(1.0) - F.size(F.array_distinct(tri)).cast("double") / n_tri.cast("double"),
+    ).otherwise(F.lit(0.0))
+    base = docs.select(
+        F.col(id_col),
+        n_lines.cast("bigint").alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_tri_frac.alias("dup_trigram_frac"),
+        word_ngrams(toks, 2).alias("__bi"),
+    )
+    bic = (
+        base.select(id_col, F.explode("__bi").alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.sum("__c").alias("__n_bi"), F.max("__c").alias("__top"))
+    )
+    out = base.drop("__bi").join(bic, id_col, "left")
+    top_bi = F.coalesce(F.col("__top"), F.lit(0))
+    top_bi_frac = F.when(
+        F.coalesce(F.col("__n_bi"), F.lit(0)) > 0,
+        (F.lit(2.0) * top_bi.cast("double")) / (F.col("__n_bi").cast("double") + F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col(id_col),
+        "n_lines",
+        "dup_line_frac",
+        top_bi.cast("bigint").alias("top_bigram_count"),
+        top_bi_frac.alias("top_bigram_frac"),
+        "dup_trigram_frac",
+    )

@@ -91,6 +91,8 @@ _PRIORITY = [
     "ann_pq_rerank_trained_topk",
     "ann_sq8_recall",
     "dedup_cluster_components_lss",
+    "decontamination_eval_overlap",
+    "text_repetition_filters",
     "sketch_kmv_distinct_tokens",  # estimator fixed this round → re-prove
 ]
 

@@ -275,3 +275,103 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity-style quality filter of training-data pipelines."""
     docs = tables.load(spark, "documents", sf_dir)
     return ta.char_bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# --- benchmark decontamination + repetition filters ------------------------
+
+from multi_search_retrival_big_data_spark.queries.sampling_queries import (  # noqa: E402
+    SAMPLE_THRESHOLD_HEX as _EVAL_THR,
+)
+
+_DECON_N = 5
+_DECON_MIN_HITS = 2
+
+
+@query(
+    "decontamination_eval_overlap",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[CAST(i AS INT):CAST(i + {_DECON_N - 1} AS INT)], ' ') AS gram
+      FROM tok, unnest(range(1, greatest(len(t) - {_DECON_N - 2}, 1))) AS r(i)
+    ),
+    ev AS (SELECT * FROM g WHERE md5(CAST(doc_id AS VARCHAR)) < '{_EVAL_THR}'),
+    co AS (SELECT * FROM g WHERE md5(CAST(doc_id AS VARCHAR)) >= '{_EVAL_THR}')
+    SELECT co.doc_id AS corpus_id, ev.doc_id AS eval_id, count(*) AS shared_ngrams
+    FROM co JOIN ev USING (gram)
+    GROUP BY 1, 2
+    HAVING count(*) >= {_DECON_MIN_HITS}
+    ORDER BY corpus_id, eval_id
+    """,
+)
+def decontamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 / Pile n-gram protocol): the
+    deterministic ~10% md5 eval split is checked against the remaining
+    training corpus for shared word {n}-grams
+    (textanalysis.decontamination_overlap); rows = (corpus_id,
+    eval_id, shared_ngrams ≥ {m}) — the documents a pipeline must drop
+    or flag before training so eval numbers stay honest. Equi-join on
+    the gram value with the tiny eval side broadcast."""
+    from multi_search_retrival_big_data_spark.operators import sampling
+
+    docs = tables.load(spark, "documents", sf_dir)
+    evalset = sampling.hash_sample(docs, "doc_id", _EVAL_THR)
+    corpus = docs.join(evalset.select("doc_id"), "doc_id", "left_anti")
+    out = ta.decontamination_overlap(
+        corpus, evalset, "doc_id", "text", n=_DECON_N, min_hits=_DECON_MIN_HITS
+    )
+    return out.orderBy("corpus_id", "eval_id")
+
+
+@query(
+    "text_repetition_filters",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines,
+             regexp_extract_all(lower(text), '\w+') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS g
+      FROM base, unnest(range(1, greatest(len(t), 1))) AS r(i)
+    ),
+    bic AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bi, CAST(MAX(c) AS BIGINT) AS top
+      FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2) GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+      FROM base, unnest(range(1, greatest(len(t) - 1, 1))) AS r(i)
+    ),
+    tric AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) - COUNT(CASE WHEN c > 1 THEN 1 END) AS BIGINT) AS extra
+      FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.lines) AS BIGINT) AS n_lines,
+           1.0 - CAST(len(list_distinct(b.lines)) AS DOUBLE) / CAST(len(b.lines) AS DOUBLE) AS dup_line_frac,
+           COALESCE(bic.top, 0) AS top_bigram_count,
+           CASE WHEN COALESCE(bic.n_bi, 0) > 0
+                THEN (2.0 * bic.top) / (CAST(bic.n_bi AS DOUBLE) + 1.0)
+                ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN COALESCE(tric.n_tri, 0) > 0
+                THEN CAST(tric.extra AS DOUBLE) / CAST(tric.n_tri AS DOUBLE)
+                ELSE 0.0 END AS dup_trigram_frac
+    FROM base b LEFT JOIN bic USING (doc_id) LEFT JOIN tric USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per document
+    (textanalysis.repetition_features): duplicate-line fraction,
+    most-frequent-bigram token coverage, duplicated-trigram fraction —
+    the boilerplate/spam signals a pre-training pipeline thresholds.
+    Pure array expressions (no shuffle, whole-stage codegen); the
+    oracle recomputes via explode + group-by, proving the two
+    formulations agree value-for-value."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return ta.repetition_features(docs, "doc_id", "text").orderBy("doc_id")

@@ -98,3 +98,42 @@ def test_bigram_lm_matches_python(spark):
         assert out[doc_id]["n_bigrams"] == len(t) - 1
     # the common-pattern doc scores higher than the rare-pattern doc
     assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+
+
+def test_decontamination_overlap_finds_planted_dup(spark):
+    from multi_search_retrival_big_data_spark.operators import textanalysis as _ta
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text with no overlap at all here"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over the lazy dog")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = _ta.decontamination_overlap(corpus, evalset, "doc_id", "text", n=5, min_hits=2)
+    rows = {(r["corpus_id"], r["eval_id"]) for r in out.collect()}
+    assert (1, 100) in rows
+    assert all(c != 2 for c, _ in rows)
+
+
+def test_repetition_features_flags_repeats(spark):
+    from multi_search_retrival_big_data_spark.operators import textanalysis as _ta
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam line\nspam line\nspam line\nspam line"),
+            (2, "all words here are entirely distinct from each other friend"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r["doc_id"]: r for r in _ta.repetition_features(docs, "doc_id", "text").collect()}
+    assert got[1]["dup_line_frac"] > 0.7
+    assert got[1]["top_bigram_count"] >= 4
+    assert got[1]["dup_trigram_frac"] > 0.5
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["top_bigram_count"] == 1
+    assert got[2]["dup_trigram_frac"] == 0.0
