@@ -851,3 +851,76 @@ def ann_sq8_topk(
         .orderBy(F.asc("approx_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def batch_pq_adc_topk(
+    emb: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    stride: int = PQ_STRIDE,
+    round_to: int | None = None,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Batched multi-query PQ/ADC top-k — the serving-amortization
+    shape (like dense.batch_topk_cosine / sparse.batch_tfidf_score)
+    applied to the code table: ALL queries' sub-space lookup tables are
+    built in one broadcast (|queries|·M·KS rows — request-sized ×
+    model-sized), the M-byte code table is scanned ONCE for the whole
+    batch, and the per-query top-k is a window partial sort. Returns
+    (query_id, id, approx_dist), k rows per query, ascending.
+
+    `queries` is (query_id, qvec). FAISS batches exactly this way —
+    IndexPQ.search takes a query MATRIX and reuses the scan
+    (faiss_processing.py:307-314 batches its feedback searches)."""
+    from pyspark.sql.window import Window
+
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist
+
+    qid, qvec = queries.columns[0], queries.columns[1]
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(emb, id_col, "embedding", 64, m, ks, stride)
+    )
+    dsub_expr = F.size(F.col("cv"))  # sub-centroid length = dim/M
+    # per-(query, m, code) LUT: slice the query at m·dsub+1 in-plan
+    d = l2_dist(
+        F.slice(
+            F.col(qvec).cast("array<double>"),
+            F.col("m") * dsub_expr + F.lit(1),
+            dsub_expr,
+        ),
+        "cv",
+    )
+    luts = (
+        queries.crossJoin(cb)
+        .select(F.col(qid).alias("query_id"), "m", "code", (d * d).alias("__d"))
+    )
+    out = codes.crossJoin(F.broadcast(queries.select(F.col(qid).alias("query_id"))))
+    for i in range(m):
+        lut_i = luts.filter(F.col("m") == i).select(
+            F.col("query_id").alias(f"__q{i}"),
+            F.col("code").alias(f"__code{i}"),
+            F.col("__d").alias(f"__d{i}"),
+        )
+        out = out.join(
+            F.broadcast(lut_i),
+            (out["query_id"] == lut_i[f"__q{i}"]) & (out[f"c{i}"] == lut_i[f"__code{i}"]),
+        ).drop(f"__q{i}", f"__code{i}")
+    score = F.col("__d0")
+    for i in range(1, m):
+        score = score + F.col(f"__d{i}")  # fixed fold order, oracle-identical
+    if round_to is not None:
+        score = det_round(score, round_to)
+    scored = out.select("query_id", F.col(id_col), score.alias("approx_dist"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("query_id", F.asc("approx_dist"), F.asc(id_col))
+    )

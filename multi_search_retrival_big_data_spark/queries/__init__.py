@@ -89,6 +89,7 @@ _PRIORITY = [
     "ann_ivfpq_recall_grid",
     "ann_sq8_topk",
     "ann_pq_rerank_trained_topk",
+    "ann_pq_batch_adc_topk",
     "ann_sq8_recall",
     "dedup_cluster_components_lss",
     "decontamination_eval_overlap",

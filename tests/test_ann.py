@@ -279,3 +279,25 @@ def test_sq8_roundtrip_error_bounded(spark):
             recon = lo + code * (hi - lo) / 255.0
             # reconstruction error bounded by half a quantization step
             assert abs(recon - x) <= (hi - lo) / 255.0 / 2 + 1e-12
+
+
+def test_batch_pq_adc_matches_single_query(spark, sf_dir):
+    from multi_search_retrival_big_data_spark import index_store
+    from multi_search_retrival_big_data_spark.operators import ann as _ann
+    from multi_search_retrival_big_data_spark.queries.common import (
+        QUERY_VEC,
+        QUERY_VEC_B,
+    )
+    from multi_search_retrival_big_data_spark import tables as _tables
+
+    emb = _tables.load(spark, "embeddings", sf_dir)
+    codes = index_store.pq_codes(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in QUERY_VEC]), (1, [float(x) for x in QUERY_VEC_B])],
+        "query_id INT, qvec ARRAY<DOUBLE>",
+    )
+    batch = _ann.batch_pq_adc_topk(emb, codes, qdf, k=10, round_to=6).collect()
+    for qi, qv in ((0, QUERY_VEC), (1, QUERY_VEC_B)):
+        single = _ann.ann_pq_adc_topk(emb, codes, qv, k=10, round_to=6).collect()
+        got = [(r["vec_id"], r["approx_dist"]) for r in batch if r["query_id"] == qi]
+        assert got == [(r["vec_id"], r["approx_dist"]) for r in single]

@@ -42,6 +42,7 @@ SCALAR_BROADCAST_OK = {
     "ann_ivf_trained_recall_grid",  # same 1-row scalar combine, trained centroids
     "ann_ivfpq_adc_topk",     # nprobe-row probe x M.KS-row codebook LUT build
     "ann_ivfpq_recall_grid",  # same tiny LUT cross + 1-row scalar combines
+    "ann_pq_batch_adc_topk",  # request-sized query batch fanout + LUT cross
     "dense_batch_topk_cosine",  # corpus × request-sized query batch
     "text_bigram_lm_scores",    # 1-row vocabulary-size scalar broadcast
     "tpch_q22_dormant_balance", # 1-row avg-balance threshold broadcast
