@@ -29,6 +29,20 @@ the incremental-maintenance paths: new vectors append their (band,
 bval) partition rows; the `index_incremental_update_parity` /
 `index_incremental_stream_parity` queries prove post-append parity
 against a from-scratch rebuild.
+
+WHICH indexes are append-incremental is a property of the math, not
+the plumbing: LSH bands, PQ/SQ codes and IVF lists depend only on the
+new row (given frozen hyperplanes/codebooks/centroids), so appends are
+exact. TF-IDF/BM25 postings are NOT: idf and the document-length
+normalizers are corpus-global, so appending rows with stale idf skews
+every score. The production pattern is the same one search engines
+use — append new docs' postings with frozen statistics (scores drift
+by ≤ the corpus growth fraction), refresh idf/norms on a periodic
+rebuild, and let the content fingerprint retire the stale generation.
+Trained quantizers (kmeans.py) follow the FAISS convention: the
+codebook is frozen at train time and appends encode against it; a
+recall-grid audit (ann_*_recall_grid) decides when drift warrants
+retraining.
 """
 
 from __future__ import annotations
