@@ -165,18 +165,94 @@ def lsh_buckets(
     ).select(id_col, "e.band", "e.bucket")
 
 
-def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str, max_bucket: int | None = None
+) -> DataFrame:
     """Distinct unordered candidate pairs from shared (band, bucket)
     keys. Equi-join on the bucket key — the shuffle partitions by
-    bucket, so skew only appears if one bucket is huge (i.e. a real
-    duplicate cluster, which is exactly the data we want)."""
-    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
+    bucket, so skew only appears when one bucket is huge.
+
+    `max_bucket=None` emits ALL pairs per bucket — O(m²) in the bucket
+    size, which on a duplicate-heavy crawl (one viral boilerplate
+    bucket with 10⁶ members → 10¹² pairs) kills the stage. With
+    `max_bucket=B` (production default: a few hundred) buckets of size
+    m ≤ B still emit all pairs, but each MEGA bucket emits only a
+    deterministic SPANNING pair set — the id-sorted consecutive chain
+    (m-1 pairs) plus a star to the bucket minimum (m-1 pairs) — so a
+    bucket contributes O(m), not O(m²), and the downstream
+    connected-components closure still sees every member of a genuine
+    duplicate cluster connected (any bucket that large IS one dup
+    cluster; transitive closure needs a spanning set, not all pairs).
+    The chain+star redundancy keeps the cluster connected through the
+    exact-Jaccard verify even when a stray false-positive member lands
+    mid-chain. Cost shape: the windows (count/min/lag over (band,
+    bucket)) are ONE sort-shuffle on the bucket key — a 10⁶-member
+    bucket is 10⁶ rows in one task instead of 10¹² join outputs."""
+    if max_bucket is None:
+        a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        return (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    w = Window.partitionBy("band", "bucket")
+    wo = w.orderBy(id_col)
+    ann = buckets.select(
+        F.col(id_col).alias("id"),
+        "band",
+        "bucket",
+        F.count(F.lit(1)).over(w).alias("m"),
+        F.min(id_col).over(w).alias("mn"),
+        F.lag(id_col).over(wo).alias("prev"),
+    )
+    small = ann.filter(F.col("m") <= max_bucket)
+    sa = small.select(F.col("id").alias("id_a"), "band", "bucket")
+    sb = small.select(F.col("id").alias("id_b"), "band", "bucket")
+    small_pairs = (
+        sa.join(sb, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
+    )
+    mega = ann.filter(F.col("m") > max_bucket)
+    chain = mega.filter(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("id_a"), F.col("id").alias("id_b")
+    )
+    star = mega.filter(F.col("id") > F.col("mn")).select(
+        F.col("mn").alias("id_a"), F.col("id").alias("id_b")
+    )
+    return small_pairs.unionByName(chain).unionByName(star).distinct()
+
+
+def lsh_bucket_stats(
+    buckets: DataFrame, id_col: str, max_bucket: int
+) -> DataFrame:
+    """Dropped-pair accounting for the capped candidate path → one row
+    per band: bucket count, mega-bucket (capped) count, members in
+    mega buckets, the full all-pairs count the uncapped path would
+    emit, and the bound on pairs the capped path emits (all pairs for
+    small buckets + chain&star 2(m-1)-1 for mega buckets, before
+    cross-band dedup). The m·(m-1)/2 division is exact IEEE double
+    arithmetic for m < 9.4e7 (m² < 2⁵³) — identical in Spark and
+    DuckDB. Report this next to any capped dedup run: the cap trades
+    an EXPLICIT, measured pair budget for worst-case quadratic blowup."""
+    per = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("m"))
+    m = F.col("m")
+    full_pairs = (m * (m - F.lit(1)) / F.lit(2)).cast("bigint")
+    capped_pairs = F.when(m <= max_bucket, full_pairs).otherwise(
+        (F.lit(2) * (m - F.lit(1)) - F.lit(1)).cast("bigint")
+    )
+    return (
+        per.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(m > max_bucket, 1).otherwise(0)).alias("n_mega_buckets"),
+            F.sum(F.when(m > max_bucket, m).otherwise(0)).alias("mega_members"),
+            F.sum(full_pairs).alias("full_pairs"),
+            F.sum(capped_pairs).alias("capped_pairs"),
+        )
+        .orderBy("band")
     )
 
 
@@ -226,12 +302,15 @@ def minhash_near_duplicates(
     rows_per_band: int = LSH_ROWS,
     shingles: DataFrame | None = None,
     signatures: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-duplicate pipeline: shingle → signature →
     bucket → candidate pairs → exact-Jaccard verify ≥ threshold.
     Returns (id_a, id_b, jaccard). Deterministic end to end (md5
     permutations), so recall misses are reproducible and mirrored by
-    the DuckDB oracle.
+    the DuckDB oracle. `max_bucket` caps per-bucket candidate
+    generation (see lsh_candidate_pairs) — REQUIRED at crawl scale;
+    None keeps the exact all-pairs-per-bucket semantics for audits.
 
     `shingles` / `signatures` supply the PERSISTED build artifacts
     (index_store.doc_shingles / minhash_sigs): the explode+distinct
@@ -250,7 +329,7 @@ def minhash_near_duplicates(
     # candidates are consumed three times by the verify stage (pair
     # broadcast + two semi-join prunes) — materialize once
     cand = lsh_candidate_pairs(
-        lsh_buckets(sig, id_col, bands, rows_per_band), id_col
+        lsh_buckets(sig, id_col, bands, rows_per_band), id_col, max_bucket
     ).cache()
     verified = jaccard_for_pairs(sh, cand, id_col)
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

@@ -67,34 +67,15 @@ _MODULES = [
 ]
 
 # The driver records a CORRECTNESS row for (at most) the first 50
-# registry entries per round. Rounds 1+2 proved 100 distinct entries;
-# the 4 TPC-H queries below were registered in r2 but fell past the
-# 50-row window (positions 51-54), so they go FIRST this round,
-# followed by every query added in round 3. The remainder keeps module
-# registration order (all already driver-green in CORRECTNESS_r01/r02).
+# registry entries per round. Rounds 1-3 proved all 119 then-registered
+# entries, so round-4 additions (never driver-checked) go FIRST; the
+# remainder keeps module registration order (all driver-green in
+# CORRECTNESS_r01/r02/r03 and re-proven by the judge's r3 full gate).
 _PRIORITY = [
-    # round-2 entries 51-54 (judge-verified locally, no driver row yet)
-    "tpch_q12_late_shipments",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_dominant_suppliers",
-    "tpch_q21_waiting_suppliers",
-    # round-3 additions (new, never driver-checked)
-    "ann_pq_rerank_topk",
-    "ann_pq_rerank_recall_grid",
-    "index_incremental_update_parity",
-    "index_incremental_stream_parity",
-    "ann_ivf_trained_recall_grid",
-    "ann_pq_trained_recall_grid",
-    "ann_ivfpq_adc_topk",
-    "ann_ivfpq_recall_grid",
-    "ann_sq8_topk",
-    "ann_pq_rerank_trained_topk",
-    "ann_pq_batch_adc_topk",
-    "ann_sq8_recall",
-    "dedup_cluster_components_lss",
-    "decontamination_eval_overlap",
-    "text_repetition_filters",
-    "sketch_kmv_distinct_tokens",  # estimator fixed this round → re-prove
+    # round-4 additions (new, never driver-checked)
+    "dedup_minhash_lsh_capped",
+    "dedup_cluster_components_capped",
+    "dedup_lsh_bucket_stats",
 ]
 
 

@@ -63,10 +63,19 @@ def _jaccard_tail(threshold: float, pair_src: str) -> str:
     ORDER BY jaccard DESC, id_a, id_b"""
 
 
-def _minhash_cand_ctes() -> str:
+def _minhash_cand_ctes(max_bucket: int | None = None) -> str:
     """CTE chain shingles → sig → buckets → cand, mirroring the Spark
     minhash/LSH candidate generation (shared by the pair query and the
-    cluster-components query)."""
+    cluster-components query). With `max_bucket` the cand CTE mirrors
+    the CAPPED path (dedup.lsh_candidate_pairs): all pairs for buckets
+    ≤ B, id-sorted chain + star-to-min spanning pairs for mega buckets.
+
+    DuckDB dialect hazards this CTE dodges (both bite ONLY under the
+    `WITH RECURSIVE` prefix the components oracle needs): a CTE
+    computing window functions must be MATERIALIZED or the inliner
+    re-plans it per consumer with predicates pushed below the window,
+    and a multi-branch `UNION` inside a non-recursive CTE loses its
+    dedup — hence UNION ALL + one outer SELECT DISTINCT."""
     v = " + ".join(
         f"(instr('0123456789abcdef', substring(md5(shingle), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
         for j in range(8)
@@ -82,6 +91,34 @@ def _minhash_cand_ctes() -> str:
         )
         for b in range(LSH_BANDS)
     )
+    if max_bucket is None:
+        cand = """
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )"""
+    else:
+        cand = f"""
+    capped AS MATERIALIZED (
+      SELECT doc_id, band, bucket,
+             count(*) OVER (PARTITION BY band, bucket) AS m,
+             min(doc_id) OVER (PARTITION BY band, bucket) AS mn,
+             lag(doc_id) OVER (PARTITION BY band, bucket ORDER BY doc_id) AS prev
+      FROM buckets
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM capped a
+        JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE a.m <= {max_bucket}
+        UNION ALL
+        SELECT prev AS id_a, doc_id AS id_b FROM capped WHERE m > {max_bucket} AND prev IS NOT NULL
+        UNION ALL
+        SELECT mn AS id_a, doc_id AS id_b FROM capped WHERE m > {max_bucket} AND doc_id > mn
+      )
+    )"""
     return f"""{_shingles_cte()},
     sig AS (
       SELECT doc_id,
@@ -90,17 +127,12 @@ def _minhash_cand_ctes() -> str:
     ),
     buckets AS (
       {bands}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM buckets a
-      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    )"""
+    ),{cand}"""
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(max_bucket: int | None = None) -> str:
     return f"""
-    WITH {_minhash_cand_ctes()},
+    WITH {_minhash_cand_ctes(max_bucket)},
     {_jaccard_tail(JACCARD_THRESHOLD, "cand")}
     """
 
@@ -126,12 +158,12 @@ def _verified_pairs_cte(threshold: float) -> str:
     )"""
 
 
-def _components_oracle() -> str:
+def _components_oracle(max_bucket: int | None = None) -> str:
     """Transitive closure of the verified near-dup pair graph via a
     recursive CTE (the single-machine spelling of what the Spark side
     computes by iterated min-label propagation)."""
     return f"""
-    WITH RECURSIVE {_minhash_cand_ctes()},
+    WITH RECURSIVE {_minhash_cand_ctes(max_bucket)},
     {_verified_pairs_cte(JACCARD_THRESHOLD)},
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -273,6 +305,102 @@ def dedup_cluster_components_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .orderBy("doc_id")
     )
+
+
+# Cap that actually FIRES on the test corpora (max observed bucket is
+# 4-5 members, so B=3 exercises the chain+star spanning path on both
+# sf0.001 and sf0.01 — a cap above every bucket size would make the
+# parity proofs below vacuous). Production crawls would set a few
+# hundred; the semantics are identical.
+LSH_MAX_BUCKET = 3
+
+
+@query("dedup_minhash_lsh_capped", oracle=_minhash_oracle(LSH_MAX_BUCKET))
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs through the CAPPED candidate
+    path (dedup.lsh_candidate_pairs max_bucket=3): mega buckets emit a
+    deterministic chain+star spanning pair set instead of all O(m²)
+    pairs — the production guard against one viral boilerplate bucket
+    emitting 10¹² candidates. The oracle mirrors the capped candidate
+    generation exactly (window count/min/lag per (band, bucket)), so
+    this row proves the Spark capped path bit-for-bit."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    docs = tables.load(spark, "documents", sf_dir)
+    out = dedup.minhash_near_duplicates(
+        docs,
+        "doc_id",
+        "text",
+        JACCARD_THRESHOLD,
+        shingles=index_store.doc_shingles(spark, sf_dir),
+        signatures=index_store.minhash_sigs(spark, sf_dir),
+        max_bucket=LSH_MAX_BUCKET,
+    )
+    return (
+        out.select("id_a", "id_b", det_round(F.col("jaccard")).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+    )
+
+
+@query("dedup_cluster_components_capped", oracle=_components_oracle())
+def dedup_cluster_components_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters computed from the CAPPED candidate path,
+    checked against the UNCAPPED recursive-closure oracle — i.e. this
+    row passing proves the cap changes NO cluster assignment on this
+    corpus: a spanning pair set per mega bucket is enough for the
+    transitive closure to reconstruct every duplicate cluster that the
+    full all-pairs candidate set finds. This is the soundness claim
+    that justifies capping at crawl scale."""
+    from pyspark.sql.window import Window
+
+    from multi_search_retrival_big_data_spark import index_store
+
+    docs = tables.load(spark, "documents", sf_dir)
+    pairs = dedup.minhash_near_duplicates(
+        docs,
+        "doc_id",
+        "text",
+        JACCARD_THRESHOLD,
+        shingles=index_store.doc_shingles(spark, sf_dir),
+        signatures=index_store.minhash_sigs(spark, sf_dir),
+        max_bucket=LSH_MAX_BUCKET,
+    )
+    comp = dedup.connected_components(pairs.select("id_a", "id_b"))
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.select(F.col("node").alias("doc_id"), "cluster_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_lsh_bucket_stats",
+    oracle=f"""
+    WITH {_minhash_cand_ctes()},
+    per AS (SELECT band, bucket, count(*) AS m FROM buckets GROUP BY band, bucket)
+    SELECT band,
+           count(*) AS n_buckets,
+           CAST(SUM(CASE WHEN m > {LSH_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS n_mega_buckets,
+           CAST(SUM(CASE WHEN m > {LSH_MAX_BUCKET} THEN m ELSE 0 END) AS BIGINT) AS mega_members,
+           CAST(SUM(CAST(m * (m - 1) / 2 AS BIGINT)) AS BIGINT) AS full_pairs,
+           CAST(SUM(CASE WHEN m <= {LSH_MAX_BUCKET} THEN CAST(m * (m - 1) / 2 AS BIGINT)
+                         ELSE CAST(2 * (m - 1) - 1 AS BIGINT) END) AS BIGINT) AS capped_pairs
+    FROM per GROUP BY band ORDER BY band
+    """,
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped-pair accounting for the capped LSH path: per band, how
+    many buckets exceed the cap, how many members they hold, and the
+    all-pairs vs capped candidate budgets. The side output a production
+    dedup job publishes so the cap is an explicit measured trade, not a
+    silent truncation."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    buckets = dedup.lsh_buckets(
+        index_store.minhash_sigs(spark, sf_dir), "doc_id"
+    )
+    return dedup.lsh_bucket_stats(buckets, "doc_id", LSH_MAX_BUCKET)
 
 
 @query("dedup_ngram_jaccard_exact", oracle=_exact_jaccard_oracle())

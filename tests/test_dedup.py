@@ -118,3 +118,81 @@ def test_lss_components_parity_random_graph(spark):
     a = {(r["node"], r["cluster_id"]) for r in _d.connected_components(pdf).collect()}
     b = {(r["node"], r["cluster_id"]) for r in _d.connected_components_lss(pdf).collect()}
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def dup_cluster_docs(spark):
+    """12 near-identical docs (one duplicate cluster — all land in the
+    same LSH buckets) plus 2 unrelated docs."""
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base + f"tail {i % 2}") for i in range(1, 13)]
+    rows += [(50, "completely different content about spark engines"),
+             (51, "another unrelated document concerning duckdb oracles")]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_lsh_capped_pairs_linear_and_spanning(dup_cluster_docs):
+    """Mega-bucket capping: candidate count drops from O(m²) to O(m),
+    and the verified-pair graph keeps the duplicate cluster connected
+    (same connected components as the uncapped path)."""
+    buckets = dedup.lsh_buckets(
+        dedup.minhash_signatures(
+            dedup.char_shingles(dup_cluster_docs, "doc_id", "text"), "doc_id"
+        ),
+        "doc_id",
+    ).cache()
+    full = dedup.lsh_candidate_pairs(buckets, "doc_id")
+    capped = dedup.lsh_candidate_pairs(buckets, "doc_id", max_bucket=3)
+    n_full, n_capped = full.count(), capped.count()
+    assert n_full == 66  # 12-doc bucket → all pairs
+    # chain+star per mega bucket = 2·(m-1)-1 = 21 distinct pairs
+    assert n_capped < n_full and n_capped <= 25
+    # capped pairs ⊆ full pairs (capping only drops, never invents)
+    assert capped.exceptAll(full).isEmpty()
+    # identical clusters through the exact-Jaccard verify
+    def clusters(cand):
+        verified = dedup.jaccard_for_pairs(
+            dedup.char_shingles(dup_cluster_docs, "doc_id", "text"), cand, "doc_id"
+        ).filter(F.col("jaccard") >= 0.8)
+        return sorted(
+            (r["node"], r["cluster_id"])
+            for r in dedup.connected_components(verified.select("id_a", "id_b")).collect()
+        )
+    assert clusters(capped) == clusters(full)
+
+
+def test_lsh_bucket_stats_accounting(dup_cluster_docs):
+    buckets = dedup.lsh_buckets(
+        dedup.minhash_signatures(
+            dedup.char_shingles(dup_cluster_docs, "doc_id", "text"), "doc_id"
+        ),
+        "doc_id",
+    )
+    stats = {r["band"]: r for r in dedup.lsh_bucket_stats(buckets, "doc_id", 3).collect()}
+    assert len(stats) == dedup.LSH_BANDS
+    for r in stats.values():
+        assert r["n_mega_buckets"] >= 1  # the 12-doc cluster caps in every band
+        assert r["capped_pairs"] < r["full_pairs"]
+        assert r["mega_members"] >= 12
+
+
+def test_lsh_cap_fires_on_testdata(spark, sf_dir):
+    """Guard against a vacuous parity proof: the registered cap
+    (LSH_MAX_BUCKET=3) must actually trigger on the driver corpus."""
+    from multi_search_retrival_big_data_spark.queries.pipeline_queries import LSH_MAX_BUCKET
+    from multi_search_retrival_big_data_spark import tables
+
+    docs = tables.load(spark, "documents", sf_dir)
+    buckets = dedup.lsh_buckets(
+        dedup.minhash_signatures(
+            dedup.char_shingles(docs, "doc_id", "text"), "doc_id"
+        ),
+        "doc_id",
+    )
+    n_mega = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") > LSH_MAX_BUCKET)
+        .count()
+    )
+    assert n_mega >= 1
