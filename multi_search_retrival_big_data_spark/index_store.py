@@ -168,18 +168,27 @@ def multichannel_postings(
 def ivf_assignments(
     spark: SparkSession, sf_dir: str, stride: int = ann.IVF_CENTROID_STRIDE
 ) -> DataFrame:
-    """(vec_id, cid) — the IVF inverted lists, built ONCE by the
-    coarse-quantizer job (ann.ivf_assign) and persisted PARTITIONED BY
-    cid, so a query's nprobe cell probe prunes to nprobe/nlist of the
-    table (FAISS builds its inverted lists once at add time —
+    """(vec_id, embedding, cid) — the IVF inverted lists, built ONCE by
+    the coarse-quantizer job (ann.ivf_assign) and persisted PARTITIONED
+    BY cid, so a query's nprobe cell probe prunes to nprobe/nlist of
+    the table (FAISS builds its inverted lists once at add time —
     create_bin.ipynb cells 3-8; the round-1 inline recompute was a
-    corpus×centroids pass per query, the scale killer this removes)."""
-    name = _table_name("ivf", sf_dir, f"s{stride}", "embeddings")
+    corpus×centroids pass per query, the scale killer this removes).
+
+    The VECTORS are co-located inside the lists, exactly as FAISS
+    IndexIVFFlat stores them: the exact-rank stage of ann_ivf_topk
+    reads (vec_id, embedding) straight out of the nprobe pruned
+    partitions and never touches the full embeddings scan — without
+    this the final rank re-probed the whole corpus to fetch vectors,
+    which at 100 TB reads 1000× more than the cells it ranks."""
+    name = _table_name("ivf", sf_dir, f"s{stride}v2", "embeddings")
     if not spark.catalog.tableExists(name):
         _drop_stale_location(spark, name)
         emb = tables.load(spark, "embeddings", sf_dir)
         _, assign = ann.ivf_assign(emb, stride=stride)
-        ann.write_ivf_assignments(assign, name)
+        ann.write_ivf_assignments(
+            assign.join(emb.select("vec_id", "embedding"), "vec_id"), name
+        )
     return spark.table(name)
 
 
@@ -282,27 +291,30 @@ def ivf_trained(
     stride: int = ann.IVF_CENTROID_STRIDE,
     iters: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(centroids(cid, cv), assignments(vec_id, cid)) under Lloyd-
-    TRAINED coarse centroids (kmeans.train_lloyd from the stride seed —
-    the FAISS IndexIVFFlat.train analogue the stride-only build
+    """(centroids(cid, cv), assignments(vec_id, embedding, cid)) under
+    Lloyd-TRAINED coarse centroids (kmeans.train_lloyd from the stride
+    seed — the FAISS IndexIVFFlat.train analogue the stride-only build
     skipped). Both persisted: centroids are the k·dim model table, the
-    inverted lists are cid-partitioned exactly like ivf_assignments so
-    the query probe stays partition pruning. Training runs ONCE here at
-    build time (iters corpus passes, each one projection + a k·dim-row
-    reduce); the query plan never trains."""
+    inverted lists are cid-partitioned WITH the vectors co-located
+    exactly like ivf_assignments, so both the probe prune AND the
+    exact-rank vector fetch stay inside the nprobe partitions. Training
+    runs ONCE here at build time (iters corpus passes, each one
+    projection + a k·dim-row reduce); the query plan never trains."""
     from multi_search_retrival_big_data_spark.operators import kmeans
 
     if iters is None:
         iters = kmeans.KMEANS_ITERS
     cname = _table_name("ivftc", sf_dir, f"s{stride}i{iters}", "embeddings")
-    aname = _table_name("ivfta", sf_dir, f"s{stride}i{iters}", "embeddings")
+    aname = _table_name("ivfta", sf_dir, f"s{stride}i{iters}v2", "embeddings")
     if not spark.catalog.tableExists(cname) or not spark.catalog.tableExists(aname):
         emb = tables.load(spark, "embeddings", sf_dir)
         cents = kmeans.train_lloyd(emb, kmeans.stride_init(emb, stride=stride), iters)
         from pyspark.sql import functions as F
 
         assign = emb.select(
-            F.col("vec_id"), kmeans.assign_cid("embedding", cents).alias("cid")
+            F.col("vec_id"),
+            F.col("embedding"),
+            kmeans.assign_cid("embedding", cents).alias("cid"),
         )
         _drop_stale_location(spark, cname)
         kmeans.centroids_df(emb, cents).write.mode("overwrite").format(

@@ -348,7 +348,10 @@ def write_ivf_assignments(assign: DataFrame, table_name: str) -> None:
     """Persist the inverted lists PARTITIONED BY cid — the at-rest
     layout where a query's nprobe cell probe becomes partition pruning
     (reads nprobe/nlist of the table, exactly FAISS's inverted-list
-    seek)."""
+    seek). Pass (vec_id, embedding, cid) to co-locate the vectors in
+    the lists (FAISS IndexIVFFlat stores vectors inside the inverted
+    lists): ann_ivf_topk then ranks straight out of the pruned
+    partitions with no second corpus scan."""
     (
         assign.write.mode("overwrite")
         .partitionBy("cid")
@@ -376,6 +379,14 @@ def ann_ivf_topk(
     (index_store.ivf_assignments); the executed plan then contains NO
     quantizer-assignment recompute — only the |centroids|-row probe
     (pushed-filter scan + top-nprobe) and a partition-prunable join.
+    When the table also carries the vectors (the (vec_id, embedding,
+    cid) layout index_store persists — FAISS stores vectors inside the
+    inverted lists), the exact-cosine rank reads them straight from the
+    nprobe pruned partitions: the query touches nprobe/nlist of the
+    index and NOTHING else. Without co-located vectors the final rank
+    must semi-join the full embeddings scan to fetch them — at 100 TB
+    that second scan reads ~nlist/nprobe× more bytes than the cells
+    being ranked, so the co-located layout is the serving shape.
     When omitted, assignment is computed inline (audit/self-contained
     mode — a full corpus×centroids pass per query, never the serving
     shape)."""
@@ -392,10 +403,18 @@ def ann_ivf_topk(
         .limit(nprobe)
         .select("cid")
     )
-    cand_ids = assign.join(F.broadcast(probed), "cid").select(id_col)
     score = cosine_sim(vec_col, q)
     if round_to is not None:
         score = det_round(score, round_to)
+    if vec_col in assign.columns:
+        # co-located layout: rank inside the pruned partitions
+        cand = assign.join(F.broadcast(probed), "cid")
+        return (
+            cand.select(F.col(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+    cand_ids = assign.join(F.broadcast(probed), "cid").select(id_col)
     return (
         emb.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), score.alias("score"))

@@ -846,9 +846,10 @@ def ann_ivf_trained_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
         from multi_search_retrival_big_data_spark.functions.rounding import det_round
 
+        # vectors are co-located in the pruned inverted-list partitions —
+        # rank them directly, no second corpus scan
         topk = (
-            emb.join(cand.select("vec_id"), "vec_id", "left_semi")
-            .select(
+            cand.select(
                 "vec_id",
                 det_round(cosine_sim("embedding", lit_vec(QUERY_VEC)), 6).alias("score"),
             )

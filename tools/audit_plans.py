@@ -72,6 +72,14 @@ PARTITION_PRUNING_EXPECTED = {
     "sink_partitioned_parquet_pruned",
 }
 
+# queries whose index scan MUST be pruned by a runtime probe result —
+# the plan must contain dynamicpruningexpression on the partitioned
+# index table (IVF inverted lists: only the nprobe cells are read, and
+# the co-located vectors make that the ONLY data the query touches)
+DYNAMIC_PRUNING_EXPECTED = {
+    "ann_ivf_topk_cosine",
+}
+
 
 def audit(name: str, plan: str) -> list[str]:
     flags = []
@@ -96,6 +104,8 @@ def audit(name: str, plan: str) -> list[str]:
         r"PartitionFilters: \[(?!\])", plan
     ):
         flags.append("partition filter did not prune")
+    if name in DYNAMIC_PRUNING_EXPECTED and "dynamicpruningexpression" not in plan:
+        flags.append("index scan not dynamically pruned")
     return flags
 
 
