@@ -361,7 +361,15 @@ def connected_components(
     Components in MapReduce"), which squares the label-jump per round.
     Convergence is detected by an exact per-round change count — an
     action per round, unavoidable for any fixed-point loop.
+
+    Raises RuntimeError if the fixed point is not reached within
+    `max_iter` rounds (since round 3; earlier versions returned the
+    partial — silently wrong — labels). Callers that cannot bound the
+    graph diameter should use connected_components_auto, which falls
+    back to the O(log² n)-round large-star/small-star algorithm.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -412,6 +420,30 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_auto(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    shallow_rounds: int = 4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment for graphs of UNKNOWN shape — the
+    default entry point a dedup job should call. Near-duplicate pair
+    graphs are almost always shallow (transitive near-dups have
+    diameter ≤ ~3), so min-label propagation is tried first and usually
+    wins in `shallow_rounds` cheap one-shuffle rounds; if the graph
+    turns out deep (adversarial chains — propagation needs ~diameter
+    rounds), the spent rounds are abandoned and the O(log² n)-round
+    large-star/small-star algorithm finishes the job regardless of
+    diameter. The fallback costs `shallow_rounds` wasted shuffles on
+    deep graphs — the price of keeping the common shallow case at one
+    shuffle per round with no star-rewiring overhead."""
+    try:
+        return connected_components(pairs, id_a, id_b, max_iter=shallow_rounds)
+    except RuntimeError:
+        return connected_components_lss(pairs, id_a, id_b, max_iter=max_iter)
+
+
 def connected_components_lss(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -445,6 +477,8 @@ def connected_components_lss(
     empty) — the expensive check fires once, at the actual fixed
     point, not every round.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -247,11 +247,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_cluster_components", oracle=_components_oracle())
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
-    MinHash-LSH verified pair graph (dedup.connected_components,
-    iterated min-label propagation with per-round lineage truncation).
-    Output: (doc_id, cluster_id = min reachable id, cluster_size) for
-    every document in a non-singleton cluster — the table a dedup job
-    joins against to keep one representative per cluster. The oracle
+    MinHash-LSH verified pair graph via connected_components_auto —
+    min-label propagation as the shallow-graph fast path (near-dup
+    graphs have diameter ≤ ~3, so it converges in a few one-shuffle
+    rounds, which is what happens on this corpus), with automatic
+    fallback to large-star/small-star for deep graphs. Output:
+    (doc_id, cluster_id = min reachable id, cluster_size) for every
+    document in a non-singleton cluster — the table a dedup job joins
+    against to keep one representative per cluster. The oracle
     computes the same closure with a recursive CTE."""
     from pyspark.sql.window import Window
 
@@ -266,7 +269,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles=index_store.doc_shingles(spark, sf_dir),
         signatures=index_store.minhash_sigs(spark, sf_dir),
     )
-    comp = dedup.connected_components(pairs.select("id_a", "id_b"))
+    comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
     w = Window.partitionBy("cluster_id")
     return (
         comp.select(F.col("node").alias("doc_id"), "cluster_id")
@@ -365,7 +368,7 @@ def dedup_cluster_components_capped(spark: SparkSession, sf_dir: str) -> DataFra
         signatures=index_store.minhash_sigs(spark, sf_dir),
         max_bucket=LSH_MAX_BUCKET,
     )
-    comp = dedup.connected_components(pairs.select("id_a", "id_b"))
+    comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
     w = Window.partitionBy("cluster_id")
     return (
         comp.select(F.col("node").alias("doc_id"), "cluster_id")

@@ -196,3 +196,28 @@ def test_lsh_cap_fires_on_testdata(spark, sf_dir):
         .count()
     )
     assert n_mega >= 1
+
+
+def test_connected_components_max_iter_validation(spark):
+    pairs = spark.createDataFrame([(1, 2)], "id_a BIGINT, id_b BIGINT")
+    with pytest.raises(ValueError):
+        dedup.connected_components(pairs, max_iter=0)
+    with pytest.raises(ValueError):
+        dedup.connected_components_lss(pairs, max_iter=0)
+
+
+def test_connected_components_auto_shallow_and_deep(spark):
+    """auto takes the propagation fast path on shallow graphs and
+    falls back to LSS on a chain that exhausts shallow_rounds."""
+    # shallow: triangle + isolated pair
+    shallow = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)], "id_a BIGINT, id_b BIGINT"
+    )
+    out = {r["node"]: r["cluster_id"] for r in dedup.connected_components_auto(shallow).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # deep: a 40-node chain needs ~40 propagation rounds -> LSS fallback
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_a BIGINT, id_b BIGINT"
+    )
+    out = {r["node"]: r["cluster_id"] for r in dedup.connected_components_auto(chain, shallow_rounds=3).collect()}
+    assert set(out.values()) == {1} and len(out) == 40
