@@ -20,6 +20,20 @@ tiers plus the per-query scale ratio, separating constant-factor
 noise from real super-linear regressions (a ratio ≲ replication ×
 log-factor means the operator scales; sf0.1 deltas of ±0.3 s cannot
 show that).
+
+SKEWED-STRESS TIER (same trigger): a second 10× corpus that is
+ADVERSARIALLY skewed instead of uniform — replicas 0-2 all carry
+lang='en' and one source (one key holds ~30% of rows: the 'default
+tenant' shape), and ~2% of rows become byte-identical boilerplate (one
+mega duplicate cluster: the crawl shape that makes uncapped LSH go
+quadratic). Skew-sensitive queries are timed on both 10× corpora;
+`skew_ratio` ≈ 1 means the operator's mitigation (salting, mega-bucket
+capping, map-side partial agg) holds under hot keys, not just under
+uniform growth.
+
+Opt-out / opt-in: SPARK_GRAFT_STRESS=0 disables both stress tiers at
+any sf; =1 forces them at any sf; unset = on only at the default
+sf0.1. The JSON echoes the flag under "stress_flag".
 """
 
 from __future__ import annotations
@@ -42,11 +56,30 @@ STRESS_REPLICATION = 10
 # new components variant; all documents/embeddings-bound
 STRESS_QUERIES = [
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
     "dedup_cluster_components",
     "fusion_hybrid_sparse_dense",
     "text_simhash_fingerprints",
     "text_bigram_lm_scores",
 ]
+
+# queries timed on BOTH 10× corpora (uniform vs skewed) — each carries
+# an explicit skew mitigation whose claim is "hot keys cost ~nothing":
+# salted join (lang), capped LSH (mega dup cluster), hash-partitioned
+# exact dedup (hot content_hash), group-by over a hot source.
+SKEW_QUERIES = [
+    "skew_salted_join_lang",
+    "group_hits_by_source",
+    "dedup_minhash_lsh_capped",
+    "dedup_exact_groups",
+]
+
+# byte-identical boilerplate planted on ~2% of skew-tier rows — the
+# viral-page shape: every copy lands in the SAME LSH buckets
+_BOILERPLATE = (
+    "click here to accept cookies and continue to the best site on the "
+    "internet where all your favorite content lives conveniently forever"
+)
 
 BENCH_QUERIES = [
     # BASELINE.md grid anchors
@@ -70,6 +103,7 @@ OPTIONAL_QUERIES = [
     "group_hits_by_source",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
     "text_simhash_fingerprints",
     "text_quality_scores",
     "ann_lsh_topk_cosine",
@@ -164,6 +198,55 @@ def _build_stress_dir(spark, sf_dir: str, replication: int) -> str:
     return out
 
 
+def _build_skew_dir(spark, sf_dir: str, replication: int) -> str:
+    """10×-replicated documents with ADVERSARIAL skew: replicas 0-2
+    force lang='en' and source='src_hot' (~30% of rows on one key) and
+    replicas 1-2 plant byte-identical boilerplate on doc_id % 7 == 0
+    (~2% of the corpus in ONE duplicate cluster / LSH mega bucket).
+    Only `documents` differs from the uniform tier; other tables are
+    symlinked."""
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="msrbd_skew_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    reps = spark.range(replication).select(F.col("id").cast("int").alias("__rep"))
+    id_shift = 10_000_000
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    lower, upper, digits = _REMAP_SRC[:26], _REMAP_SRC[26:52], _REMAP_SRC[52:]
+    text = F.col("text")
+    for i in range(1, replication):
+        tgt = (
+            lower[i:] + lower[:i] + upper[i:] + upper[:i]
+            + digits[i:] + digits[:i]
+        )
+        text = F.when(F.col("__rep") == i, F.translate("text", _REMAP_SRC, tgt)).otherwise(
+            text
+        )
+    hot = F.col("__rep") <= 2
+    boiler = F.col("__rep").isin(1, 2) & (F.col("doc_id") % 7 == 0)
+    (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("__rep").cast("bigint") * id_shift).alias("doc_id"),
+            F.when(boiler, F.lit(_BOILERPLATE)).otherwise(text).alias("text"),
+            F.when(hot, F.lit("en")).otherwise(F.col("lang")).alias("lang"),
+            F.when(hot, F.lit("src_hot")).otherwise(F.col("source")).alias("source"),
+            F.when(boiler, F.lit(len(_BOILERPLATE))).otherwise(F.col("n_chars")).alias(
+                "n_chars"
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(out, f"{t}.parquet"))
+    return out
+
+
 def _time_queries(spark, qs, names, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
@@ -200,38 +283,107 @@ def main() -> None:
 
     stress_flag = os.environ.get("SPARK_GRAFT_STRESS", "")
     run_stress = stress_flag == "1" or (stress_flag == "" and sf == "0.1")
+    result["stress_flag"] = {
+        "enabled": run_stress,
+        "env": stress_flag or "(unset: stress tiers run at sf0.1 only)",
+        "disable_with": "SPARK_GRAFT_STRESS=0",
+    }
     if run_stress:
-        stress_dir = _build_stress_dir(spark, sf_dir, STRESS_REPLICATION)
-        stress_names = [n for n in STRESS_QUERIES if n in qs]
-        stress = _time_queries(spark, qs, stress_names, stress_dir)
-        # the dedup queries are LSH-candidate-bound, and the per-replica
-        # candidate count is an md5-draw variable (the Caesar remap
-        # re-rolls every borderline-Jaccard band collision), so report
-        # the measured candidate volume next to the time ratio — the
-        # linearity claim is time ∝ candidates, not time ∝ rows
-        cand_counts = {}
         from multi_search_retrival_big_data_spark import tables as _tables
         from multi_search_retrival_big_data_spark.operators import dedup as _dedup
+        from multi_search_retrival_big_data_spark.queries.pipeline_queries import (
+            LSH_MAX_BUCKET as _CAP,
+        )
 
-        for label, d in (("x1", sf_dir), (f"x{STRESS_REPLICATION}", stress_dir)):
+        def _lsh_counts(d: str) -> dict[str, int]:
+            # LSH candidate volume with and without the mega-bucket cap —
+            # the dedup queries are candidate-bound, so THIS is the
+            # scaling variable (the per-replica count is an md5-draw
+            # variable: the Caesar remap re-rolls every borderline band
+            # collision); uncapped-vs-capped on the same corpus is the
+            # direct measure of what the cap saves
             docs = _tables.load(spark, "documents", d)
             sh = _dedup.char_shingles(docs, "doc_id", "text", _dedup.SHINGLE_K)
             sig = _dedup.minhash_signatures(sh, "doc_id", _dedup.NUM_PERM)
-            cand = _dedup.lsh_candidate_pairs(
-                _dedup.lsh_buckets(sig, "doc_id", _dedup.LSH_BANDS, _dedup.LSH_ROWS),
-                "doc_id",
-            )
-            cand_counts[label] = cand.count()
+            buckets = _dedup.lsh_buckets(
+                sig, "doc_id", _dedup.LSH_BANDS, _dedup.LSH_ROWS
+            ).cache()
+            out = {
+                "uncapped": _dedup.lsh_candidate_pairs(buckets, "doc_id").count(),
+                "capped": _dedup.lsh_candidate_pairs(
+                    buckets, "doc_id", max_bucket=_CAP
+                ).count(),
+            }
+            buckets.unpersist()
+            return out
+
+        stress_dir = _build_stress_dir(spark, sf_dir, STRESS_REPLICATION)
+        stress_names = [n for n in STRESS_QUERIES if n in qs]
+        skew_names = [n for n in SKEW_QUERIES if n in qs]
+        uniform_names = list(dict.fromkeys(stress_names + skew_names))
+        stress = _time_queries(spark, qs, uniform_names, stress_dir)
+        cand_counts = {
+            "x1": _lsh_counts(sf_dir),
+            f"x{STRESS_REPLICATION}": _lsh_counts(stress_dir),
+        }
         result["tiers"] = {
-            "x1": {n: timings[n] for n in stress_names if n in timings},
+            "x1": {n: timings[n] for n in uniform_names if n in timings},
             f"x{STRESS_REPLICATION}": stress,
             "scale_ratio": {
                 n: round(stress[n] / timings[n], 2)
-                for n in stress_names
+                for n in uniform_names
                 if timings.get(n)
             },
             "lsh_candidates": cand_counts,
             "replication": STRESS_REPLICATION,
+        }
+
+        # adversarially skewed 10× tier: same row count as the uniform
+        # tier, hot keys + one mega duplicate cluster; ratio ≈ 1 vs the
+        # uniform tier means the mitigation holds under skew
+        skew_dir = _build_skew_dir(spark, sf_dir, STRESS_REPLICATION)
+        skew = _time_queries(spark, qs, skew_names, skew_dir)
+        skew_cand = _lsh_counts(skew_dir)
+        mega = (
+            _dedup.lsh_bucket_stats(
+                _dedup.lsh_buckets(
+                    _dedup.minhash_signatures(
+                        _dedup.char_shingles(
+                            _tables.load(spark, "documents", skew_dir),
+                            "doc_id",
+                            "text",
+                            _dedup.SHINGLE_K,
+                        ),
+                        "doc_id",
+                        _dedup.NUM_PERM,
+                    ),
+                    "doc_id",
+                    _dedup.LSH_BANDS,
+                    _dedup.LSH_ROWS,
+                ),
+                "doc_id",
+                _CAP,
+            )
+            .agg(
+                {"n_mega_buckets": "sum", "mega_members": "sum", "full_pairs": "sum",
+                 "capped_pairs": "sum"}
+            )
+            .collect()[0]
+        )
+        result["tiers"]["skew"] = {
+            "queries": skew,
+            "skew_ratio_vs_uniform_x10": {
+                n: round(skew[n] / stress[n], 2) for n in skew_names if stress.get(n)
+            },
+            "lsh_candidates": skew_cand,
+            "lsh_mega_buckets": {
+                "n_mega_buckets": mega["sum(n_mega_buckets)"],
+                "mega_members": mega["sum(mega_members)"],
+                "full_pairs_uncapped": mega["sum(full_pairs)"],
+                "pairs_after_cap": mega["sum(capped_pairs)"],
+            },
+            "shape": "replicas 0-2 -> lang=en/src_hot (~30% one key); "
+                     "2% of rows byte-identical boilerplate (one mega cluster)",
         }
     print(json.dumps(result))
 

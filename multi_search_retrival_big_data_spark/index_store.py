@@ -376,6 +376,40 @@ def pq_trained(
 # --- incremental index maintenance -----------------------------------------
 
 
+def incremental_split_filters(
+    spark: SparkSession, sf_dir: str, fracs: tuple[float, float] = (0.6, 0.8)
+) -> tuple[str, tuple[str, str]]:
+    """(base_filter, (delta1_filter, delta2_filter)) — corpus split
+    points DERIVED from the actual max vec_id (60%/20%/20% by default)
+    instead of hardcoded ids, so the parity proofs exercise real
+    non-empty deltas at every sf (a fixed `vec_id < 400` on a 300-row
+    corpus silently degenerates the proof to rebuild ≡ rebuild).
+    Raises if any slice would be empty — a degenerate parity query
+    must fail loudly, not pass vacuously."""
+    from pyspark.sql import functions as F
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    hi = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    if hi is None:
+        raise ValueError(f"no embeddings at {sf_dir}")
+    t1, t2 = int(hi * fracs[0]), int(hi * fracs[1])
+    if not 0 < t1 < t2 < hi:
+        raise ValueError(f"corpus too small to split: max vec_id = {hi}")
+    counts = emb.agg(
+        F.sum(F.when(F.col("vec_id") < t1, 1).otherwise(0)).alias("base"),
+        F.sum(
+            F.when((F.col("vec_id") >= t1) & (F.col("vec_id") < t2), 1).otherwise(0)
+        ).alias("d1"),
+        F.sum(F.when(F.col("vec_id") >= t2, 1).otherwise(0)).alias("d2"),
+    ).collect()[0]
+    if not (counts["base"] and counts["d1"] and counts["d2"]):
+        raise ValueError(f"empty split slice at {sf_dir}: {counts}")
+    return (
+        f"vec_id < {t1}",
+        (f"vec_id >= {t1} AND vec_id < {t2}", f"vec_id >= {t2}"),
+    )
+
+
 def lsh_bands_incremental(
     spark: SparkSession,
     sf_dir: str,
@@ -418,11 +452,8 @@ def lsh_bands_incremental(
 def lsh_bands_stream_incremental(
     spark: SparkSession,
     sf_dir: str,
-    base_filter: str = "vec_id < 300",
-    delta_filters: tuple[str, ...] = (
-        "vec_id >= 300 AND vec_id < 400",
-        "vec_id >= 400",
-    ),
+    base_filter: str | None = None,
+    delta_filters: tuple[str, ...] | None = None,
     bands: int = ann.ANN_BANDS,
     num_planes: int = ann.NUM_PLANES,
 ) -> DataFrame:
@@ -436,11 +467,16 @@ def lsh_bands_stream_incremental(
     per-vector pure function, so the foreachBatch body is exactly the
     batch build body; the checkpoint log gives exactly-once appends
     across restarts. `index_incremental_stream_parity` proves the
-    post-stream table identical to a from-scratch rebuild."""
+    post-stream table identical to a from-scratch rebuild. Split
+    points default to corpus-derived 60/20/20 slices
+    (incremental_split_filters) asserted non-empty, so the proof can
+    never degenerate on a small corpus."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
+    if base_filter is None or delta_filters is None:
+        base_filter, delta_filters = incremental_split_filters(spark, sf_dir)
     name = _table_name("lshstr", sf_dir, f"b{bands}p{num_planes}", "embeddings")
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     _drop_stale_location(spark, name)
@@ -479,6 +515,104 @@ def lsh_bands_stream_incremental(
     ckpt = _tempfile.mkdtemp(prefix="lsh_stream_ckpt_")
     q = (
         stream.writeStream.foreachBatch(_append_bands)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    for d in (landing, stage, ckpt):
+        _shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)
+
+
+def lsh_bands_stream_latedata(
+    spark: SparkSession,
+    sf_dir: str,
+    bands: int = ann.ANN_BANDS,
+    num_planes: int = ann.NUM_PLANES,
+) -> DataFrame:
+    """STREAMING LSH-band maintenance under AT-LEAST-ONCE, OUT-OF-ORDER
+    delivery — the real ingest-feed failure modes the plain streaming
+    variant doesn't exercise. The delta corpus lands as three
+    micro-batches: first the LATER half of the slice (by vec_id), then
+    the earlier half arriving late TOGETHER WITH a replay of ~half the
+    first batch, then a pure duplicate-only replay batch. The stream
+    composes a 2-hour watermark with dropDuplicatesWithinWatermark on
+    vec_id BEFORE the foreachBatch append, so every replayed row is
+    dropped exactly once no matter which micro-batch it lands in, and
+    no genuine row is dropped (event times span ≤ 1 h < the watermark
+    delay by construction — at scale the delay is chosen from the
+    upstream's delivery-lag SLO, and rows beyond it land in a
+    dead-letter audit table instead of the index).
+    `index_incremental_stream_latedata_parity` proves the post-stream
+    table still equals the from-scratch rebuild. State cost: the dedup
+    operator keeps one (vec_id, event_time) entry per key inside the
+    watermark horizon — bounded by ingest rate × delay, independent of
+    corpus size."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    base_filter, (d1, d2) = incremental_split_filters(spark, sf_dir)
+    name = _table_name("lshlate", sf_dir, f"b{bands}p{num_planes}", "embeddings")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _drop_stale_location(spark, name)
+    emb = tables.load(spark, "embeddings", sf_dir)
+    base = ann.banded_signatures(
+        emb.filter(base_filter), bands=bands, num_planes=num_planes
+    )
+    _save_partitioned(base, name, ["band", "bval"])
+
+    # synthetic bounded-disorder event time: span ≤ 3600 s, so the 2 h
+    # watermark delay can never expire a first occurrence mid-run
+    ts = F.timestamp_seconds(F.lit(1_700_000_000) + (F.col("vec_id") % 3600))
+    delta = emb.filter(f"NOT ({base_filter})").withColumn("event_time", ts)
+    late_half = delta.filter(d1)     # earlier ids — will arrive LAST
+    early_half = delta.filter(d2)    # later ids — arrive first
+    replay_a = early_half.filter(F.col("vec_id") % 2 == 0)   # cross-batch dups
+    replay_b = late_half.filter(F.col("vec_id") % 3 == 0)    # duplicate-only batch
+
+    landing = _tempfile.mkdtemp(prefix="lsh_late_landing_")
+    stage = _tempfile.mkdtemp(prefix="lsh_late_stage_")
+    batches = [
+        early_half,
+        late_half.unionByName(replay_a),
+        replay_b,
+    ]
+    for i, b in enumerate(batches):
+        d = _os.path.join(stage, f"d{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        j = 0
+        for part in sorted(_os.listdir(d)):
+            if part.endswith(".parquet"):
+                _shutil.copy(
+                    _os.path.join(d, part),
+                    _os.path.join(landing, f"delta_{i}_{j}.parquet"),
+                )
+                j += 1
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    deduped = stream.withWatermark("event_time", "2 hours").dropDuplicatesWithinWatermark(
+        ["vec_id"]
+    )
+
+    def _append_bands(batch_df: DataFrame, _batch_id: int) -> None:
+        banded = ann.banded_signatures(
+            batch_df.drop("event_time"), bands=bands, num_planes=num_planes
+        )
+        banded.write.mode("append").partitionBy("band", "bval").format(
+            "parquet"
+        ).saveAsTable(name)
+
+    ckpt = _tempfile.mkdtemp(prefix="lsh_late_ckpt_")
+    q = (
+        deduped.writeStream.foreachBatch(_append_bands)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

@@ -76,6 +76,7 @@ _PRIORITY = [
     "dedup_minhash_lsh_capped",
     "dedup_cluster_components_capped",
     "dedup_lsh_bucket_stats",
+    "index_incremental_stream_latedata_parity",
 ]
 
 

@@ -996,9 +996,10 @@ def ann_pq_trained_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- incremental index maintenance parity ----------------------------------
-
-_INCR_BASE = "vec_id < 400"
-_INCR_DELTA = "vec_id >= 400"
+# Split points are DERIVED from the corpus (60/20/20 of max vec_id,
+# index_store.incremental_split_filters) and asserted non-empty — a
+# hardcoded id threshold on a small sf dir would leave the delta empty
+# and silently turn every parity proof into rebuild ≡ rebuild.
 
 
 @query(
@@ -1019,9 +1020,9 @@ _INCR_DELTA = "vec_id >= 400"
 )
 def index_incremental_update_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance proof: the LSH band table is built
-    from the base corpus slice ({base}), the delta slice ({delta}) is
-    APPENDED partition-wise (index_store.lsh_bands_incremental — band
-    rows are per-vector pure functions, so appends never rewrite
+    from the base corpus slice (derived 60% split), the delta slices
+    are APPENDED partition-wise (index_store.lsh_bands_incremental —
+    band rows are per-vector pure functions, so appends never rewrite
     existing partitions), and the post-append table is aggregated per
     (band, bval). The oracle computes the same aggregate from a
     FROM-SCRATCH banding of the full corpus — a hash match proves
@@ -1029,7 +1030,10 @@ def index_incremental_update_parity(spark: SparkSession, sf_dir: str) -> DataFra
     re-ingest, clip.ipynb cell 7, upgraded to true increments). The
     same banding body runs per micro-batch under a foreachBatch sink
     for streaming ingest."""
-    t = index_store.lsh_bands_incremental(spark, sf_dir, _INCR_BASE, _INCR_DELTA)
+    base_f, (d1, d2) = index_store.incremental_split_filters(spark, sf_dir)
+    t = index_store.lsh_bands_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})"
+    )
     return (
         t.groupBy("band", "bval")
         .agg(
@@ -1067,6 +1071,48 @@ def index_incremental_stream_parity(spark: SparkSession, sf_dir: str) -> DataFra
     append-only ingest feed micro-batch by micro-batch equals the
     batch rebuild."""
     t = index_store.lsh_bands_stream_incremental(spark, sf_dir)
+    return (
+        t.groupBy("band", "bval")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .orderBy("band", "bval")
+    )
+
+
+@query(
+    "index_incremental_stream_latedata_parity",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, {_sig_sql(_V)} AS s FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, CAST(b AS INTEGER) AS band,
+             substring(s, CAST(b AS INTEGER) * {_ROWS} + 1, {_ROWS}) AS bval
+      FROM sig, unnest(range(0, {ann.ANN_BANDS})) AS t(b)
+    )
+    SELECT band, bval, count(*) AS n_vecs, CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+    FROM banded GROUP BY band, bval
+    ORDER BY band, bval
+    """,
+)
+def index_incremental_stream_latedata_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING index maintenance under AT-LEAST-ONCE OUT-OF-ORDER
+    delivery: the delta slices arrive late, interleaved, and partially
+    REPLAYED across three micro-batches (one of them duplicate-only);
+    a watermark + dropDuplicatesWithinWatermark(vec_id) in front of
+    the foreachBatch append drops every replay exactly once
+    (index_store.lsh_bands_stream_latedata). The oracle is the same
+    from-scratch full-corpus banding as the in-order stream proof — a
+    hash match proves the index following a messy real-world feed
+    still equals the batch rebuild. Without the dedup stage the
+    replayed rows would double-append and the n_vecs counts would
+    mismatch, so this parity row is sensitive to exactly the failure
+    it guards."""
+    t = index_store.lsh_bands_stream_latedata(spark, sf_dir)
     return (
         t.groupBy("band", "bval")
         .agg(

@@ -137,3 +137,35 @@ def test_lsh_stream_incremental_matches_rebuild(spark, sf_dir):
     full = ann.banded_signatures(emb)
     key = lambda r: (r["vec_id"], r["band"], r["bval"])  # noqa: E731
     assert sorted(map(key, t.collect())) == sorted(map(key, full.collect()))
+
+
+def test_incremental_split_filters_nonempty(spark, sf_dir):
+    from multi_search_retrival_big_data_spark import index_store, tables
+
+    base_f, (d1, d2) = index_store.incremental_split_filters(spark, sf_dir)
+    emb = tables.load(spark, "embeddings", sf_dir)
+    n_base, n1, n2 = (
+        emb.filter(base_f).count(),
+        emb.filter(d1).count(),
+        emb.filter(d2).count(),
+    )
+    assert n_base > 0 and n1 > 0 and n2 > 0
+    assert n_base + n1 + n2 == emb.count()
+
+
+def test_stream_latedata_dedups_replays(spark, sf_dir):
+    """The watermarked stream ingests 3 micro-batches containing
+    replayed rows; the final table must hold each vector's bands
+    exactly once (equal to a from-scratch full banding)."""
+    from multi_search_retrival_big_data_spark import index_store, tables
+    from multi_search_retrival_big_data_spark.operators import ann
+
+    t = index_store.lsh_bands_stream_latedata(spark, sf_dir)
+    emb = tables.load(spark, "embeddings", sf_dir)
+    full = ann.banded_signatures(emb)
+    assert t.count() == full.count()
+    # no vector appears twice within a band
+    from pyspark.sql import functions as F
+
+    dup = t.groupBy("band", "vec_id").count().filter(F.col("count") > 1).count()
+    assert dup == 0
