@@ -39,6 +39,7 @@ sf0.1. The JSON echoes the flag under "stress_flag".
 from __future__ import annotations
 
 import atexit
+import glob
 import json
 import os
 import shutil
@@ -385,6 +386,17 @@ def main() -> None:
             "shape": "replicas 0-2 -> lang=en/src_hot (~30% one key); "
                      "2% of rows byte-identical boilerplate (one mega cluster)",
         }
+
+        # the stress corpora are throwaway tempdirs but their index
+        # builds land in the shared warehouse under fresh content
+        # fingerprints — retire them (and any generation stranded by a
+        # prior run) now that the tier timings are recorded
+        from multi_search_retrival_big_data_spark import index_store as _ixs
+
+        for d in (stress_dir, skew_dir):
+            shutil.rmtree(d, ignore_errors=True)
+        live = [sf_dir] + sorted(glob.glob("/root/testdata/sf*"))
+        result["index_gc"] = {"dropped": len(_ixs.gc_stale_index_tables(spark, live))}
     print(json.dumps(result))
 
 

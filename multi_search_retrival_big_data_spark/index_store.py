@@ -49,8 +49,10 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
 import urllib.parse
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -105,6 +107,50 @@ def _drop_stale_location(spark: SparkSession, name: str) -> None:
     path = os.path.join(base, name)
     if os.path.exists(path):
         shutil.rmtree(path, ignore_errors=True)
+
+
+_INDEX_SOURCES = ("documents", "embeddings")
+_FP_RE = re.compile(r"^msrbd_[a-z0-9_]+_([0-9a-f]{10})$")
+
+
+def gc_stale_index_tables(
+    spark: SparkSession, sf_dirs: Sequence[str]
+) -> list[str]:
+    """Retire index generations whose corpus no longer exists.
+
+    Every index table name ends in a 10-hex content fingerprint of its
+    source corpus; a regenerated corpus (or a bench stress run's
+    tempdir corpus) gets fresh tables and silently strands the old
+    generation in the warehouse forever. This pass computes the
+    fingerprints of every (sf_dir, source) pair that is still current
+    and drops every msrbd_* table whose suffix matches none of them —
+    both from the catalog (DROP TABLE) and, for the in-memory catalog
+    whose locations outlive the session, from the warehouse directory.
+
+    NOT safe to run concurrently with queries over a corpus missing
+    from `sf_dirs` — callers list every corpus they still serve
+    (bench.py lists its live tier dirs; tests list the testdata sfs).
+    Returns the dropped table names."""
+    live: set[str] = set()
+    for d in sf_dirs:
+        for src in _INDEX_SOURCES:
+            live.add(_corpus_fingerprint(d, src))
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    parsed = urllib.parse.urlparse(wh)
+    if parsed.scheme not in ("", "file"):
+        return []  # real catalog: leave retention to its table lifecycle
+    base = urllib.parse.unquote(parsed.path) or wh
+    dropped: list[str] = []
+    if not os.path.isdir(base):
+        return dropped
+    for entry in sorted(os.listdir(base)):
+        m = _FP_RE.match(entry)
+        if m is None or m.group(1) in live:
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {entry}")
+        shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+        dropped.append(entry)
+    return dropped
 
 
 def _read_or_build(
@@ -659,33 +705,38 @@ def ivfpq(
             emb, kmeans.stride_init(emb, stride=coarse_stride), iters
         )
         # residuals feed the init collect, every training iteration and
-        # the encode — materialize once for the build job
+        # the encode — materialized for the build only, released after
+        # the code table lands (a leaked cache pins executor storage
+        # for the rest of the session)
         res = ann.ivfpq_residuals(emb, cents).cache()
-        init = kmeans.pq_stride_init(
-            res, vec_col="r", dim=dim, m=m, ks=ks, stride=pq_stride
-        )
-        books = kmeans.train_lloyd_pq(res, init, dim, iters, vec_col="r")
-        book_rows = [
-            (int(mi), int(code), [float(x) for x in cv])
-            for mi, book in sorted(books.items())
-            for code, cv in book
-        ]
-        _drop_stale_location(spark, cname)
-        kmeans.centroids_df(emb, cents).write.mode("overwrite").format(
-            "parquet"
-        ).saveAsTable(cname)
-        _drop_stale_location(spark, bname)
-        spark.createDataFrame(
-            book_rows, "m INT, code INT, cv ARRAY<DOUBLE>"
-        ).write.mode("overwrite").format("parquet").saveAsTable(bname)
-        codes = ann.pq_encode(
-            res, vec_col="r", dim=dim, m=m, ks=ks, stride=pq_stride,
-            codebook=spark.table(bname), squared=False,
-        ).join(res.select("vec_id", "cid"), "vec_id")
-        _drop_stale_location(spark, kname)
-        codes.write.mode("overwrite").partitionBy("cid").format(
-            "parquet"
-        ).saveAsTable(kname)
+        try:
+            init = kmeans.pq_stride_init(
+                res, vec_col="r", dim=dim, m=m, ks=ks, stride=pq_stride
+            )
+            books = kmeans.train_lloyd_pq(res, init, dim, iters, vec_col="r")
+            book_rows = [
+                (int(mi), int(code), [float(x) for x in cv])
+                for mi, book in sorted(books.items())
+                for code, cv in book
+            ]
+            _drop_stale_location(spark, cname)
+            kmeans.centroids_df(emb, cents).write.mode("overwrite").format(
+                "parquet"
+            ).saveAsTable(cname)
+            _drop_stale_location(spark, bname)
+            spark.createDataFrame(
+                book_rows, "m INT, code INT, cv ARRAY<DOUBLE>"
+            ).write.mode("overwrite").format("parquet").saveAsTable(bname)
+            codes = ann.pq_encode(
+                res, vec_col="r", dim=dim, m=m, ks=ks, stride=pq_stride,
+                codebook=spark.table(bname), squared=False,
+            ).join(res.select("vec_id", "cid"), "vec_id")
+            _drop_stale_location(spark, kname)
+            codes.write.mode("overwrite").partitionBy("cid").format(
+                "parquet"
+            ).saveAsTable(kname)
+        finally:
+            res.unpersist()
     return spark.table(cname), spark.table(bname), spark.table(kname)
 
 

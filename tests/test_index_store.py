@@ -169,3 +169,33 @@ def test_stream_latedata_dedups_replays(spark, sf_dir):
 
     dup = t.groupBy("band", "vec_id").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_gc_retires_stale_generations(spark, sf_dir, tmp_path):
+    """An index built for a throwaway corpus (the bench stress tiers)
+    must be dropped by gc_stale_index_tables once that corpus is no
+    longer listed live — while every live generation survives."""
+    import shutil
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", d / "documents.parquet"
+    )
+    stale = index_store.tfidf_postings(spark, str(d))
+    stale_name = index_store._table_name("tfidf", str(d), "11", "documents")
+    live_name = index_store._table_name("tfidf", sf_dir, "11", "documents")
+    index_store.tfidf_postings(spark, sf_dir)  # live generation
+    assert spark.catalog.tableExists(stale_name)
+
+    # corpus still listed → kept
+    dropped = index_store.gc_stale_index_tables(spark, [sf_dir, str(d)])
+    assert stale_name not in dropped
+    assert spark.catalog.tableExists(stale_name)
+
+    # corpus gone from the live list → retired; live generation kept
+    dropped = index_store.gc_stale_index_tables(spark, [sf_dir])
+    assert stale_name in dropped
+    assert not spark.catalog.tableExists(stale_name)
+    assert spark.catalog.tableExists(live_name)
+    del stale
