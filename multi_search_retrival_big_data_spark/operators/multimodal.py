@@ -117,6 +117,164 @@ def frame_sample(decoded: DataFrame, every: int = 2) -> DataFrame:
     )
 
 
+# ---- S1/S2/S4/S5 ingest stages (fps probe, shot detection, VAD, ASR) ----
+#
+# Each is the engine-side seam for one reference ingest notebook; the
+# "model" is a deterministic pure function of the payload bytes so the
+# WHOLE stage — Arrow batch in, typed feature frame out — is
+# oracle-comparable end to end. A production cluster swaps the body
+# (cv2 probe, TransNetV2, pyannote, wav2vec2) and keeps every plan.
+
+FPS_BASE, FPS_MOD = 24, 8  # fake probe: fps in 24..31 from the checksum
+SHOT_BASE, SHOT_MOD = 4, 4  # fake detector: uniform shot length 4..7 frames
+VAD_PERIOD = 300  # fake VAD: a speech segment starts every 300 ms
+VAD_BASE, VAD_MOD = 120, 80  # ...and lasts 120..199 ms (checksum-derived)
+
+PROBE_SCHEMA = "media_id BIGINT, fps BIGINT, n_frames BIGINT, duration_s DOUBLE"
+SHOT_SCHEMA = (
+    "media_id BIGINT, shot_id BIGINT, start_frame BIGINT, end_frame BIGINT"
+)
+VAD_SCHEMA = "media_id BIGINT, seg_id BIGINT, start_ms BIGINT, end_ms BIGINT"
+ASR_SCHEMA = "media_id BIGINT, transcript STRING, n_tokens BIGINT"
+
+
+def _fake_checksum(blob: bytes) -> int:
+    return int(sum(blob)) % CHECKSUM_MOD
+
+
+def probe_video(media: DataFrame) -> DataFrame:
+    """S1 — video scan + fps probe (reference data_extraction/fps.ipynb
+    cell 0: cv2.VideoCapture(...).get(CAP_PROP_FPS) per file). Fake
+    codec: fps = FPS_BASE + checksum % FPS_MOD, frame count from the
+    payload length, duration = n_frames / fps. Runs as one Arrow-batched
+    mapInPandas over the binary content — the same seam a cv2 header
+    probe occupies; output is the narrow per-video metadata frame that
+    feeds S3's dense-id assignment. Scale: narrow transform, no
+    shuffle; a real probe reads only container headers, so the blob
+    column should be range-requested, not fully fetched."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_frames = pdf["content"].map(len) // FRAME_BYTES + 1
+            fps = pdf["content"].map(_fake_checksum) % FPS_MOD + FPS_BASE
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fps": fps,
+                    "n_frames": n_frames,
+                    "duration_s": n_frames / fps,
+                }
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        _probe, PROBE_SCHEMA
+    )
+
+
+def detect_shots(media: DataFrame) -> DataFrame:
+    """S2 — shot detection (reference data_extraction/SceneJSON.ipynb
+    cell 1: TransNetV2 → GPU frame-diff → PySceneDetect fallback,
+    emitting [[start_frame, end_frame], ...] per video). Fake detector:
+    uniform shots of length SHOT_BASE + checksum % SHOT_MOD tiling
+    [0, n_frames), inclusive end, last shot clipped — same output shape
+    (one row per shot) the real model emits. mapInPandas over the blob:
+    a real detector consumes decoded frames in the same Arrow batch
+    seam. Scale: per-video fan-out only (shots ≪ frames); heavy decode
+    stays in the Python worker, results are narrow rows."""
+
+    def _detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sids, starts, ends = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                n_frames = len(blob) // FRAME_BYTES + 1
+                shot_len = SHOT_BASE + _fake_checksum(blob) % SHOT_MOD
+                for sid, start in enumerate(range(0, n_frames, shot_len)):
+                    ids.append(mid)
+                    sids.append(sid)
+                    starts.append(start)
+                    ends.append(min(start + shot_len, n_frames) - 1)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "shot_id": sids,
+                    "start_frame": starts,
+                    "end_frame": ends,
+                }
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        _detect, SHOT_SCHEMA
+    )
+
+
+def vad_segments(media: DataFrame) -> DataFrame:
+    """S4 — audio extraction + voice-activity detection (reference
+    BE_FE_ver1/dataset_extraction/audio/audio_detection.ipynb cells
+    2-6: pyannote VAD emitting [[start_sec, end_sec], ...] per video).
+    Fake VAD over a fake 1-byte-per-ms stream: a segment starts every
+    VAD_PERIOD ms and lasts VAD_BASE + checksum % VAD_MOD ms, clipped
+    to the stream — the (media_id, seg_id, start, end) interval table
+    S6's interval join and S7's as-of match consume. Same mapInPandas
+    seam/scale story as detect_shots."""
+
+    def _vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sids, starts, ends = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                dur_ms = len(blob)
+                seg_len = VAD_BASE + _fake_checksum(blob) % VAD_MOD
+                for sid, start in enumerate(range(0, dur_ms, VAD_PERIOD)):
+                    ids.append(mid)
+                    sids.append(sid)
+                    starts.append(start)
+                    ends.append(min(start + seg_len, dur_ms))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "seg_id": sids,
+                    "start_ms": starts,
+                    "end_ms": ends,
+                }
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        _vad, VAD_SCHEMA
+    )
+
+
+def asr_transcripts(media: DataFrame) -> DataFrame:
+    """S5 — ASR transcription (reference BE_FE_ver1/dataset_extraction/
+    audio/audio_regconition.ipynb cell 1: wav2vec2 Vietnamese CTC per
+    VAD segment, 10-s chunks → transcript JSON). Fake recognizer:
+    decode the payload as UTF-8, lowercase, collapse runs of
+    whitespace — a deterministic text normalization standing in for
+    CTC decoding, with the real output shape (media_id, transcript,
+    n_tokens) that feeds the speech TF-IDF/BM25 channel (S14/S15).
+    Scale: one Arrow batch pass, transcript ≪ audio payload; the blob
+    never leaves the stage."""
+    import re as _re
+
+    ws = _re.compile(r"[ \t\n\r]+")
+
+    def _asr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf["content"]:
+                t = ws.sub(" ", blob.decode("utf-8").lower()).strip()
+                out.append(t)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "transcript": out,
+                    "n_tokens": [len(t.split(" ")) if t else 0 for t in out],
+                }
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        _asr, ASR_SCHEMA
+    )
+
+
 EMBED_DIM = 8
 EMBED_MOD = 1000
 

@@ -73,6 +73,10 @@ _MODULES = [
 # CORRECTNESS_r01/r02/r03 and re-proven by the judge's r3 full gate).
 _PRIORITY = [
     # round-4 additions (new, never driver-checked)
+    "multimodal_video_probe",
+    "multimodal_shot_detection",
+    "multimodal_vad_segments",
+    "multimodal_asr_transcripts",
     "dedup_minhash_lsh_capped",
     "dedup_cluster_components_capped",
     "dedup_lsh_bucket_stats",

@@ -70,6 +70,108 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_probe",
+    oracle=f"""
+    WITH {_BYTESUM_CTE},
+    probe AS (
+      SELECT d.doc_id AS media_id,
+             CAST(b.s % {mm.CHECKSUM_MOD} % {mm.FPS_MOD} + {mm.FPS_BASE} AS BIGINT) AS fps,
+             CAST(octet_length(CAST(d.text AS BLOB)) // {mm.FRAME_BYTES} + 1 AS BIGINT) AS n_frames
+      FROM documents d JOIN bytesum b USING (doc_id)
+      WHERE d.doc_id % 3 = 2
+    )
+    SELECT media_id, fps, n_frames,
+           CAST(n_frames AS DOUBLE) / fps AS duration_s
+    FROM probe ORDER BY media_id
+    """,
+)
+def multimodal_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — video scan + fps probe through the Arrow-batched header-
+    probe seam (reference fps.ipynb cell 0): per-video (fps, n_frames,
+    duration_s) from the fake codec."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return mm.probe_video(mm.as_media_table(docs)).orderBy("media_id")
+
+
+@query(
+    "multimodal_shot_detection",
+    oracle=f"""
+    WITH {_BYTESUM_CTE},
+    probe AS (
+      SELECT d.doc_id AS media_id,
+             octet_length(CAST(d.text AS BLOB)) // {mm.FRAME_BYTES} + 1 AS n_frames,
+             {mm.SHOT_BASE} + b.s % {mm.CHECKSUM_MOD} % {mm.SHOT_MOD} AS shot_len
+      FROM documents d JOIN bytesum b USING (doc_id)
+      WHERE d.doc_id % 3 = 2
+    )
+    SELECT media_id,
+           CAST(t.s // shot_len AS BIGINT) AS shot_id,
+           CAST(t.s AS BIGINT) AS start_frame,
+           CAST(least(t.s + shot_len, n_frames) - 1 AS BIGINT) AS end_frame
+    FROM probe, unnest(range(0, n_frames, shot_len)) AS t(s)
+    ORDER BY media_id, shot_id
+    """,
+)
+def multimodal_shot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — shot detection through the frame-consuming model seam
+    (reference SceneJSON.ipynb cell 1): one (start_frame, end_frame)
+    row per detected shot, the `shots` table S3's range join reads."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return mm.detect_shots(mm.as_media_table(docs)).orderBy("media_id", "shot_id")
+
+
+@query(
+    "multimodal_vad_segments",
+    oracle=f"""
+    WITH {_BYTESUM_CTE},
+    audio AS (
+      SELECT d.doc_id AS media_id,
+             octet_length(CAST(d.text AS BLOB)) AS dur_ms,
+             {mm.VAD_BASE} + b.s % {mm.CHECKSUM_MOD} % {mm.VAD_MOD} AS seg_len
+      FROM documents d JOIN bytesum b USING (doc_id)
+      WHERE d.doc_id % 3 = 1
+    )
+    SELECT media_id,
+           CAST(t.s // {mm.VAD_PERIOD} AS BIGINT) AS seg_id,
+           CAST(t.s AS BIGINT) AS start_ms,
+           CAST(least(t.s + seg_len, dur_ms) AS BIGINT) AS end_ms
+    FROM audio, unnest(range(0, dur_ms, {mm.VAD_PERIOD})) AS t(s)
+    ORDER BY media_id, seg_id
+    """,
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — audio extraction + VAD through the model seam (reference
+    audio_detection.ipynb cells 2-6): the (media_id, seg_id, start_ms,
+    end_ms) interval table consumed by the S6 interval join and S7
+    as-of match."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return mm.vad_segments(mm.as_media_table(docs)).orderBy("media_id", "seg_id")
+
+
+@query(
+    "multimodal_asr_transcripts",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS media_id,
+             trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS transcript
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id, transcript,
+           CASE WHEN transcript = '' THEN 0
+                ELSE CAST(length(transcript) - length(replace(transcript, ' ', '')) + 1 AS BIGINT)
+           END AS n_tokens
+    FROM t ORDER BY media_id
+    """,
+)
+def multimodal_asr_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — ASR transcription through the recognizer seam (reference
+    audio_regconition.ipynb cell 1): per-audio transcript + token
+    count, the text the speech TF-IDF/BM25 channel indexes."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return mm.asr_transcripts(mm.as_media_table(docs)).orderBy("media_id")
+
+
+@query(
     "multimodal_fake_embedding",
     oracle=f"""
     WITH comps AS (

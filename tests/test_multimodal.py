@@ -58,3 +58,52 @@ def test_fake_embedding_matches_python(media):
         sums[i % mm.EMBED_DIM] += byte
     expected = [(s % mm.EMBED_MOD) / mm.EMBED_MOD for s in sums]
     assert [r["feat"] for r in rows] == expected
+
+
+def test_probe_video_only_and_consistent(media):
+    out = mm.probe_video(media).collect()
+    assert [r["media_id"] for r in out] == [2]  # only the video row
+    r = out[0]
+    blob = b"hello world"
+    checksum = sum(blob) % mm.CHECKSUM_MOD
+    assert r["fps"] == mm.FPS_BASE + checksum % mm.FPS_MOD
+    assert r["n_frames"] == len(blob) // mm.FRAME_BYTES + 1
+    assert r["duration_s"] == r["n_frames"] / r["fps"]
+
+
+def test_detect_shots_tile_and_clip(media):
+    shots = [r.asDict() for r in mm.detect_shots(media).collect()]
+    assert {s["media_id"] for s in shots} == {2}
+    blob = b"hello world"
+    n_frames = len(blob) // mm.FRAME_BYTES + 1
+    shot_len = mm.SHOT_BASE + sum(blob) % mm.CHECKSUM_MOD % mm.SHOT_MOD
+    # shots tile [0, n_frames) contiguously, inclusive ends, last clipped
+    assert shots[0]["start_frame"] == 0
+    for a, b in zip(shots, shots[1:]):
+        assert b["start_frame"] == a["end_frame"] + 1
+        assert a["end_frame"] - a["start_frame"] == shot_len - 1
+    assert shots[-1]["end_frame"] == n_frames - 1
+
+
+def test_vad_segments_clip_to_duration(media):
+    segs = [r.asDict() for r in mm.vad_segments(media).collect()]
+    assert {s["media_id"] for s in segs} == {1}  # only the audio row
+    dur = 250
+    seg_len = mm.VAD_BASE + (ord("x") * 250) % mm.CHECKSUM_MOD % mm.VAD_MOD
+    assert [s["start_ms"] for s in segs] == [0]  # seg_len > period? no: one start per 300ms
+    assert segs[0]["end_ms"] == min(seg_len, dur)
+    assert all(s["end_ms"] <= dur for s in segs)
+
+
+def test_asr_transcripts_normalize(spark):
+    docs = spark.createDataFrame(
+        [(1, "  Hello   WORLD  ", "s"), (4, "", "s"), (7, "ONE two", "s")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    out = {
+        r["media_id"]: r
+        for r in mm.asr_transcripts(mm.as_media_table(docs)).collect()
+    }
+    assert out[1]["transcript"] == "hello world" and out[1]["n_tokens"] == 2
+    assert out[4]["transcript"] == "" and out[4]["n_tokens"] == 0
+    assert out[7]["transcript"] == "one two" and out[7]["n_tokens"] == 2
