@@ -50,13 +50,21 @@ class FakeTextEncoder(TextEncoder):
     def __init__(self, dim: int = 64):
         self.dim = dim
 
-    def encode(self, text: str) -> list[float]:
-        raw = [
+    def raw(self, text: str) -> list[float]:
+        """Pre-normalization components — each one md5-derived double
+        division/subtraction (no accumulation), so the values are
+        bit-identical across engines and safe to oracle-compare; the
+        L2 norm in encode() is NOT (sum order), which is why the
+        corpus-build query emits raw components."""
+        return [
             int(hashlib.md5(f"{i}:{text}".encode()).hexdigest()[:8], 16)
             / float(0xFFFFFFFF)
             - 0.5
             for i in range(self.dim)
         ]
+
+    def encode(self, text: str) -> list[float]:
+        raw = self.raw(text)
         norm = math.sqrt(sum(x * x for x in raw)) or 1.0
         return [x / norm for x in raw]
 

@@ -275,6 +275,120 @@ def asr_transcripts(media: DataFrame) -> DataFrame:
     )
 
 
+# ---- S11/S12/S16 context + encoder ingest stages ----------------------
+
+TAG_MIN_LEN = 5  # fake tagger: every distinct token this long is a tag
+TAG_FREQ_MOD = 100
+
+TAG_SCHEMA = "media_id BIGINT, tag STRING, freq BIGINT"
+COLOR_SCHEMA = "media_id BIGINT, cell STRING, token STRING"
+CORPUS_EMBED_SCHEMA = "doc_id BIGINT, component INT, value DOUBLE"
+
+N_GRID_CELLS = 49  # 7×7, reference color.ipynb cell 6 (row_str × col_str)
+
+
+def extract_tags(media: DataFrame) -> DataFrame:
+    """S11 — tag extraction with score→frequency encoding (reference
+    data_extraction/metadata/tag.ipynb cells 7, 10: RAM sigmoid tags,
+    each repeated round(logit·10) times so term frequency encodes
+    confidence). Fake tagger: every distinct token of length ≥
+    TAG_MIN_LEN in the decoded payload is a tag; its pseudo-logit is
+    integer-derived ((7·len + first byte) % 100) and the emitted freq
+    is that score bucketed to 1..10 — the same score→freq encoding,
+    computed in exact integer arithmetic so the oracle matches
+    bit-for-bit. Output keeps (tag, freq) pairs instead of repeating
+    the tag freq times (SURVEY §2 S11 note): downstream TF-IDF uses
+    the weight directly, which at 100 TB avoids materializing
+    freq-fold duplicate tokens."""
+
+    def _tags(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tags, freqs = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                toks = {
+                    t
+                    for t in blob.decode("utf-8").lower().split()
+                    if len(t) >= TAG_MIN_LEN
+                }
+                for t in sorted(toks):
+                    ids.append(mid)
+                    tags.append(t)
+                    freqs.append((7 * len(t) + ord(t[0])) % TAG_FREQ_MOD // 10 + 1)
+            yield pd.DataFrame({"media_id": ids, "tag": tags, "freq": freqs})
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        _tags, TAG_SCHEMA
+    )
+
+
+def color_grid_context(media: DataFrame) -> DataFrame:
+    """S12 — ingest-side color-grid context (reference
+    data_extraction/metadata/color.ipynb cells 4, 7, 10-11: 7×7 grid,
+    per cell match pixels to an 11-color CIELAB palette, emit
+    '{cell}{color}' tokens). Fake extractor over the payload bytes:
+    byte position p lands in cell p % 49 (the 'pixels' of the fake
+    image); the cell's dominant palette color is its byte sum mod 11.
+    Emits the exact token shape the query-side grid compiler
+    (functions/visual.py) searches against — cell labels '{col}{row}'
+    ('a0'..'g6'), color names with the trailing underscore stripped.
+    Scale: one Arrow pass, ≤49 narrow rows per image."""
+    from multi_search_retrival_big_data_spark.functions import visual
+
+    cols, rows = visual.GRID_COLS, visual.GRID_ROWS
+    palette = [c.replace("_", "") for c in visual.COLORS]
+
+    def _colors(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cells, tokens = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                sums = [0] * N_GRID_CELLS
+                seen = [False] * N_GRID_CELLS
+                for p, byte in enumerate(blob):
+                    c = p % N_GRID_CELLS
+                    sums[c] += byte
+                    seen[c] = True
+                for c in range(N_GRID_CELLS):
+                    if not seen[c]:
+                        continue
+                    label = cols[c % 7] + rows[c // 7]
+                    ids.append(mid)
+                    cells.append(label)
+                    tokens.append(label + palette[sums[c] % len(palette)])
+            yield pd.DataFrame({"media_id": ids, "cell": cells, "token": tokens})
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        _colors, COLOR_SCHEMA
+    )
+
+
+def encode_corpus(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """S16 — sentence-embedding corpus build (reference
+    utils/semantic_extract.py:58-85 encode+pool, :165-195 FAISS
+    IndexFlatL2 build): run the text encoder over every document
+    through the Arrow-batched seam a sentence-transformer UDF occupies
+    and emit exploded (doc_id, component, value) raw components. The
+    L2 normalization the reference applies afterwards happens at
+    query time (operators/dense normalizes both sides), keeping this
+    output accumulation-free and oracle-exact. A production cluster
+    swaps FakeTextEncoder for the real model; the batch shape, schema
+    and downstream index build (index_store) are unchanged."""
+    from multi_search_retrival_big_data_spark import encoders
+
+    enc = encoders.FakeTextEncoder()
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, comps, vals = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for i, v in enumerate(enc.raw(text)):
+                    ids.append(did)
+                    comps.append(i)
+                    vals.append(v)
+            yield pd.DataFrame({"doc_id": ids, "component": comps, "value": vals})
+
+    return docs.select(id_col, text_col).mapInPandas(_encode, CORPUS_EMBED_SCHEMA)
+
+
 EMBED_DIM = 8
 EMBED_MOD = 1000
 

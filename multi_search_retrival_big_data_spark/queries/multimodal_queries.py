@@ -193,3 +193,83 @@ def multimodal_fake_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, "documents", sf_dir)
     media = mm.as_media_table(docs)
     return mm.fake_embedding_components(media).orderBy("media_id", "component")
+
+
+@query(
+    "multimodal_tag_freqs",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT d.doc_id AS media_id, t.tok AS tag
+      FROM documents d, unnest(string_split(lower(d.text), ' ')) AS t(tok)
+      WHERE d.doc_id % 3 = 0 AND length(t.tok) >= 5
+    )
+    SELECT media_id, tag,
+           CAST((((7 * length(tag) + ord(substring(tag, 1, 1))) % 100) // 10) + 1 AS BIGINT) AS freq
+    FROM toks ORDER BY media_id, tag
+    """,
+)
+def multimodal_tag_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — tag extraction with score→frequency encoding through the
+    tagger-model seam (reference tag.ipynb cells 7, 10): per-image
+    (tag, freq) pairs, freq = bucketed pseudo-logit."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return mm.extract_tags(mm.as_media_table(docs)).orderBy("media_id", "tag")
+
+
+_PALETTE_SQL = (
+    "['black','blue','brown','green','grey','orange',"
+    "'pink','purple','red','white','yellow']"
+)
+
+
+@query(
+    "multimodal_color_grid",
+    oracle=f"""
+    WITH cellsum AS (
+      SELECT d.doc_id AS media_id,
+             CAST((CAST(i AS INTEGER) - 1) % {mm.N_GRID_CELLS} AS INTEGER) AS c,
+             CAST(sum(ord(substring(d.text, CAST(i AS INTEGER), 1))) AS BIGINT) AS s
+      FROM documents d, unnest(range(1, length(d.text) + 1)) AS t(i)
+      WHERE d.doc_id % 3 = 0
+      GROUP BY 1, 2
+    ),
+    lab AS (
+      SELECT media_id, s,
+             list_extract(['a','b','c','d','e','f','g'], c % 7 + 1)
+             || list_extract(['0','1','2','3','4','5','6'], c // 7 + 1) AS cell
+      FROM cellsum
+    )
+    SELECT media_id, cell,
+           cell || list_extract({_PALETTE_SQL}, CAST(s % 11 + 1 AS INTEGER)) AS token
+    FROM lab ORDER BY media_id, cell
+    """,
+)
+def multimodal_color_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — ingest-side 7×7 color-grid context through the extractor
+    seam (reference color.ipynb cells 4, 7, 10-11): '{cell}{color}'
+    tokens per image, the corpus the Q20 panel compiler searches."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return mm.color_grid_context(mm.as_media_table(docs)).orderBy("media_id", "cell")
+
+
+@query(
+    "corpus_embedding_build",
+    oracle="""
+    WITH comp AS (
+      SELECT d.doc_id, CAST(t.i AS INTEGER) AS component,
+             CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || d.text), 1, 8)) AS BIGINT) AS h
+      FROM documents d, unnest(range(0, 64)) AS t(i)
+    )
+    SELECT doc_id, component,
+           CAST(h AS DOUBLE) / 4294967295.0 - 0.5 AS value
+    FROM comp ORDER BY doc_id, component
+    """,
+)
+def corpus_embedding_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 — sentence-embedding corpus build through the encoder seam
+    (reference semantic_extract.py:58-85, :165-195): the FakeTextEncoder's
+    raw md5 components for every document via mapInPandas, exploded
+    (doc_id, component, value). DuckDB recomputes the identical md5
+    arithmetic, proving the encoder batch path value-exact."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return mm.encode_corpus(docs).orderBy("doc_id", "component")

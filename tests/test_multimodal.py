@@ -107,3 +107,48 @@ def test_asr_transcripts_normalize(spark):
     assert out[1]["transcript"] == "hello world" and out[1]["n_tokens"] == 2
     assert out[4]["transcript"] == "" and out[4]["n_tokens"] == 0
     assert out[7]["transcript"] == "one two" and out[7]["n_tokens"] == 2
+
+
+def test_extract_tags_score_to_freq(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma gamma tiny zz", "s")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    out = {r["tag"]: r["freq"] for r in mm.extract_tags(mm.as_media_table(docs)).collect()}
+    # distinct tokens of length >= 5 only; freq = bucketed pseudo-logit in 1..10
+    assert set(out) == {"alpha", "gamma"}
+    assert out["alpha"] == (7 * 5 + ord("a")) % 100 // 10 + 1
+    assert all(1 <= f <= 10 for f in out.values())
+
+
+def test_color_grid_tokens(spark):
+    docs = spark.createDataFrame(
+        [(0, "x" * 60, "s")], "doc_id BIGINT, text STRING, source STRING"
+    )
+    rows = mm.color_grid_context(mm.as_media_table(docs)).collect()
+    # 60 bytes -> cells 0..48 seen, cells 0..10 get 2 bytes
+    assert len(rows) == 49
+    from multi_search_retrival_big_data_spark.functions import visual
+
+    palette = [c.replace("_", "") for c in visual.COLORS]
+    by_cell = {r["cell"]: r["token"] for r in rows}
+    assert by_cell["a0"] == "a0" + palette[(2 * ord("x")) % 11]
+    assert by_cell["e1"] == "e1" + palette[ord("x") % 11]  # cell 11: 1 byte
+    assert all(t.startswith(c) for c, t in by_cell.items())
+
+
+def test_encode_corpus_matches_encoder(spark):
+    from multi_search_retrival_big_data_spark import encoders
+
+    docs = spark.createDataFrame(
+        [(7, "hello", "s")], "doc_id BIGINT, text STRING, source STRING"
+    )
+    rows = mm.encode_corpus(docs).orderBy("component").collect()
+    raw = encoders.FakeTextEncoder().raw("hello")
+    assert [r["value"] for r in rows] == raw
+    # encode() is the L2-normalized raw — same direction, unit norm
+    import math
+
+    enc = encoders.FakeTextEncoder().encode("hello")
+    n = math.sqrt(sum(x * x for x in raw))
+    assert enc == [x / n for x in raw]
