@@ -573,6 +573,7 @@ def ann_pq_adc_topk(
     stride: int = PQ_STRIDE,
     round_to: int | None = None,
     codebook: DataFrame | None = None,
+    literal_lut: bool = False,
 ) -> DataFrame:
     """PQ QUERY path (FAISS `IndexPQ.search`): asymmetric distance —
     approx ||q - x||² = Σ_m ||q_m - cb[m, code_m(x)]||² — computed
@@ -581,11 +582,53 @@ def ann_pq_adc_topk(
     the executed plan is: narrow scan of (id, c0..c{M-1}) + M
     broadcast hash joins (map-side, zero shuffle) + a projection sum +
     TakeOrderedAndProject — no vector is read at query time. Returns
-    (id, approx_dist) ascending."""
+    (id, approx_dist) ascending.
+
+    literal_lut=True is the serving fast path and exactly what FAISS
+    does on a query: the codebook (m·ks rows — driver-sized by
+    construction, like the SQ8 bounds) is collected ONCE, the M×KS
+    distance LUT is computed on the driver with the identical
+    left-to-right double arithmetic the in-plan expression uses
+    (fold (x−y)², sqrt, square — bit-equal results), and scoring
+    becomes `element_at(<literal array>, code+1)` sums: ONE narrow
+    scan of the code table, zero joins, zero extra jobs. Requires an
+    explicit `codebook` (a persisted trained table); the in-plan
+    derivation path keeps the joins so the untrained/ad-hoc flow
+    stays collect-free."""
+    import math
+
     from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
 
     dim = len(query_vec)
     dsub = dim // m
+    if literal_lut:
+        if codebook is None:
+            raise ValueError("literal_lut requires a persisted codebook")
+        luts: dict[int, dict[int, list[float]]] = {}
+        for r in codebook.collect():
+            luts.setdefault(r["m"], {})[r["code"]] = r["cv"]
+        score = None
+        for i in range(m):
+            qsub = [float(x) for x in query_vec[i * dsub : (i + 1) * dsub]]
+            lut = luts[i]
+            vals = []
+            for code in range(len(lut)):
+                s = 0.0
+                for x, y in zip(lut[code], qsub):
+                    s = s + (x - y) * (x - y)
+                d = math.sqrt(s)
+                vals.append(d * d)
+            term = F.element_at(
+                F.array(*[F.lit(v) for v in vals]), F.col(f"c{i}") + 1
+            )
+            score = term if score is None else score + term
+        if round_to is not None:
+            score = det_round(score, round_to)
+        return (
+            codes.select(F.col(id_col), score.alias("approx_dist"))
+            .orderBy(F.asc("approx_dist"), F.asc(id_col))
+            .limit(k)
+        )
     cb = (
         codebook
         if codebook is not None
@@ -630,6 +673,7 @@ def ann_pq_rerank_topk(
     round_to: int | None = None,
     shortlist_round_to: int | None = None,
     codebook: DataFrame | None = None,
+    literal_lut: bool = False,
 ) -> DataFrame:
     """Two-stage PQ serving (the standard ADC deployment shape, FAISS
     `IndexPQ.search` + refine / IndexRefineFlat): stage 1 shortlists
@@ -665,6 +709,7 @@ def ann_pq_rerank_topk(
         stride=stride,
         round_to=shortlist_round_to,
         codebook=codebook,
+        literal_lut=literal_lut,
     ).select(id_col)
     d = l2_dist(vec_col, lit_vec(query_vec))
     if round_to is not None:

@@ -1439,7 +1439,7 @@ def ann_pq_rerank_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     book_df, codes = index_store.pq_trained(spark, sf_dir, iters=_KM_ITERS)
     return ann.ann_pq_rerank_topk(
         emb, codes, QUERY_VEC, k=_PQ_RERANK_K, shortlist=_PQ_RERANK_R,
-        m=_PQT_M, round_to=6, codebook=book_df,
+        m=_PQT_M, round_to=6, codebook=book_df, literal_lut=True,
     )
 
 

@@ -301,3 +301,36 @@ def test_batch_pq_adc_matches_single_query(spark, sf_dir):
         single = _ann.ann_pq_adc_topk(emb, codes, qv, k=10, round_to=6).collect()
         got = [(r["vec_id"], r["approx_dist"]) for r in batch if r["query_id"] == qi]
         assert got == [(r["vec_id"], r["approx_dist"]) for r in single]
+
+
+def test_literal_lut_matches_join_path(spark, sf_dir):
+    """The serving fast path (driver-collected codebook -> literal
+    element_at LUTs, zero joins) must reproduce the join-LUT plan's
+    output bit-for-bit — the LUT entries are computed with the same
+    left-to-right double arithmetic as the in-plan expression."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    book, codes = index_store.pq_trained(spark, sf_dir, iters=2)
+    emb = tables.load(spark, "embeddings", sf_dir)
+    kw = dict(k=20, shortlist=60, m=ann.PQT_M, round_to=None, codebook=book)
+    joins = ann.ann_pq_rerank_topk(emb, codes, QUERY_VEC, **kw).collect()
+    lits = ann.ann_pq_rerank_topk(
+        emb, codes, QUERY_VEC, literal_lut=True, **kw
+    ).collect()
+    assert [(r["vec_id"], r["dist"]) for r in lits] == [
+        (r["vec_id"], r["dist"]) for r in joins
+    ]
+    # zero joins in the fast path's shortlist stage
+    plan = (
+        ann.ann_pq_adc_topk(
+            emb, codes, QUERY_VEC, k=60, m=ann.PQT_M,
+            codebook=book, literal_lut=True,
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+
+
+def test_literal_lut_requires_codebook(spark, sf_dir):
+    emb = tables.load(spark, "embeddings", sf_dir)
+    with pytest.raises(ValueError, match="persisted codebook"):
+        ann.ann_pq_adc_topk(emb, emb, QUERY_VEC, k=5, literal_lut=True)
