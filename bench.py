@@ -128,6 +128,11 @@ OPTIONAL_QUERIES = [
     "ann_ivfpq_adc_topk",
     "ann_sq8_topk",
     "ann_pq_rerank_trained_topk",
+    # round-4 ingest-stage + composition anchors
+    "multimodal_asr_transcripts",
+    "corpus_embedding_build",
+    "multimodal_tag_freqs",
+    "speech_asr_bm25_search",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

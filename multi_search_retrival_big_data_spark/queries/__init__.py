@@ -73,6 +73,7 @@ _MODULES = [
 # CORRECTNESS_r01/r02/r03 and re-proven by the judge's r3 full gate).
 _PRIORITY = [
     # round-4 additions (new, never driver-checked)
+    "speech_asr_bm25_search",
     "multimodal_tag_freqs",
     "multimodal_color_grid",
     "corpus_embedding_build",

@@ -273,3 +273,79 @@ def corpus_embedding_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, proving the encoder batch path value-exact."""
     docs = tables.load(spark, "documents", sf_dir)
     return mm.encode_corpus(docs).orderBy("doc_id", "component")
+
+
+# --- S5 → S15 composition: the speech-retrieval ingest→search chain --------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from multi_search_retrival_big_data_spark.operators import sparse  # noqa: E402
+from multi_search_retrival_big_data_spark.queries.sparse_queries import (  # noqa: E402
+    QUERY_TEXT,
+    _values,
+)
+
+_QSPEECH = sparse.query_terms(QUERY_TEXT, (1, 1))
+
+_ASR_CORPUS_CTE = """
+    asr AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS text
+      FROM documents WHERE doc_id % 3 = 1
+    )"""
+
+
+@query(
+    "speech_asr_bm25_search",
+    oracle=f"""
+    WITH {_ASR_CORPUS_CTE},
+    toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM asr),
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM asr),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+    idf0 AS (
+      SELECT term, ln((n.n - d.df + 0.5) / (d.df + 0.5)) AS idf_raw
+      FROM dfreq d CROSS JOIN n
+    ),
+    avgidf AS (SELECT AVG(idf_raw) AS avg_idf FROM idf0),
+    idf AS (
+      SELECT term, CASE WHEN idf_raw < 0 THEN 0.25 * a.avg_idf ELSE idf_raw END AS idf
+      FROM idf0 CROSS JOIN avgidf a
+    ),
+    post AS (
+      SELECT f.term, f.doc_id,
+             i.idf * (f.tf * 2.5) / (f.tf + 1.5 * (1 - 0.75 + 0.75 * l.dl / a.avgdl)) AS score_w
+      FROM tf f JOIN idf i USING(term) JOIN dl l USING(doc_id) CROSS JOIN avgdl a
+    ),
+    q(term, qtf) AS (VALUES {_values(_QSPEECH)}),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(SUM(CAST(FLOOR(q.qtf * p.score_w * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS s
+      FROM post p JOIN q USING(term) GROUP BY 1
+    )
+    SELECT doc_id AS media_id, CAST(FLOOR(s * 1e6 + 0.5) AS DOUBLE) / 1e6 AS score
+    FROM scored ORDER BY score DESC, media_id LIMIT 20
+    """,
+)
+def speech_asr_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's speech-retrieval flow end to end (S5 → S15 →
+    Q4): fake-ASR transcripts produced through the recognizer seam
+    become the corpus a BM25 index is fitted on, then a text query
+    scores against it (speech_retrieval.py:51-68 fits the vectorizer
+    over transcript files exactly this way). Proves the ingest stages
+    COMPOSE — the derived table feeds the sparse scorer unchanged.
+    Scale: at 100 TB the fit runs once at ingest (index_store pattern);
+    this query keeps it in-plan because the transcript corpus is
+    derived inside the query."""
+    docs = tables.load(spark, "documents", sf_dir)
+    transcripts = mm.asr_transcripts(mm.as_media_table(docs)).select(
+        F.col("media_id").alias("doc_id"), F.col("transcript").alias("text")
+    )
+    postings = sparse.fit_bm25(transcripts)
+    return (
+        sparse.bm25_score(postings, _QSPEECH, k=20, round_to=6)
+        .withColumnRenamed("doc_id", "media_id")
+    )

@@ -29,6 +29,7 @@ SCALAR_BROADCAST_OK = {
     "sparse_tfidf_topk_subset",
     "sparse_tfidf_ngram13_topk",
     "sparse_bm25_topk",
+    "speech_asr_bm25_search",  # in-plan BM25 fit: 1-row n/avgdl/avgidf scalar broadcasts
     "sparse_tfidf_char_fallback",
     "sparse_multichannel_context",
     "dense_knn_by_id",       # 1-row reconstructed query vector
