@@ -779,6 +779,7 @@ def ann_ivfpq_adc_topk(
     id_col: str = "vec_id",
     m: int = PQ_M,
     round_to: int | None = None,
+    literal_lut: bool = False,
 ) -> DataFrame:
     """IVF-PQ QUERY path: probe the nprobe nearest centroids (a scan of
     the k-row centroid table), prune the code table to those cells
@@ -786,12 +787,71 @@ def ann_ivfpq_adc_topk(
     each probed cell's LUT is built in-plan from the RESIDUAL query
     (q − centroid) against the broadcast codebook (nprobe·M·KS rows),
     and candidates join their cell's LUT on (cid, code). No vector is
-    read at query time; returns (id, approx_dist) ascending."""
+    read at query time; returns (id, approx_dist) ascending.
+
+    literal_lut=True is the serving fast path (exactly FAISS's query
+    flow): the centroid table (nlist rows) and codebook (m·ks rows) —
+    both driver-sized model state by construction — are collected
+    once; probe selection, residual queries and the nprobe·M·KS
+    distance LUT are computed on the driver with the identical IEEE
+    double arithmetic the in-plan expressions use; scoring becomes a
+    STATIC `cid IN (probes)` filter (static partition pruning on the
+    cid-partitioned code table — the planner prunes before launch,
+    no runtime subquery) plus per-cell when-chained `element_at`
+    literal lookups: one narrow scan, zero joins."""
+    import math
+
     from multi_search_retrival_big_data_spark.functions.vector import l2_dist
 
     q = lit_vec(query_vec)
     dim = len(query_vec)
     dsub = dim // m
+    if literal_lut:
+        qd = [float(x) for x in query_vec]
+
+        def _fold_sq(a: Sequence[float], b: Sequence[float]) -> float:
+            s = 0.0
+            for x, y in zip(a, b):
+                s = s + (x - y) * (x - y)
+            return s
+
+        cents = {int(r["cid"]): [float(x) for x in r["cv"]] for r in cents_table.collect()}
+        ranked = sorted((math.sqrt(_fold_sq(cv, qd)), cid) for cid, cv in cents.items())
+        probe_cids = [cid for _d, cid in ranked[:nprobe]]
+        books: dict[int, dict[int, list[float]]] = {}
+        for r in codebook.collect():
+            books.setdefault(r["m"], {})[r["code"]] = [float(x) for x in r["cv"]]
+        cell_luts: list[tuple[int, list[list[float]]]] = []
+        for cid in probe_cids:
+            qr = [a - b for a, b in zip(qd, cents[cid])]
+            arrs = []
+            for i in range(m):
+                sub = qr[i * dsub : (i + 1) * dsub]
+                lut = books[i]
+                vals = []
+                for code in range(len(lut)):
+                    d = math.sqrt(_fold_sq(sub, lut[code]))
+                    vals.append(d * d)
+                arrs.append(vals)
+            cell_luts.append((cid, arrs))
+        out = codes.filter(F.col("cid").isin(probe_cids))
+        score = None
+        for i in range(m):
+            chain = None
+            for cid, arrs in cell_luts:
+                t = F.element_at(
+                    F.array(*[F.lit(v) for v in arrs[i]]), F.col(f"c{i}") + 1
+                )
+                cond = F.col("cid") == cid
+                chain = F.when(cond, t) if chain is None else chain.when(cond, t)
+            score = chain if score is None else score + chain
+        if round_to is not None:
+            score = det_round(score, round_to)
+        return (
+            out.select(F.col(id_col), score.alias("approx_dist"))
+            .orderBy(F.asc("approx_dist"), F.asc(id_col))
+            .limit(k)
+        )
     probed = (
         cents_table.select("cid", "cv", l2_dist("cv", q).alias("__d"))
         .orderBy(F.asc("__d"), F.asc("cid"))

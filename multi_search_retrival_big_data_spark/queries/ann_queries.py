@@ -1245,7 +1245,7 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents_t, book_t, codes_t = index_store.ivfpq(spark, sf_dir, iters=_KM_ITERS)
     return ann.ann_ivfpq_adc_topk(
         codes_t, cents_t, book_t, QUERY_VEC, k=_IVFPQ_K,
-        nprobe=_IVFPQ_NPROBE, round_to=6,
+        nprobe=_IVFPQ_NPROBE, round_to=6, literal_lut=True,
     )
 
 

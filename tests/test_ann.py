@@ -334,3 +334,26 @@ def test_literal_lut_requires_codebook(spark, sf_dir):
     emb = tables.load(spark, "embeddings", sf_dir)
     with pytest.raises(ValueError, match="persisted codebook"):
         ann.ann_pq_adc_topk(emb, emb, QUERY_VEC, k=5, literal_lut=True)
+
+
+def test_ivfpq_literal_lut_matches_join_path(spark, sf_dir):
+    """The IVFPQ serving fast path (driver-side probe selection +
+    per-cell literal LUTs + static cid IN partition filter) must
+    reproduce the join-LUT plan's output bit-for-bit."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    cents_t, book_t, codes_t = index_store.ivfpq(spark, sf_dir, iters=2)
+    kw = dict(k=30, nprobe=2, round_to=None)
+    joins = ann.ann_ivfpq_adc_topk(
+        codes_t, cents_t, book_t, QUERY_VEC, **kw
+    ).collect()
+    lits_df = ann.ann_ivfpq_adc_topk(
+        codes_t, cents_t, book_t, QUERY_VEC, literal_lut=True, **kw
+    )
+    lits = lits_df.collect()
+    assert [(r["vec_id"], r["approx_dist"]) for r in lits] == [
+        (r["vec_id"], r["approx_dist"]) for r in joins
+    ]
+    plan = lits_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "PartitionFilters: [cid" in plan  # static prune, no runtime subquery

@@ -71,6 +71,9 @@ HYDRATION_BROADCAST_EXPECTED = {
 # (directory-level pruning on a partitioned layout)
 PARTITION_PRUNING_EXPECTED = {
     "sink_partitioned_parquet_pruned",
+    # IVFPQ serving fast path: driver-side probe selection makes the
+    # nprobe cell prune a STATIC `cid IN (...)` partition filter
+    "ann_ivfpq_adc_topk",
 }
 
 # queries whose index scan MUST be pruned by a runtime probe result —
