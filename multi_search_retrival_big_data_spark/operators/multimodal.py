@@ -275,6 +275,39 @@ def asr_transcripts(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "media_id BIGINT, out_bytes BIGINT, out_checksum BIGINT, scale INT"
+)
+
+
+def resize_media(media: DataFrame, scale: int = 4) -> DataFrame:
+    """Resize/downsample stage (the engine-side shape of a thumbnail
+    or frame-downscale pass — reference keyframes are resized before
+    CLIP encode, clip.ipynb cell 6 preprocess). Fake codec: keep every
+    `scale`-th byte of the payload — a deterministic 1/scale
+    downsample whose output size and checksum the oracle recomputes
+    from byte positions ≡ 1 (mod scale). Same mapInPandas seam and
+    narrow-output rule as decode_media: the resized blob itself would
+    be written to a new media table in production; here the stage
+    emits its verifiable summary, never re-emitting blob columns."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = pdf["content"].map(lambda b: b[::scale])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_bytes": outs.map(len),
+                    "out_checksum": outs.map(
+                        lambda b: int(sum(b)) % CHECKSUM_MOD
+                    ),
+                    "scale": scale,
+                }
+            )
+
+    return media.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
 # ---- S11/S12/S16 context + encoder ingest stages ----------------------
 
 TAG_MIN_LEN = 5  # fake tagger: every distinct token this long is a tag

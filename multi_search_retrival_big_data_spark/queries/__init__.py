@@ -74,6 +74,7 @@ _MODULES = [
 _PRIORITY = [
     # round-4 additions (new, never driver-checked)
     "speech_asr_bm25_search",
+    "multimodal_resize",
     "multimodal_tag_freqs",
     "multimodal_color_grid",
     "corpus_embedding_build",

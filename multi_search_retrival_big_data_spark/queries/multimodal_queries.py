@@ -349,3 +349,28 @@ def speech_asr_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         sparse.bm25_score(postings, _QSPEECH, k=20, round_to=6)
         .withColumnRenamed("doc_id", "media_id")
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH sub AS (
+      SELECT d.doc_id AS media_id,
+             CAST(count(*) AS BIGINT) AS out_bytes,
+             CAST(sum(ord(substring(d.text, CAST(i AS INTEGER), 1))) AS BIGINT)
+               % {mm.CHECKSUM_MOD} AS out_checksum
+      FROM documents d, unnest(range(1, length(d.text) + 1)) AS t(i)
+      WHERE (CAST(i AS INTEGER) - 1) % 4 = 0
+      GROUP BY 1
+    )
+    SELECT media_id, out_bytes, out_checksum, CAST(4 AS INTEGER) AS scale
+    FROM sub ORDER BY media_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample through the codec seam: keep every 4th byte,
+    emit verifiable (out_bytes, out_checksum) — the thumbnail pass of
+    an image pipeline with the oracle recomputing the downsample from
+    byte positions ≡ 1 (mod 4)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return mm.resize_media(mm.as_media_table(docs), scale=4).orderBy("media_id")

@@ -152,3 +152,14 @@ def test_encode_corpus_matches_encoder(spark):
     enc = encoders.FakeTextEncoder().encode("hello")
     n = math.sqrt(sum(x * x for x in raw))
     assert enc == [x / n for x in raw]
+
+
+def test_resize_media_downsample(media):
+    out = {r["media_id"]: r for r in mm.resize_media(media, scale=4).collect()}
+    # "abc" -> b"a"; "x"*250 -> 63 bytes of "x"; "hello world" -> "hor"
+    assert out[0]["out_bytes"] == 1 and out[0]["out_checksum"] == ord("a")
+    assert out[1]["out_bytes"] == 63
+    assert out[1]["out_checksum"] == 63 * ord("x") % mm.CHECKSUM_MOD
+    assert out[2]["out_bytes"] == 3
+    assert out[2]["out_checksum"] == sum(b"hor") % mm.CHECKSUM_MOD
+    assert all(r["scale"] == 4 for r in out.values())
