@@ -597,7 +597,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference stays exact-flat, faiss_processing.py:17-22)."""
     emb = tables.load(spark, "embeddings", sf_dir)
     codes = index_store.pq_codes(spark, sf_dir)
-    return ann.ann_pq_adc_topk(emb, codes, QUERY_VEC, k=_PQ_K, round_to=6)
+    return ann.ann_pq_adc_topk(
+        emb, codes, QUERY_VEC, k=_PQ_K, round_to=6,
+        codebook=ann.pq_codebook(emb), literal_lut=True,
+    )
 
 
 @query(
@@ -688,7 +691,8 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, "embeddings", sf_dir)
     codes = index_store.pq_codes(spark, sf_dir)
     return ann.ann_pq_rerank_topk(
-        emb, codes, QUERY_VEC, k=_PQ_RERANK_K, shortlist=_PQ_RERANK_R, round_to=6
+        emb, codes, QUERY_VEC, k=_PQ_RERANK_K, shortlist=_PQ_RERANK_R, round_to=6,
+        codebook=ann.pq_codebook(emb), literal_lut=True,
     )
 
 
