@@ -62,6 +62,10 @@ STRESS_QUERIES = [
     "fusion_hybrid_sparse_dense",
     "text_simhash_fingerprints",
     "text_bigram_lm_scores",
+    # corpus-bound Arrow/mapInPandas encoder seam — the per-doc md5
+    # work is embarrassingly parallel, so its x10 ratio measures the
+    # Python-worker scaling of the ingest encode stage
+    "corpus_embedding_build",
 ]
 
 # queries timed on BOTH 10× corpora (uniform vs skewed) — each carries
