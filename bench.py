@@ -132,6 +132,7 @@ OPTIONAL_QUERIES = [
     "ann_ivfpq_adc_topk",
     "ann_sq8_topk",
     "ann_pq_rerank_trained_topk",
+    "ann_pq_batch_adc_topk",
     # round-4 ingest-stage + composition anchors
     "multimodal_asr_transcripts",
     "corpus_embedding_build",

@@ -988,6 +988,7 @@ def batch_pq_adc_topk(
     stride: int = PQ_STRIDE,
     round_to: int | None = None,
     codebook: DataFrame | None = None,
+    literal_lut: bool = False,
 ) -> DataFrame:
     """Batched multi-query PQ/ADC top-k — the serving-amortization
     shape (like dense.batch_topk_cosine / sparse.batch_tfidf_score)
@@ -999,12 +1000,65 @@ def batch_pq_adc_topk(
 
     `queries` is (query_id, qvec). FAISS batches exactly this way —
     IndexPQ.search takes a query MATRIX and reuses the scan
-    (faiss_processing.py:307-314 batches its feedback searches)."""
+    (faiss_processing.py:307-314 batches its feedback searches).
+
+    literal_lut=True: the batch variant of the serving fast path —
+    codebook AND query batch (both driver-sized: model state and the
+    request) are collected once, each query's LUT becomes literal
+    element_at arrays, and one code-table scan explodes an
+    array-of-structs into (query_id, approx_dist) rows: zero joins,
+    no |codes|×|batch| pre-scoring cross join, same window top-k."""
+    import math
+
     from pyspark.sql.window import Window
 
     from multi_search_retrival_big_data_spark.functions.vector import l2_dist
 
     qid, qvec = queries.columns[0], queries.columns[1]
+    if literal_lut:
+        if codebook is None:
+            raise ValueError("literal_lut requires a persisted codebook")
+        books: dict[int, dict[int, list[float]]] = {}
+        for r in codebook.collect():
+            books.setdefault(r["m"], {})[r["code"]] = [float(x) for x in r["cv"]]
+        structs = []
+        for r in queries.collect():
+            qv = [float(x) for x in r[qvec]]
+            dsub = len(qv) // m
+            score = None
+            for i in range(m):
+                sub = qv[i * dsub : (i + 1) * dsub]
+                lut = books[i]
+                vals = []
+                for code in range(len(lut)):
+                    s = 0.0
+                    for x, y in zip(sub, lut[code]):
+                        s = s + (x - y) * (x - y)
+                    d = math.sqrt(s)
+                    vals.append(d * d)
+                term = F.element_at(
+                    F.array(*[F.lit(v) for v in vals]), F.col(f"c{i}") + 1
+                )
+                score = term if score is None else score + term
+            if round_to is not None:
+                score = det_round(score, round_to)
+            structs.append(
+                F.struct(
+                    F.lit(r[qid]).alias("query_id"), score.alias("approx_dist")
+                )
+            )
+        scored = codes.select(
+            F.col(id_col), F.explode(F.array(*structs)).alias("__s")
+        ).select("__s.query_id", id_col, "__s.approx_dist")
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("approx_dist"), F.asc(id_col)
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+            .orderBy("query_id", F.asc("approx_dist"), F.asc(id_col))
+        )
     cb = (
         codebook
         if codebook is not None

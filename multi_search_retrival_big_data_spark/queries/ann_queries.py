@@ -1510,4 +1510,7 @@ def ann_pq_batch_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0, [float(x) for x in QUERY_VEC]), (1, [float(x) for x in QUERY_VEC_B])],
         "query_id INT, qvec ARRAY<DOUBLE>",
     )
-    return ann.batch_pq_adc_topk(emb, codes, qdf, k=_BATCH_ADC_K, round_to=6)
+    return ann.batch_pq_adc_topk(
+        emb, codes, qdf, k=_BATCH_ADC_K, round_to=6,
+        codebook=ann.pq_codebook(emb), literal_lut=True,
+    )

@@ -357,3 +357,27 @@ def test_ivfpq_literal_lut_matches_join_path(spark, sf_dir):
     plan = lits_df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "PartitionFilters: [cid" in plan  # static prune, no runtime subquery
+
+
+def test_batch_literal_lut_matches_join_path(spark, sf_dir):
+    emb = tables.load(spark, "embeddings", sf_dir)
+    from multi_search_retrival_big_data_spark import index_store
+    from multi_search_retrival_big_data_spark.queries.common import (
+        QUERY_VEC_B,
+    )
+
+    codes = index_store.pq_codes(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in QUERY_VEC]), (1, [float(x) for x in QUERY_VEC_B])],
+        "query_id INT, qvec ARRAY<DOUBLE>",
+    )
+    kw = dict(k=15, round_to=None)
+    joins = ann.batch_pq_adc_topk(emb, codes, qdf, **kw).collect()
+    lits_df = ann.batch_pq_adc_topk(
+        emb, codes, qdf, codebook=ann.pq_codebook(emb), literal_lut=True, **kw
+    )
+    lits = lits_df.collect()
+    key = lambda r: (r["query_id"], r["vec_id"], r["approx_dist"])  # noqa: E731
+    assert [key(r) for r in lits] == [key(r) for r in joins]
+    plan = lits_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
