@@ -57,6 +57,11 @@ def as_media_table(
         .when(F.col(id_col) % 3 == 1, F.lit("audio"))
         .otherwise(F.lit("video"))
     )
+    # NOT widened here: measured at sf0.1, shuffling the full payloads
+    # costs more than the extra Python workers buy for these cheap
+    # per-byte stages (tag extraction 0.33→0.70 s with a repartition).
+    # encode_corpus widens ITS input because 64 md5 calls/doc dominate
+    # its runtime; a real media table is many-file and needs neither.
     return docs.select(
         F.col(id_col).alias("media_id"),
         mt.alias("media_type"),
@@ -406,7 +411,11 @@ def encode_corpus(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     swaps FakeTextEncoder for the real model; the batch shape, schema
     and downstream index build (index_store) are unchanged."""
     from multi_search_retrival_big_data_spark import encoders
+    from multi_search_retrival_big_data_spark.partitioning import (
+        ensure_min_partitions,
+    )
 
+    docs = ensure_min_partitions(docs)  # CPU-bound encode: widen 1-partition inputs
     enc = encoders.FakeTextEncoder()
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
