@@ -313,6 +313,38 @@ def resize_media(media: DataFrame, scale: int = 4) -> DataFrame:
     return media.mapInPandas(_resize, RESIZE_SCHEMA)
 
 
+OCR_MIN_TOKEN = 4
+OCR_SCHEMA = "media_id BIGINT, ocr_text STRING"
+
+
+def ocr_texts(media: DataFrame) -> DataFrame:
+    """S10 — OCR text extraction through the recognizer seam
+    (reference data_extraction/metadata/ocr.ipynb cell 6: easyocr per
+    keyframe, detected strings joined into the OCR context doc). Fake
+    recognizer: the 'detected' words are the payload's lowercase
+    tokens of length ≥ OCR_MIN_TOKEN (OCR finds the big legible
+    strings, not stray short fragments) joined by single spaces —
+    producing the per-image text the OCR TF-IDF channel (S14 word
+    (1,1)/(1,3)) indexes. Same mapInPandas seam/scale story as
+    asr_transcripts."""
+
+    def _ocr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = [
+                " ".join(
+                    t
+                    for t in blob.decode("utf-8").lower().split(" ")
+                    if len(t) >= OCR_MIN_TOKEN
+                )
+                for blob in pdf["content"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "ocr_text": texts})
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        _ocr, OCR_SCHEMA
+    )
+
+
 # ---- S11/S12/S16 context + encoder ingest stages ----------------------
 
 TAG_MIN_LEN = 5  # fake tagger: every distinct token this long is a tag

@@ -75,6 +75,7 @@ _PRIORITY = [
     # round-4 additions (new, never driver-checked)
     "speech_asr_bm25_search",
     "multimodal_resize",
+    "ocr_tfidf_search",
     "multimodal_tag_freqs",
     "multimodal_color_grid",
     "corpus_embedding_build",

@@ -374,3 +374,46 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte positions ≡ 1 (mod 4)."""
     docs = tables.load(spark, "documents", sf_dir)
     return mm.resize_media(mm.as_media_table(docs), scale=4).orderBy("media_id")
+
+
+# --- S10 → S14 composition: the OCR-channel ingest→search chain ------------
+
+from multi_search_retrival_big_data_spark.queries.sparse_queries import (  # noqa: E402
+    tfidf_cte,
+)
+
+_OCR_CORPUS_CTE = f"""
+    ocr AS (
+      SELECT doc_id,
+             array_to_string(
+               list_filter(string_split(lower(text), ' '),
+                           x -> length(x) >= {4}), ' ') AS text
+      FROM documents WHERE doc_id % 3 = 0
+    )"""
+
+
+@query(
+    "ocr_tfidf_search",
+    oracle=f"""
+    WITH {_OCR_CORPUS_CTE},
+    {tfidf_cte('', (1, 1), _QSPEECH, table='ocr')}
+    SELECT doc_id AS media_id, score FROM topk
+    ORDER BY score DESC, media_id LIMIT 20
+    """,
+)
+def ocr_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OCR channel end to end (S10 → S14 → Q4):
+    fake-OCR texts from the recognizer seam become the corpus an
+    sklearn-parity TF-IDF index is fitted on, then a text query scores
+    against it (ocr_retrieval.py:27-41 fits over OCR context files
+    exactly this way). Third and last of the text channels
+    (context = sparse_tfidf_topk, speech = speech_asr_bm25_search)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    ocr = mm.ocr_texts(mm.as_media_table(docs)).select(
+        F.col("media_id").alias("doc_id"), F.col("ocr_text").alias("text")
+    )
+    postings = sparse.fit_tfidf(ocr)
+    return (
+        sparse.tfidf_score(postings, _QSPEECH, k=20, round_to=6)
+        .withColumnRenamed("doc_id", "media_id")
+    )

@@ -163,3 +163,13 @@ def test_resize_media_downsample(media):
     assert out[2]["out_bytes"] == 3
     assert out[2]["out_checksum"] == sum(b"hor") % mm.CHECKSUM_MOD
     assert all(r["scale"] == 4 for r in out.values())
+
+
+def test_ocr_texts_long_tokens_only(spark):
+    docs = spark.createDataFrame(
+        [(0, "Big WORDS and a fe w tiny bits", "s")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    out = mm.ocr_texts(mm.as_media_table(docs)).collect()
+    assert len(out) == 1
+    assert out[0]["ocr_text"] == "words tiny bits"  # len >= 4, lowercased

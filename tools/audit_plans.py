@@ -30,6 +30,7 @@ SCALAR_BROADCAST_OK = {
     "sparse_tfidf_ngram13_topk",
     "sparse_bm25_topk",
     "speech_asr_bm25_search",  # in-plan BM25 fit: 1-row n/avgdl/avgidf scalar broadcasts
+    "ocr_tfidf_search",        # in-plan TF-IDF fit: 1-row n/qnorm scalar broadcasts
     "sparse_tfidf_char_fallback",
     "sparse_multichannel_context",
     "dense_knn_by_id",       # 1-row reconstructed query vector
