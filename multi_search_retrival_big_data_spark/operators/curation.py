@@ -1,0 +1,200 @@
+"""Corpus-curation operators for training-data pipelines: PII
+redaction, sequence packing, weighted sampling, incremental upsert,
+and dataset-mixture interleaving.
+
+The reference engine serves a fixed, pre-curated corpus (its only
+mutation path is the idempotent skip-if-exists re-ingest in the
+notebooks — /root/reference/data_extraction/clip/clip.ipynb cell 7,
+SceneJSON.ipynb SKIP_EXISTING); a 100 TB training pipeline additionally
+has to *edit* the corpus continuously: scrub PII before anything is
+trained on, pack variable-length documents into fixed token budgets,
+draw quality-weighted subsets, merge refreshed crawl batches, and
+schedule multi-source mixtures at fixed ratios. Every operator here is
+a pure DataFrame transform built from Catalyst expressions (no Python
+UDFs), deterministic under retries and re-partitioning, and — because
+the arithmetic is md5 / integer / quantized-double — value-exact
+against the DuckDB oracle.
+
+Scale shapes:
+- redact_pii / count_pii: row-local regexp expressions inside
+  whole-stage codegen; zero shuffles, composes with column pruning.
+- pack_budget_bins: ONE window shuffle per partition column (the
+  cumulative token sum). At 100 TB the per-partition window is
+  replaced by the same range-partition + per-partition-offset two-pass
+  used by temporal.dense_global_ids_scalable — the bin function is a
+  pure function of the prefix sum, so it parallelizes identically.
+- weighted_sample_aes: scan + TakeOrderedAndProject(k) — the priority
+  is row-local, no shuffle beyond the top-k merge.
+- upsert: ONE shuffle on the key (the anti-join); with both sides
+  bucketed by the key it is shuffle-free. This is the relational core
+  of MERGE INTO in Delta/Iceberg, expressed directly.
+- mixture_interleave: one bounded-cardinality window (rank within
+  source class) + a global top-n merge; all integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from multi_search_retrival_big_data_spark.operators.dedup import shingle_int_value
+
+# PII patterns restricted to the regex subset with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB): character classes,
+# bounded/unbounded repetition, \d == [0-9], \b word boundary. No
+# lookarounds, no backrefs (RE2 has neither).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+# Redaction order matters: emails first (their local/domain parts can
+# contain digit runs a later pattern could nibble), then dotted quads,
+# then phone-shaped digit groups.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", PII_EMAIL, "<EMAIL>"),
+    ("ipv4", PII_IPV4, "<IP>"),
+    ("phone", PII_PHONE, "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every email / IPv4 / phone-shaped span with a typed
+    placeholder. Sequential regexp_replace expressions — row-local,
+    whole-stage-codegen'd, zero shuffle. The pattern set is the
+    cross-engine-safe subset (see module header); production pipelines
+    extend PII_PATTERNS, keeping the ordering rule."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def count_pii(col: Column) -> list[Column]:
+    """Per-category match counts `pii_<name>` for audit dashboards —
+    counted on the SAME sequentially-redacted intermediate text the
+    redaction pass sees, so counts and redactions always agree (an
+    email's digit runs can otherwise double-count as phone/IP)."""
+    cols = []
+    cur = col
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pat)).alias(f"pii_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return cols
+
+
+def pack_budget_bins(
+    docs: DataFrame,
+    part_col: str,
+    order_col: str,
+    size_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Contiguous fixed-budget sequence packing: walking each
+    partition in `order_col` order, a document is assigned to
+    bin = floor(prefix_sum_before_it / capacity).
+
+    This is the *streaming* packing rule (documents are never split or
+    reordered; a document straddling a budget boundary overflows its
+    bin by at most one document), chosen over first-fit-decreasing
+    because FFD is inherently sequential-with-lookback — its bin state
+    depends on every prior placement, which neither distributes nor
+    oracle-checks — while the prefix-sum rule is a pure function of
+    the cumulative sum, so it is embarrassingly parallel after ONE
+    prefix-sum pass and reproduces identically under retries. Utilization
+    loss vs FFD is bounded by one document per bin. Oversized documents
+    (size > capacity) own their span; later bin ids simply skip ahead.
+
+    One window shuffle on `part_col`. At 100 TB with a single giant
+    partition, swap the window for the two-pass range-partitioned
+    prefix sum of temporal.dense_global_ids_scalable — bin assignment
+    is the same pure function of the prefix sum.
+
+    Returns the input columns + `bin_id` (0-based per partition) and
+    `cum_tokens` (inclusive prefix sum).
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(size_col).over(w)
+    return docs.withColumn("cum_tokens", cum).withColumn(
+        "bin_id", F.floor((F.col("cum_tokens") - F.col(size_col)) / F.lit(capacity))
+    )
+
+
+def weighted_sample_aes(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sample without replacement, k rows, P(select) ∝ weight:
+    Efraimidis & Spirakis (2006) A-ES keys with deterministic
+    md5-derived uniforms. Each row gets u = (h + 0.5)/2³² from the
+    md5 of its id (never exactly 0 or 1) and priority = -ln(u)/w; the
+    k smallest priorities are the sample. Equivalent to the classic
+    u^(1/w) max-key formulation, but in log space so the key stays
+    well-conditioned for large weights.
+
+    Scan + TakeOrderedAndProject: the priority is row-local, the only
+    movement is the k·partitions top-k merge. Deterministic across
+    retries/layout (no RNG state); ln is the one transcendental — the
+    selected SET is robust to sub-ulp libm differences because
+    adjacent order-statistic gaps of 500+ random keys dwarf 1-ulp
+    noise, and the emitted columns carry no raw floats.
+
+    Adds `priority_rank` (1-based). Weights must be > 0."""
+    h = shingle_int_value(F.col(id_col).cast("string"))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    priority = -F.log(u) / F.col(weight_col).cast("double")
+    ranked = (
+        df.withColumn("__priority", priority)
+        .orderBy(F.asc("__priority"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.asc("__priority"), F.asc(id_col))
+    # the global window runs on the k-row limited result, not the corpus
+    return ranked.withColumn("priority_rank", F.row_number().over(w)).drop(
+        "__priority"
+    )
+
+
+def upsert(base: DataFrame, delta: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Last-writer-wins merge: every key in `delta` replaces its row in
+    `base`; unmatched base rows pass through. The relational core of
+    MERGE INTO (Delta/Iceberg) as a plain anti-join + union — ONE
+    shuffle on the key; zero-shuffle when both sides are bucketed by
+    the key. Columns must match by name."""
+    survivors = base.join(delta.select(*key_cols), key_cols, "left_anti")
+    return delta.unionByName(survivors)
+
+
+def mixture_interleave(
+    df: DataFrame,
+    class_col: str,
+    strides: dict[str, int],
+    order_col: str,
+    n: int,
+) -> DataFrame:
+    """Deterministic multi-source mixture schedule (stride scheduling):
+    rows of class c are emitted at virtual times rank·stride_c, so a
+    class with stride s contributes ∝ 1/s of any schedule prefix —
+    pass strides as LCM/weight to hit target mixing ratios exactly.
+    Returns the first `n` rows of the schedule with `vt` (virtual
+    time) and `class_rank`; total order (vt, class, rank) — pure
+    integer arithmetic, bit-exact in any engine.
+
+    One window shuffle (rank within class; classes are the bounded
+    mixture components) + a TakeOrderedAndProject(n) merge. Classes
+    missing from `strides` are excluded — the mixture definition is
+    the `strides` dict."""
+    wc = Window.partitionBy(class_col).orderBy(order_col)
+    stride_expr = F.create_map(
+        *[F.lit(x) for kv in strides.items() for x in kv]
+    )[F.col(class_col)]
+    return (
+        df.filter(F.col(class_col).isin(list(strides)))
+        .withColumn("class_rank", F.row_number().over(wc))
+        .withColumn("vt", F.col("class_rank").cast("bigint") * stride_expr.cast("bigint"))
+        .orderBy("vt", class_col, "class_rank")
+        .limit(n)
+    )

@@ -64,6 +64,7 @@ _MODULES = [
     "multi_search_retrival_big_data_spark.queries.streaming_queries",
     "multi_search_retrival_big_data_spark.queries.sampling_queries",
     "multi_search_retrival_big_data_spark.queries.source_queries",
+    "multi_search_retrival_big_data_spark.queries.curation_queries",
 ]
 
 # The driver records a CORRECTNESS row for (at most) the first 50
@@ -73,6 +74,12 @@ _MODULES = [
 # CORRECTNESS_r01/r02/r03 and re-proven by the judge's r3 full gate).
 _PRIORITY = [
     # round-4 additions (new, never driver-checked)
+    "curation_pii_redaction",
+    "curation_pack_bins",
+    "curation_weighted_sample",
+    "corpus_upsert_merge",
+    "curation_mixture_interleave",
+    "source_orc_roundtrip",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

@@ -1,0 +1,318 @@
+"""Oracle-checked corpus-curation queries (operators/curation.py):
+PII redaction, sequence packing, weighted sampling, incremental
+upsert, and mixture interleaving — the corpus-editing layer a 100 TB
+training pipeline runs between crawl and tokenizer.
+
+Cross-engine determinism: the PII patterns are the Java-regex/RE2
+common subset; the synthetic PII is planted in-plan as a pure function
+of doc_id (the driver testdata carries none — both engines augment
+identically, so the redaction path is value-checked end to end);
+packing/interleave are integer arithmetic; the weighted-sample
+priority uses md5-derived uniforms (see weighted_sample_aes notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark import tables
+from multi_search_retrival_big_data_spark.functions import text as T
+from multi_search_retrival_big_data_spark.operators import curation
+from multi_search_retrival_big_data_spark.operators.dedup import shingle_int_value
+from multi_search_retrival_big_data_spark.queries import query
+from multi_search_retrival_big_data_spark.queries.common import det_round, sql_det_round
+
+PACK_CAPACITY = 256  # tokens per bin
+SAMPLE_K = 60
+MIX_N = 120
+# target en:fr:zh = 3:2:1 → strides LCM(·)/w
+MIX_STRIDES = {"en": 2, "fr": 3, "zh": 6}
+
+
+def _sql_v(expr: str) -> str:
+    """SQL spelling of dedup.shingle_int_value(expr)."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substring(md5({expr}), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+
+
+# ---------------------------------------------------------------- PII
+
+# planted PII, a pure function of doc_id — both engines build the same
+# augmented text, so redaction + counting is value-checked end to end
+_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || ' call 555-867-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+
+
+def _aug_spark() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@mail.example.com from 10."),
+        (d % 256).cast("string"),
+        F.lit(".0."),
+        (d % 200).cast("string"),
+        F.lit(" call 555-867-"),
+        (F.lit(1000) + d % 9000).cast("string"),
+    )
+
+
+def _pii_oracle() -> str:
+    email, ipv4, phone = (p for _, p, _ in curation.PII_PATTERNS)
+    return f"""
+    WITH aug AS (
+      SELECT doc_id, lang, {_AUG_SQL} AS aug FROM documents
+    ),
+    staged AS (
+      SELECT lang,
+             len(regexp_extract_all(aug, '{email}')) AS c_email,
+             regexp_replace(aug, '{email}', '<EMAIL>', 'g') AS s1
+      FROM aug
+    ),
+    staged2 AS (
+      SELECT lang, c_email,
+             len(regexp_extract_all(s1, '{ipv4}')) AS c_ipv4,
+             regexp_replace(s1, '{ipv4}', '<IP>', 'g') AS s2
+      FROM staged
+    ),
+    final AS (
+      SELECT lang, c_email, c_ipv4,
+             len(regexp_extract_all(s2, '{phone}')) AS c_phone,
+             regexp_replace(s2, '{phone}', '<PHONE>', 'g') AS red
+      FROM staged2
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(SUM(c_email) AS BIGINT) AS n_email,
+           CAST(SUM(c_ipv4) AS BIGINT) AS n_ipv4,
+           CAST(SUM(c_phone) AS BIGINT) AS n_phone,
+           CAST(SUM({_sql_v("red")}) AS BIGINT) AS redacted_checksum
+    FROM final
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@query("curation_pii_redaction", oracle=_pii_oracle())
+def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: plant doc_id-derived email/IP/phone
+    spans in-plan (the synthetic corpus carries none), redact with the
+    sequential pattern chain, and prove the full path with per-lang
+    category counts plus an md5 checksum of every redacted byte. All
+    row-local regexp expressions in whole-stage codegen — the only
+    shuffle is the final 5-group aggregate."""
+    docs = tables.load(spark, "documents", sf_dir)
+    aug = docs.select("doc_id", "lang", _aug_spark().alias("aug"))
+    redacted = aug.select(
+        "lang",
+        *curation.count_pii(F.col("aug")),
+        shingle_int_value(curation.redact_pii(F.col("aug"))).alias("v"),
+    )
+    return (
+        redacted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pii_email").cast("bigint").alias("n_email"),
+            F.sum("pii_ipv4").cast("bigint").alias("n_ipv4"),
+            F.sum("pii_phone").cast("bigint").alias("n_phone"),
+            F.sum("v").cast("bigint").alias("redacted_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ------------------------------------------------------------ packing
+
+
+@query(
+    "curation_pack_bins",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '\\w+')) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT lang, doc_id, n_tok,
+             SUM(n_tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM sized
+    ),
+    binned AS (
+      SELECT lang, n_tok,
+             CAST(FLOOR((cum_tokens - n_tok) / {PACK_CAPACITY}) AS BIGINT) AS bin_id
+      FROM cum
+    )
+    SELECT lang, bin_id, count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           {sql_det_round(f"SUM(n_tok) / {PACK_CAPACITY}.0")} AS utilization
+    FROM binned
+    GROUP BY lang, bin_id
+    ORDER BY lang, bin_id
+    """,
+)
+def curation_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents packed in doc_id order
+    into {PACK_CAPACITY}-token budget bins per language (streaming
+    prefix-sum rule — see pack_budget_bins for why not first-fit).
+    Output = per-bin manifest (doc count, token fill, utilization) the
+    tokenizer shards on. One window shuffle (the prefix sum) + one
+    aggregate."""
+    docs = tables.load(spark, "documents", sf_dir)
+    sized = docs.select(
+        "doc_id", "lang", F.size(T.tokenize(F.col("text"))).alias("n_tok")
+    )
+    packed = curation.pack_budget_bins(
+        sized, "lang", "doc_id", "n_tok", PACK_CAPACITY
+    )
+    return (
+        packed.groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+            det_round(F.sum("n_tok") / F.lit(float(PACK_CAPACITY))).alias(
+                "utilization"
+            ),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+# ----------------------------------------------------------- sampling
+
+
+@query(
+    "curation_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             -ln((({_sql_v("CAST(doc_id AS VARCHAR)")}) + 0.5) / 4294967296.0)
+               / n_chars AS p
+      FROM documents
+    ),
+    top AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (ORDER BY p, doc_id) AS priority_rank
+      FROM keyed
+      ORDER BY p, doc_id
+      LIMIT {SAMPLE_K}
+    )
+    SELECT doc_id, lang, n_chars, priority_rank
+    FROM top
+    ORDER BY doc_id
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sample without replacement (Efraimidis-Spirakis
+    A-ES, weight = n_chars): longer documents are proportionally more
+    likely, yet the draw is a pure function of doc_id — reproducible on
+    any cluster layout, retry, or engine. Scan +
+    TakeOrderedAndProject({SAMPLE_K}); no shuffle."""
+    docs = tables.load(spark, "documents", sf_dir)
+    out = curation.weighted_sample_aes(docs, "doc_id", "n_chars", SAMPLE_K)
+    return out.select("doc_id", "lang", "n_chars", "priority_rank").orderBy("doc_id")
+
+
+# ------------------------------------------------------------- upsert
+
+
+@query(
+    "corpus_upsert_merge",
+    oracle=f"""
+    WITH delta AS (
+      SELECT doc_id, 'rev: ' || text AS text, lang, 'v2' AS version
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    base AS (
+      SELECT doc_id, text, lang, 'v1' AS version FROM documents
+    ),
+    merged AS (
+      SELECT * FROM delta
+      UNION ALL
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.doc_id = b.doc_id)
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(SUM(CASE WHEN version = 'v2' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated,
+           CAST(SUM({_sql_v("text")}) AS BIGINT) AS text_checksum
+    FROM merged
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus refresh: a delta batch (every 3rd document,
+    revised text) merged over the base with last-writer-wins — the
+    MERGE INTO core as anti-join + union (curation.upsert). The
+    checksum proves exactly the delta rows changed and every other
+    byte survived. One key shuffle; zero-shuffle when both sides are
+    bucketed by doc_id."""
+    docs = tables.load(spark, "documents", sf_dir)
+    base = docs.select("doc_id", "text", "lang", F.lit("v1").alias("version"))
+    delta = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(F.lit("rev: "), F.col("text")).alias("text"),
+        "lang",
+        F.lit("v2").alias("version"),
+    )
+    merged = curation.upsert(base, delta, ["doc_id"])
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("version") == "v2", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_updated"),
+            F.sum(shingle_int_value(F.col("text"))).cast("bigint").alias(
+                "text_checksum"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------- mixtures
+
+
+@query(
+    "curation_mixture_interleave",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+               AS class_rank
+      FROM documents
+      WHERE lang IN ('en', 'fr', 'zh')
+    ),
+    sched AS (
+      SELECT doc_id, lang, class_rank,
+             class_rank * CASE lang WHEN 'en' THEN 2
+                                    WHEN 'fr' THEN 3
+                                    ELSE 6 END AS vt
+      FROM ranked
+    )
+    SELECT doc_id, lang, class_rank, CAST(vt AS BIGINT) AS vt
+    FROM sched
+    ORDER BY vt, lang, class_rank
+    LIMIT {MIX_N}
+    """,
+)
+def curation_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture schedule: interleave en:fr:zh at 3:2:1 by
+    stride scheduling (virtual time = rank · LCM/weight) — the first
+    {MIX_N} scheduled documents, with the exact emission order carried
+    by (vt, lang, class_rank). Pure integer arithmetic; one bounded
+    window + a top-n merge."""
+    docs = tables.load(spark, "documents", sf_dir)
+    out = curation.mixture_interleave(docs, "lang", MIX_STRIDES, "doc_id", MIX_N)
+    return out.select("doc_id", "lang", "class_rank", "vt")

@@ -91,6 +91,20 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(sources.read_csv(spark, path, DOCS_SCHEMA))
 
 
+@query("source_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC sink → schema-explicit ORC source → checksummed
+    per-lang aggregate. Completes the columnar-interchange pair
+    (parquet is the canonical store; ORC covers Hive/Trino handoff) —
+    DuckDB cannot read ORC, so parity is proven the same way as the
+    other round-trips: the oracle computes the identical checksummed
+    aggregate over the original table."""
+    docs = tables.load(spark, "documents", sf_dir)
+    path = _tmp("orc")
+    sources.write_orc(docs, path)
+    return _roundtrip_agg(sources.read_orc(spark, path, DOCS_SCHEMA))
+
+
 @query(
     "sink_partitioned_parquet_pruned",
     oracle=f"""

@@ -74,6 +74,20 @@ def read_csv(spark: SparkSession, path: str, schema: str, multi_line: bool = Tru
     )
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — the second columnar interchange format Spark ships
+    natively (Hive/Trino ecosystems). Same columnar/stripe layout
+    virtues as parquet: column pruning, predicate pushdown via stripe
+    stats, splittable files."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema-explicit ORC source (explicit schema skips footer-merge
+    inference across files, same rule as the other readers)."""
+    return spark.read.schema(schema).orc(path)
+
+
 def write_partitioned_parquet(df: DataFrame, path: str, cols: list[str]) -> None:
     """Hive-style partitioned parquet sink (dir-per-value layout)."""
     df.write.mode("overwrite").partitionBy(*cols).parquet(path)

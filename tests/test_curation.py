@@ -1,0 +1,163 @@
+"""Unit tests for operators/curation.py."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_search_retrival_big_data_spark.operators import curation
+
+
+# ---------------------------------------------------------------- PII
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example.org today"),
+        (2, "server 192.168.0.1 and 10.0.0.255 are up"),
+        (3, "call 555-867-5309 or 555 123 4567 now"),
+        (4, "mixed: a@b.co from 8.8.8.8 call 111-222-3333"),
+        (5, "clean text with no identifiers at all"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_redact_pii_golden(spark, pii_docs):
+    out = {
+        r["id"]: r["red"]
+        for r in pii_docs.select(
+            "id", curation.redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "server <IP> and <IP> are up"
+    assert out[3] == "call <PHONE> or <PHONE> now"
+    assert out[4] == "mixed: <EMAIL> from <IP> call <PHONE>"
+    assert out[5] == "clean text with no identifiers at all"
+
+
+def test_count_pii_agrees_with_redaction(spark, pii_docs):
+    rows = pii_docs.select("id", *curation.count_pii(F.col("text"))).collect()
+    counts = {r["id"]: (r["pii_email"], r["pii_ipv4"], r["pii_phone"]) for r in rows}
+    assert counts[1] == (1, 0, 0)
+    assert counts[2] == (0, 2, 0)
+    assert counts[3] == (0, 0, 2)
+    assert counts[4] == (1, 1, 1)
+    assert counts[5] == (0, 0, 0)
+
+
+# ------------------------------------------------------------ packing
+
+
+def test_pack_budget_bins_hand_computed(spark):
+    # one partition, capacity 10; sizes walk the boundary cases:
+    # cumulative before: 0,4,8,14,17,29 → bins 0,0,1,1,2 (+ oversized)
+    rows = [
+        ("p", 1, 4),
+        ("p", 2, 4),
+        ("p", 3, 6),   # starts at cum_before=8 → bin 0? no: floor(8/10)=0
+        ("p", 4, 3),
+        ("p", 5, 12),  # oversized doc
+        ("p", 6, 1),
+    ]
+    df = spark.createDataFrame(rows, ["part", "id", "n"])
+    out = {
+        r["id"]: (r["bin_id"], r["cum_tokens"])
+        for r in curation.pack_budget_bins(df, "part", "id", "n", 10).collect()
+    }
+    assert out[1] == (0, 4)
+    assert out[2] == (0, 8)
+    assert out[3] == (0, 14)   # starts inside bin 0, overflows it
+    assert out[4] == (1, 17)
+    assert out[5] == (1, 29)   # oversized: owns the span
+    assert out[6] == (2, 30)   # next doc skips to floor(29/10)=2
+
+
+def test_pack_budget_bins_partition_independent(spark):
+    rows = [(p, i, 5) for p in ("a", "b") for i in range(6)]
+    df = spark.createDataFrame(rows, ["part", "id", "n"])
+    out = curation.pack_budget_bins(df, "part", "id", "n", 10)
+    per_part = {
+        (r["part"], r["id"]): r["bin_id"] for r in out.collect()
+    }
+    # both partitions pack identically and independently
+    for i in range(6):
+        assert per_part[("a", i)] == per_part[("b", i)] == (i * 5) // 10
+
+
+# ----------------------------------------------------------- sampling
+
+
+def _aes_priority(doc_id: int, w: float) -> float:
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+    u = (h + 0.5) / 2**32
+    return -math.log(u) / w
+
+
+def test_weighted_sample_matches_python_recompute(spark):
+    rows = [(i, float(10 + (i * 7) % 90)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    out = curation.weighted_sample_aes(df, "id", "w", 25).collect()
+    got = [(r["id"], r["priority_rank"]) for r in sorted(out, key=lambda r: r["priority_rank"])]
+    expected = sorted(rows, key=lambda t: (_aes_priority(t[0], t[1]), t[0]))[:25]
+    assert [i for i, _ in got] == [i for i, _ in expected]
+    assert [rk for _, rk in got] == list(range(1, 26))
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # weights 1 vs 1000: the heavy half should dominate the sample
+    rows = [(i, 1000.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    out = curation.weighted_sample_aes(df, "id", "w", 50).collect()
+    heavy = sum(1 for r in out if r["id"] < 100)
+    assert heavy >= 45
+
+
+# ------------------------------------------------------------- upsert
+
+
+def test_upsert_last_writer_wins(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    delta = spark.createDataFrame([(2, "B"), (4, "D")], ["k", "v"])
+    out = {r["k"]: r["v"] for r in curation.upsert(base, delta, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_upsert_composite_key(spark):
+    base = spark.createDataFrame([(1, "x", "a"), (1, "y", "b")], ["k1", "k2", "v"])
+    delta = spark.createDataFrame([(1, "y", "B")], ["k1", "k2", "v"])
+    out = {(r["k1"], r["k2"]): r["v"] for r in curation.upsert(base, delta, ["k1", "k2"]).collect()}
+    assert out == {(1, "x"): "a", (1, "y"): "B"}
+
+
+# ---------------------------------------------------------- mixtures
+
+
+def test_mixture_interleave_stride_schedule(spark):
+    rows = [(c, i) for c in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, ["cls", "id"])
+    # a twice as frequent as b → strides a=1, b=2
+    out = curation.mixture_interleave(df, "cls", {"a": 1, "b": 2}, "id", 9).collect()
+    sched = [(r["cls"], r["class_rank"], r["vt"]) for r in out]
+    assert sched == [
+        ("a", 1, 1),
+        ("a", 2, 2), ("b", 1, 2),
+        ("a", 3, 3),
+        ("a", 4, 4), ("b", 2, 4),
+        ("a", 5, 5),
+        ("a", 6, 6), ("b", 3, 6),
+    ]
+
+
+def test_mixture_interleave_ratio_and_exclusion(spark):
+    rows = [(c, i) for c in ("a", "b", "junk") for i in range(100)]
+    df = spark.createDataFrame(rows, ["cls", "id"])
+    out = curation.mixture_interleave(df, "cls", {"a": 1, "b": 3}, "id", 80).collect()
+    by_cls = {c: sum(1 for r in out if r["cls"] == c) for c in ("a", "b", "junk")}
+    assert by_cls["junk"] == 0
+    # 3:1 ratio within rounding of the schedule prefix
+    assert abs(by_cls["a"] - 3 * by_cls["b"]) <= 3
