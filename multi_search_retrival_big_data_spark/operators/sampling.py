@@ -106,6 +106,60 @@ def kmv_distinct(values: DataFrame, col: str, k: int) -> DataFrame:
     )
 
 
+def binned_quantiles(
+    df: DataFrame, col: str, bin_width: int, ps: list[float]
+) -> DataFrame:
+    """Histogram-sketch quantile estimates over an integer column →
+    one row per p: (p, est). The corpus collapses to a fixed-width
+    histogram (bin = floor(x/W), one map-side-combined groupBy whose
+    shuffle volume is the BIN COUNT, not rows), then each requested
+    quantile is read off the cumulative histogram by linear
+    interpolation inside its bin:
+
+        est = bin·W + (p·N − cum_before) / bin_n · W
+
+    This is the streaming-friendly fixed-bin sketch (the degenerate
+    equal-width cousin of t-digest/KLL, which are order-dependent and
+    therefore neither deterministic under re-partitioning nor
+    oracle-checkable): error is bounded by the bin width W regardless
+    of N. Everything after the histogram is driver-sized (bins ×
+    quantiles); the windows/joins below run on that tiny frame, not
+    the corpus. All arithmetic is exact-integer or deterministic IEEE
+    ops, so the estimate is bit-identical across engines."""
+    bins = (
+        df.select(F.floor(F.col(col) / F.lit(float(bin_width))).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cums = bins.withColumn(
+        "cum",
+        F.sum("n").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("N"))
+    ps_df = (
+        df.sparkSession.createDataFrame([(float(p),) for p in ps], "p double")
+        .crossJoin(F.broadcast(total))
+        .select("p", (F.col("p") * F.col("N")).alias("t"))
+    )
+    hit_w = Window.partitionBy("p").orderBy("bin")
+    return (
+        ps_df.join(F.broadcast(cums), F.col("cum") >= F.col("t"))
+        .withColumn("__rn", F.row_number().over(hit_w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "p",
+            (
+                F.col("bin") * F.lit(bin_width)
+                + (F.col("t") - (F.col("cum") - F.col("n")))
+                / F.col("n")
+                * F.lit(bin_width)
+            ).alias("est"),
+        )
+    )
+
+
 def heavy_hitters(
     per_doc_values: DataFrame, col: str, k: int
 ) -> DataFrame:

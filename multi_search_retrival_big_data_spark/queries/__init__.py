@@ -80,6 +80,8 @@ _PRIORITY = [
     "corpus_upsert_merge",
     "curation_mixture_interleave",
     "source_orc_roundtrip",
+    "bucketed_join_zero_shuffle",
+    "sketch_binned_quantiles",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

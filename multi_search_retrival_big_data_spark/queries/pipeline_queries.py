@@ -564,6 +564,56 @@ def skew_salted_join_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_join_oracle() -> str:
+    a0, b0 = dedup.minhash_params(1)[0]
+    v = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5(shingle), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+    WITH {_shingles_cte()},
+    sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, min(({a0} * ({v}) + {b0}) % {dedup.MINHASH_PRIME}) AS h0
+      FROM shingles GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_shingles, g.h0
+    FROM sizes s JOIN sig g USING (doc_id)
+    ORDER BY s.doc_id
+    LIMIT 80
+    """
+
+
+@query("bucketed_join_zero_shuffle", oracle=_bucketed_join_oracle())
+def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join: per-doc shingle counts joined to the
+    minhash signature table, where BOTH inputs are the persisted index
+    tables bucketed+sorted by doc_id into the same bucket count
+    (index_store.doc_shingles / minhash_sigs). The bucketed layout IS
+    the shuffle, paid once at ingest: the groupBy(doc_id) aggregation
+    reuses the scan's hash-partitioning and the join matches bucket
+    files pairwise, so the whole plan contains NO Exchange of any kind
+    (asserted by tools/audit_plans.py NO_EXCHANGE_EXPECTED; the final
+    top-n is a TakeOrderedAndProject, not a range exchange). At 100 TB
+    this is the difference between re-shuffling the corpus per dedup
+    run and reading pre-clustered buckets. The merge hint pins the
+    co-located sort-merge join — a broadcast would also be
+    shuffle-free but would not demonstrate the bucket alignment."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    sh = index_store.doc_shingles(spark, sf_dir)
+    sig = index_store.minhash_sigs(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        sizes.hint("merge")
+        .join(sig.select("doc_id", "h0"), "doc_id")
+        .orderBy("doc_id")
+        .limit(80)
+    )
+
+
 @query(
     "ids_dense_enumeration_scalable",
     oracle="""

@@ -145,6 +145,89 @@ def sketch_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANT_W = 32
+QUANT_PS = [0.5, 0.9, 0.99]
+
+
+@query(
+    "sketch_binned_quantiles",
+    oracle=f"""
+    WITH bins AS (
+      SELECT CAST(FLOOR(n_chars / {QUANT_W}.0) AS BIGINT) AS bin, count(*) AS n
+      FROM documents GROUP BY 1
+    ),
+    cums AS (
+      SELECT bin, n,
+             SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM bins
+    ),
+    tot AS (SELECT count(*) AS N FROM documents),
+    ps AS (SELECT unnest([{", ".join(repr(p) for p in QUANT_PS)}]) AS p),
+    tgt AS (SELECT p, p * N AS t FROM ps, tot),
+    hit AS (
+      SELECT tgt.p, tgt.t, c.bin, c.n, c.cum,
+             row_number() OVER (PARTITION BY tgt.p ORDER BY c.bin) AS rn
+      FROM tgt JOIN cums c ON c.cum >= tgt.t
+    ),
+    est AS (
+      SELECT p, bin * {QUANT_W} + (t - (cum - n)) / n * {QUANT_W} AS est
+      FROM hit WHERE rn = 1
+    ),
+    exq AS (
+      SELECT quantile_cont(n_chars, [{", ".join(repr(p) for p in QUANT_PS)}]) AS q
+      FROM documents
+    ),
+    exact AS (
+      SELECT unnest([{", ".join(repr(p) for p in QUANT_PS)}]) AS p,
+             unnest(q) AS exact FROM exq
+    )
+    SELECT est.p, {sql_det_round("est")} AS est_quantile,
+           {sql_det_round("exact")} AS exact_quantile,
+           {sql_det_round("abs(est - exact)")} AS abs_error
+    FROM est JOIN exact ON est.p = exact.p
+    ORDER BY est.p
+    """,
+)
+def sketch_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram quantile sketch vs the exact type-7
+    quantile — one row per p with the estimate, the exact value, and
+    the absolute error (bounded by the bin width). The sketch side
+    shuffles only the BIN COUNT; the exact side (Spark `percentile`,
+    DuckDB `quantile_cont` — same (N−1)p interpolation) is the audit
+    that is dropped at 100 TB, exactly like sketch_kmv_distinct_tokens'
+    exact branch. Deterministic: order-independent histogram counts,
+    IEEE-exact interpolation — unlike approx_percentile/t-digest,
+    whose merge order changes the answer across layouts."""
+    docs = tables.load(spark, "documents", sf_dir)
+    est = sampling.binned_quantiles(docs, "n_chars", QUANT_W, QUANT_PS)
+    exact = (
+        docs.agg(
+            F.percentile(
+                F.col("n_chars"), F.array(*[F.lit(p) for p in QUANT_PS])
+            ).alias("q")
+        )
+        .select(
+            F.posexplode("q").alias("pos", "exact")
+        )
+        .select(
+            F.element_at(
+                F.array(*[F.lit(float(p)) for p in QUANT_PS]), F.col("pos") + 1
+            ).alias("p"),
+            "exact",
+        )
+    )
+    return (
+        est.join(exact, "p")
+        .select(
+            "p",
+            det_round(F.col("est")).alias("est_quantile"),
+            det_round(F.col("exact")).alias("exact_quantile"),
+            det_round(F.abs(F.col("est") - F.col("exact"))).alias("abs_error"),
+        )
+        .orderBy("p")
+    )
+
+
 @query(
     "heavy_hitters_tokens",
     oracle=f"""

@@ -67,3 +67,52 @@ def test_heavy_hitters_order_and_ties(spark):
     )
     got = [(r["t"], r["freq"]) for r in sampling.heavy_hitters(df, "t", 2).collect()]
     assert got == [("x", 3), ("y", 2)]
+
+
+def test_binned_quantiles_exact_on_uniform(spark):
+    # 0..999 uniform, width 10: every bin holds exactly 10 values, so
+    # the interpolated estimate p·N lands at value ≈ 1000p
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["x"])
+    got = {
+        r["p"]: r["est"]
+        for r in sampling.binned_quantiles(df, "x", 10, [0.5, 0.9]).collect()
+    }
+    assert got[0.5] == pytest.approx(500.0, abs=10)
+    assert got[0.9] == pytest.approx(900.0, abs=10)
+
+
+def test_binned_quantiles_matches_python_recompute(spark):
+    vals = [((i * 37) % 211) + 3 for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    width, ps = 16, [0.25, 0.75, 0.99]
+    got = {
+        r["p"]: r["est"]
+        for r in sampling.binned_quantiles(df, "x", width, ps).collect()
+    }
+    # python replica of the histogram interpolation
+    from collections import Counter
+
+    bins = Counter(v // width for v in vals)
+    n_total = len(vals)
+    for p in ps:
+        t = p * n_total
+        cum = 0
+        for b in sorted(bins):
+            if cum + bins[b] >= t:
+                expected = b * width + (t - cum) / bins[b] * width
+                break
+            cum += bins[b]
+        assert got[p] == pytest.approx(expected, rel=1e-12)
+
+
+def test_binned_quantiles_error_bounded_by_width(spark):
+    import statistics
+
+    vals = [((i * 131) % 997) for i in range(600)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = {
+        r["p"]: r["est"]
+        for r in sampling.binned_quantiles(df, "x", 25, [0.5]).collect()
+    }
+    exact = statistics.quantiles(vals, n=2, method="inclusive")[0]
+    assert abs(got[0.5] - exact) <= 25 + 1

@@ -52,6 +52,7 @@ SCALAR_BROADCAST_OK = {
     "sparse_batch_tfidf_topk",  # batched query-side scalar norms broadcast
     "skew_salted_join_lang",    # salted_join replicates the dim across shards BY DESIGN
     "sketch_kmv_distinct_tokens",  # 1-row sketch × 1-row exact-count scalar combine
+    "sketch_binned_quantiles",     # bins × quantile-target theta join: both driver-sized
     "events_resample_hourly_gapfill",  # hour-grid × type-dim densify: the product space IS the output
 }
 
@@ -75,6 +76,14 @@ PARTITION_PRUNING_EXPECTED = {
     # IVFPQ serving fast path: driver-side probe selection makes the
     # nprobe cell prune a STATIC `cid IN (...)` partition filter
     "ann_ivfpq_adc_topk",
+}
+
+# queries whose whole plan must be Exchange-free: every input reads
+# the SAME persisted bucketed layout (bucketBy doc_id, equal bucket
+# counts), so aggregation and join both reuse the scan's partitioning
+# — any Exchange (hash/range/broadcast) means the co-location broke
+NO_EXCHANGE_EXPECTED = {
+    "bucketed_join_zero_shuffle",
 }
 
 # queries whose index scan MUST be pruned by a runtime probe result —
@@ -111,6 +120,8 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("partition filter did not prune")
     if name in DYNAMIC_PRUNING_EXPECTED and "dynamicpruningexpression" not in plan:
         flags.append("index scan not dynamically pruned")
+    if name in NO_EXCHANGE_EXPECTED and "Exchange" in plan:
+        flags.append("exchange in a co-located bucketed plan")
     return flags
 
 
