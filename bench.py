@@ -66,6 +66,9 @@ STRESS_QUERIES = [
     # work is embarrassingly parallel, so its x10 ratio measures the
     # Python-worker scaling of the ingest encode stage
     "corpus_embedding_build",
+    # row-local regex chain — its x10 ratio proves the PII scrub stays
+    # scan-bound (no shuffle to go super-linear)
+    "curation_pii_redaction",
 ]
 
 # queries timed on BOTH 10× corpora (uniform vs skewed) — each carries
@@ -138,6 +141,12 @@ OPTIONAL_QUERIES = [
     "corpus_embedding_build",
     "multimodal_tag_freqs",
     "speech_asr_bm25_search",
+    # round-4 curation + physical-layout anchors
+    "curation_pii_redaction",
+    "curation_pack_bins",
+    "corpus_upsert_merge",
+    "bucketed_join_zero_shuffle",
+    "sketch_binned_quantiles",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):
