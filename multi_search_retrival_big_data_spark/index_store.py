@@ -495,6 +495,55 @@ def lsh_bands_incremental(
     return spark.table(name)
 
 
+def ivf_assignments_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    base_filter: str,
+    delta_filter: str,
+    iters: int | None = None,
+) -> DataFrame:
+    """Incremental IVF inverted-list maintenance under a FROZEN trained
+    quantizer: the cid-partitioned assignment table (vectors co-located,
+    ann.write_ivf_assignments layout) is built from the BASE corpus
+    slice, then the DELTA slice's assignments are APPENDED — given
+    fixed centroids, a vector's cell is a pure function of that vector,
+    so each new vector adds rows to its cid partition and nothing is
+    rewritten (FAISS IndexIVFFlat.add after train, as a partitioned
+    append). `index_incremental_ivf_parity` proves append ≡ rebuild.
+    What this does NOT refresh: the centroids themselves — after heavy
+    drift the quantizer needs retraining and a full re-assign (cell
+    shapes are model state, not per-row state); that boundary is the
+    same as FAISS's train/add split. Rebuilt every call — the function
+    exists to PROVE the append path."""
+    from pyspark.sql import functions as F
+
+    from multi_search_retrival_big_data_spark.operators import kmeans
+
+    if iters is None:
+        iters = 2
+    cent_df, _ = ivf_trained(spark, sf_dir, iters=iters)
+    cents = [(r["cid"], r["cv"]) for r in cent_df.collect()]
+    name = _table_name("ivfinc", sf_dir, f"i{iters}", "embeddings")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _drop_stale_location(spark, name)
+    emb = tables.load(spark, "embeddings", sf_dir)
+
+    def assign(df: "DataFrame") -> "DataFrame":
+        return df.select(
+            "vec_id", "embedding", kmeans.assign_cid("embedding", cents).alias("cid")
+        )
+
+    ann.write_ivf_assignments(assign(emb.filter(base_filter)), name)
+    (
+        assign(emb.filter(delta_filter))
+        .write.mode("append")
+        .partitionBy("cid")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
 def lsh_bands_stream_incremental(
     spark: SparkSession,
     sf_dir: str,

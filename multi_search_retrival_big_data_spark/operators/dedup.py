@@ -225,6 +225,38 @@ def lsh_candidate_pairs(
     return small_pairs.unionByName(chain).unionByName(star).distinct()
 
 
+def lsh_delta_candidate_pairs(
+    buckets: DataFrame, delta_ids: DataFrame, id_col: str
+) -> DataFrame:
+    """Candidate pairs TOUCHING a delta batch: the delta's bucket rows
+    equi-joined against the full bucket table → distinct unordered
+    (id_a < id_b) pairs with at least one delta member.
+
+    This is how a continuously-crawling pipeline dedups an incoming
+    batch against a 100 TB corpus WITHOUT re-running the corpus
+    self-join: the persisted bucket table (index_store layout) is
+    probed only at the delta's (band, bucket) keys, so the join cost
+    is O(|delta| × bucket collision rate), and the result is provably
+    the subset of the full candidate set that involves a delta doc
+    (same buckets ⇒ same collisions — the oracle checks exactly that
+    equivalence). Delta-internal pairs arise twice (once per side) and
+    collapse in the distinct; the semi-join prune broadcasts the
+    delta id set (batch-sized)."""
+    delta = buckets.join(
+        F.broadcast(delta_ids.select(id_col)), id_col, "left_semi"
+    ).select(F.col(id_col).alias("__id_d"), "band", "bucket")
+    other = buckets.select(F.col(id_col).alias("__id_o"), "band", "bucket")
+    return (
+        delta.join(other, ["band", "bucket"])
+        .filter(F.col("__id_d") != F.col("__id_o"))
+        .select(
+            F.least("__id_d", "__id_o").alias("id_a"),
+            F.greatest("__id_d", "__id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def lsh_bucket_stats(
     buckets: DataFrame, id_col: str, max_bucket: int
 ) -> DataFrame:

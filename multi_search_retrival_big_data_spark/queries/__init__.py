@@ -82,6 +82,8 @@ _PRIORITY = [
     "source_orc_roundtrip",
     "bucketed_join_zero_shuffle",
     "sketch_binned_quantiles",
+    "dedup_delta_batch_pairs",
+    "index_incremental_ivf_parity",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

@@ -15,7 +15,9 @@ from multi_search_retrival_big_data_spark.queries import query
 from multi_search_retrival_big_data_spark.queries.common import (
     EMB_DIM,
     QUERY_VEC,
+    dsum,
     sql_det_round,
+    sql_dsum,
     sql_vec,
 )
 
@@ -1045,6 +1047,57 @@ def index_incremental_update_parity(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("vec_id").alias("sum_vec_id"),
         )
         .orderBy("band", "bval")
+    )
+
+
+@query(
+    "index_incremental_ivf_parity",
+    oracle=f"""
+    WITH {KEM_CTE},
+    {_IVF_TRAIN_CTES},
+    tcent AS MATERIALIZED (SELECT cid, cv FROM {_IVF_TRAIN_FINAL}),
+    tassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.cv) ASC, c.cid ASC
+               ) AS rn
+        FROM kem e CROSS JOIN tcent c
+      ) WHERE rn = 1
+    )
+    SELECT a.cid, count(*) AS n_vecs,
+           CAST(SUM(a.vec_id) AS BIGINT) AS sum_vec_id,
+           {sql_dsum("e.v[1]")} AS vec_checksum
+    FROM tassign a JOIN kem e USING (vec_id)
+    GROUP BY a.cid
+    ORDER BY a.cid
+    """,
+)
+def index_incremental_ivf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance proof: inverted lists built from the
+    base corpus slice under the FROZEN Lloyd-trained quantizer, delta
+    slices APPENDED partition-wise (index_store.ivf_assignments_
+    incremental — FAISS's train/add split as a cid-partitioned append),
+    then aggregated per cell with a vector checksum. The oracle
+    re-trains the quantizer from the raw corpus and assigns every
+    vector from scratch — a hash match proves (a) append ≡ rebuild for
+    the lists and (b) the frozen model itself is bit-stable. Completes
+    the incrementality family: LSH bands (pure per-row), IVF lists
+    (pure per-row GIVEN the model; centroid refresh is the documented
+    retrain boundary)."""
+    base_f, (d1, d2) = index_store.incremental_split_filters(spark, sf_dir)
+    t = index_store.ivf_assignments_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})", iters=_KM_ITERS
+    )
+    return (
+        t.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+            dsum(F.element_at("embedding", 1).cast("double")).alias("vec_checksum"),
+        )
+        .orderBy("cid")
     )
 
 

@@ -564,6 +564,50 @@ def skew_salted_join_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DELTA_MOD = 7
+
+
+def _delta_pairs_oracle() -> str:
+    """Full LSH candidate set restricted to pairs touching the delta
+    batch (doc_id % DELTA_MOD = 0) — by construction identical to the
+    delta-probe join (same buckets ⇒ same collisions), which is the
+    equivalence the query proves."""
+    return f"""
+    WITH {_minhash_cand_ctes()},
+    cand_delta AS (
+      SELECT id_a, id_b FROM cand
+      WHERE id_a % {DELTA_MOD} = 0 OR id_b % {DELTA_MOD} = 0
+    ),
+    {_jaccard_tail(JACCARD_THRESHOLD, "cand_delta")}
+    """
+
+
+@query("dedup_delta_batch_pairs", oracle=_delta_pairs_oracle())
+def dedup_delta_batch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check of a fresh batch against the corpus:
+    the batch's bucket rows (here: every DELTA_MOD-th doc standing in
+    for a new crawl) probe the PERSISTED bucket table, candidates are
+    exact-Jaccard verified, and the result provably equals the full
+    corpus self-join restricted to pairs touching the batch (the
+    oracle computes that restriction). At 100 TB this replaces a
+    corpus-wide dedup re-run with an O(|batch|)-probe per ingest
+    cycle; composes with the capped path for adversarial buckets."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    docs = tables.load(spark, "documents", sf_dir)
+    delta_ids = docs.filter(F.col("doc_id") % DELTA_MOD == 0).select("doc_id")
+    sh = index_store.doc_shingles(spark, sf_dir)
+    sig = index_store.minhash_sigs(spark, sf_dir)
+    buckets = dedup.lsh_buckets(sig, "doc_id", LSH_BANDS, LSH_ROWS)
+    cand = dedup.lsh_delta_candidate_pairs(buckets, delta_ids, "doc_id").cache()
+    verified = dedup.jaccard_for_pairs(sh, cand, "doc_id")
+    return (
+        verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", det_round(F.col("jaccard")).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+    )
+
+
 def _bucketed_join_oracle() -> str:
     a0, b0 = dedup.minhash_params(1)[0]
     v = " + ".join(

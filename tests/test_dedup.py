@@ -221,3 +221,29 @@ def test_connected_components_auto_shallow_and_deep(spark):
     )
     out = {r["node"]: r["cluster_id"] for r in dedup.connected_components_auto(chain, shallow_rounds=3).collect()}
     assert set(out.values()) == {1} and len(out) == 40
+
+
+def test_lsh_delta_candidate_pairs_equals_restricted_full(spark):
+    """Delta-probe candidates == full self-join candidates restricted
+    to pairs touching the delta (the incremental-dedup equivalence)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 4} jumps over the lazy dog") for i in range(40)],
+        "doc_id BIGINT, text STRING",
+    )
+    sh = dedup.char_shingles(docs, "doc_id", "text")
+    sig = dedup.minhash_signatures(sh, "doc_id")
+    buckets = dedup.lsh_buckets(sig, "doc_id").cache()
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(buckets, "doc_id").collect()
+    }
+    delta_ids = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_delta_candidate_pairs(buckets, delta_ids, "doc_id").collect()
+    }
+    expected = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
+    assert got == expected
+    assert got  # non-vacuous: the 4-way near-dup corpus must collide
