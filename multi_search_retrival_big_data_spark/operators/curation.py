@@ -168,6 +168,80 @@ def upsert(base: DataFrame, delta: DataFrame, key_cols: list[str]) -> DataFrame:
     return delta.unionByName(survivors)
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame, id_col: str, text_col: str, max_df: int
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb pass):
+    split each document into lines, count each distinct line's
+    document frequency corpus-wide, drop lines appearing in more than
+    `max_df` documents (cookie banners, nav menus, license footers),
+    and reassemble the survivors in original order. Returns
+    (id, text, n_lines_kept, n_lines_dropped).
+
+    Shape: one explode + a groupBy on the line VALUE (map-side
+    combined; shuffle volume = distinct lines) + one groupBy back on
+    the doc id. The df table is usually tiny relative to the corpus —
+    at 100 TB, persist it like the posting tables and broadcast the
+    over-threshold lines (the boilerplate set is small by definition;
+    the long tail of unique lines never needs to move)."""
+    parts = F.split(F.col(text_col), "\n")
+    lines = docs.select(
+        F.col(id_col), F.posexplode(parts).alias("pos", "line")
+    )
+    df_counts = lines.groupBy("line").agg(
+        F.count_distinct(id_col).alias("line_df")
+    )
+    kept = lines.join(df_counts, "line").withColumn(
+        "__keep", F.col("line_df") <= F.lit(max_df)
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("n_lines_kept"),
+            F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias("n_lines_dropped"),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, id_col: str, text_col: str, chunk_size: int, overlap: int
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap
+    (training/RAG windowing): chunk starts walk the text at stride
+    chunk_size − overlap, each chunk is `chunk_size` chars (the last
+    one shorter). Returns (id, chunk_idx, chunk) — row-local explode,
+    zero shuffle, composes with pack_budget_bins downstream. Chunk
+    count per doc = ceil((len − overlap) / stride), so data volume
+    grows by len/(len − overlap·chunks) ≈ 1/(1 − overlap/chunk_size)."""
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
+    stride = chunk_size - overlap
+    s = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.length(s), F.lit(stride))).alias("__start"),
+        s.alias("__s"),
+    ).select(
+        F.col(id_col),
+        ((F.col("__start") - 1) / F.lit(stride)).cast("bigint").alias("chunk_idx"),
+        F.col("__s").substr(F.col("__start"), F.lit(chunk_size)).alias("chunk"),
+    )
+
+
 def mixture_interleave(
     df: DataFrame,
     class_col: str,

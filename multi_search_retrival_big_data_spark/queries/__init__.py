@@ -84,6 +84,8 @@ _PRIORITY = [
     "sketch_binned_quantiles",
     "dedup_delta_batch_pairs",
     "index_incremental_ivf_parity",
+    "curation_line_boilerplate_removal",
+    "curation_chunk_documents",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

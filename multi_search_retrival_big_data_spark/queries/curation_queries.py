@@ -281,6 +281,128 @@ def corpus_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- line-level dedupe
+
+LINE_MAX_DF = 10
+_BOILER = "accept cookies to continue -- all rights reserved"
+
+# three lines per doc: the original text, a corpus-wide boilerplate
+# line (df = n_docs, dropped), and a doc-unique marker (df = 1, kept)
+_LINES_AUG_SQL = (
+    f"text || chr(10) || '{_BOILER}' || chr(10) || 'doc marker ' "
+    "|| CAST(doc_id AS VARCHAR)"
+)
+
+
+@query(
+    "curation_line_boilerplate_removal",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, lang, {_LINES_AUG_SQL} AS aug FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, lang, CAST(t.i AS INT) AS pos,
+             string_split(aug, chr(10))[CAST(t.i AS INT)] AS line
+      FROM aug, unnest(range(1, len(string_split(aug, chr(10))) + 1)) AS t(i)
+    ),
+    dfc AS (
+      SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY line
+    ),
+    cleaned AS (
+      SELECT l.doc_id, l.lang,
+             string_agg(l.line, chr(10) ORDER BY l.pos)
+               FILTER (WHERE d.line_df <= {LINE_MAX_DF}) AS text,
+             SUM(CASE WHEN d.line_df <= {LINE_MAX_DF} THEN 1 ELSE 0 END)
+               AS n_kept,
+             SUM(CASE WHEN d.line_df <= {LINE_MAX_DF} THEN 0 ELSE 1 END)
+               AS n_dropped
+      FROM lines l JOIN dfc d USING (line)
+      GROUP BY l.doc_id, l.lang
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(SUM(n_kept) AS BIGINT) AS lines_kept,
+           CAST(SUM(n_dropped) AS BIGINT) AS lines_dropped,
+           CAST(SUM({_sql_v("text")}) AS BIGINT) AS cleaned_checksum
+    FROM cleaned
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def curation_line_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal: a
+    corpus-wide boilerplate line is planted into every document
+    in-plan (plus a doc-unique marker line), lines with document
+    frequency > {LINE_MAX_DF} are dropped, documents are reassembled
+    in line order, and the per-lang checksum proves exactly the
+    boilerplate vanished and every other byte survived. Shuffle
+    volume = distinct lines (map-side combined), then one groupBy
+    back on doc_id; at 100 TB the over-threshold line set is
+    broadcast-sized by definition."""
+    docs = tables.load(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit("\n" + _BOILER + "\ndoc marker "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    cleaned = curation.remove_boilerplate_lines(aug, "doc_id", "text", LINE_MAX_DF)
+    return (
+        cleaned.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines_kept").cast("bigint").alias("lines_kept"),
+            F.sum("n_lines_dropped").cast("bigint").alias("lines_dropped"),
+            F.sum(shingle_int_value(F.col("text"))).cast("bigint").alias(
+                "cleaned_checksum"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ----------------------------------------------------------- chunking
+
+CHUNK_SIZE = 200
+CHUNK_OVERLAP = 50
+_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+@query(
+    "curation_chunk_documents",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id,
+             CAST((t.i - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
+             substring(text, CAST(t.i AS INTEGER), {CHUNK_SIZE}) AS chunk
+      FROM documents, unnest(range(1, length(text) + 1, {_STRIDE})) AS t(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(length(chunk) AS INT) AS chunk_len,
+           CAST({_sql_v("chunk")} AS BIGINT) AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def curation_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking ({CHUNK_SIZE}-char chunks,
+    {CHUNK_OVERLAP} overlap) — the training/RAG windowing pass that
+    feeds pack_budget_bins. Row-local explode, zero shuffle; every
+    chunk carries its md5-derived hash so the full chunk CONTENT (not
+    just counts) is value-checked."""
+    docs = tables.load(spark, "documents", sf_dir)
+    chunks = curation.chunk_documents(docs, "doc_id", "text", CHUNK_SIZE, CHUNK_OVERLAP)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").alias("chunk_len"),
+        shingle_int_value(F.col("chunk")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
 # ---------------------------------------------------------- mixtures
 
 

@@ -161,3 +161,58 @@ def test_mixture_interleave_ratio_and_exclusion(spark):
     assert by_cls["junk"] == 0
     # 3:1 ratio within rounding of the schedule prefix
     assert abs(by_cls["a"] - 3 * by_cls["b"]) <= 3
+
+
+# ------------------------------------------------ line-level dedupe
+
+
+def test_remove_boilerplate_lines_golden(spark):
+    rows = [
+        (1, "unique alpha\nSHARED NAV\nbody one"),
+        (2, "unique beta\nSHARED NAV\nbody two"),
+        (3, "unique gamma\nSHARED NAV\nbody three"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r["id"]: (r["text"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in curation.remove_boilerplate_lines(df, "id", "text", 2).collect()
+    }
+    assert out[1] == ("unique alpha\nbody one", 2, 1)
+    assert out[2] == ("unique beta\nbody two", 2, 1)
+    assert out[3] == ("unique gamma\nbody three", 2, 1)
+
+
+def test_remove_boilerplate_keeps_order_and_duplicate_lines_within_doc(spark):
+    df = spark.createDataFrame([(1, "a\nb\na\nc")], ["id", "text"])
+    out = curation.remove_boilerplate_lines(df, "id", "text", 5).collect()[0]
+    # within-doc repeats count once toward df, and both copies survive
+    assert out["text"] == "a\nb\na\nc"
+    assert out["n_lines_kept"] == 4
+
+
+# ----------------------------------------------------------- chunking
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    text = "".join(chr(ord("a") + i % 26) for i in range(25))
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    out = sorted(
+        (r["chunk_idx"], r["chunk"])
+        for r in curation.chunk_documents(df, "id", "text", 10, 4).collect()
+    )
+    # stride 6: starts 1,7,13,19,25
+    assert out == [
+        (0, text[0:10]),
+        (1, text[6:16]),
+        (2, text[12:22]),
+        (3, text[18:25]),
+        (4, text[24:25]),
+    ]
+    # consecutive chunks overlap by exactly 4 chars
+    assert out[0][1][-4:] == out[1][1][:4]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "abc")], ["id", "text"])
+    with pytest.raises(ValueError):
+        curation.chunk_documents(df, "id", "text", 10, 10)
