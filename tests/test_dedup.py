@@ -207,20 +207,52 @@ def test_connected_components_max_iter_validation(spark):
 
 
 def test_connected_components_auto_shallow_and_deep(spark):
-    """auto takes the propagation fast path on shallow graphs and
-    falls back to LSS on a chain that exhausts shallow_rounds."""
+    """auto (distributed path forced via driver_max_edges=0) takes the
+    propagation fast path on shallow graphs and falls back to LSS on a
+    chain that exhausts shallow_rounds."""
     # shallow: triangle + isolated pair
     shallow = spark.createDataFrame(
         [(1, 2), (2, 3), (1, 3), (10, 11)], "id_a BIGINT, id_b BIGINT"
     )
-    out = {r["node"]: r["cluster_id"] for r in dedup.connected_components_auto(shallow).collect()}
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components_auto(shallow, driver_max_edges=0).collect()
+    }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     # deep: a 40-node chain needs ~40 propagation rounds -> LSS fallback
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 40)], "id_a BIGINT, id_b BIGINT"
     )
-    out = {r["node"]: r["cluster_id"] for r in dedup.connected_components_auto(chain, shallow_rounds=3).collect()}
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components_auto(
+            chain, shallow_rounds=3, driver_max_edges=0
+        ).collect()
+    }
     assert set(out.values()) == {1} and len(out) == 40
+
+
+def test_connected_components_auto_driver_fast_path(spark):
+    """The size-gated driver union-find gives the same labels as the
+    distributed paths, including on deep chains and self-loops."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)] + [(5, 5), (50, 60), (60, 41)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    fast = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components_auto(chain).collect()
+    }
+    slow = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components_lss(chain).collect()
+    }
+    assert fast == slow
+    # empty graph -> empty labels, schema intact
+    empty = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    out = dedup.connected_components_auto(empty)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["node", "cluster_id"]
 
 
 def test_lsh_delta_candidate_pairs_equals_restricted_full(spark):
