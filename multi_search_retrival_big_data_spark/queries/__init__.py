@@ -86,6 +86,7 @@ _PRIORITY = [
     "index_incremental_ivf_parity",
     "curation_line_boilerplate_removal",
     "curation_chunk_documents",
+    "sink_compacted_parquet",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

@@ -105,6 +105,22 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(sources.read_orc(spark, path, DOCS_SCHEMA))
 
 
+@query("sink_compacted_parquet", oracle=_ROUNDTRIP_ORACLE)
+def sink_compacted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deliberately fragmented parquet (64 shuffled
+    writers → 64 small files, the streaming-append pathology) →
+    compaction rewrite to 4 files (sources.compact_parquet) →
+    checksummed per-lang aggregate. The checksum proves the
+    maintenance job is byte-lossless; test_sources asserts the file
+    counts actually collapse."""
+    docs = tables.load(spark, "documents", sf_dir)
+    frag = _tmp("frag")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = _tmp("compacted")
+    sources.compact_parquet(spark, frag, compacted, 4)
+    return _roundtrip_agg(sources.read_parquet(spark, compacted))
+
+
 @query(
     "sink_partitioned_parquet_pruned",
     oracle=f"""

@@ -93,6 +93,25 @@ def write_partitioned_parquet(df: DataFrame, path: str, cols: list[str]) -> None
     df.write.mode("overwrite").partitionBy(*cols).parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession, src_path: str, dst_path: str, target_files: int
+) -> None:
+    """Small-file compaction: rewrite a fragmented parquet dataset into
+    `target_files` files. The classic 100 TB maintenance job — ingest
+    (especially streaming foreachBatch appends, one file per
+    micro-batch per partition) accumulates thousands of KB-sized files
+    whose per-file open/footer cost comes to dominate scans; a periodic
+    rewrite restores row-group-sized files. `repartition` (round-robin
+    shuffle) rather than `coalesce`: coalesce(n) merges without a
+    shuffle but chains upstream partitioning into skewed outputs and
+    caps the WRITE parallelism at n; the compaction shuffle is the
+    point of the job. Never compact to 1 — a single writer task is the
+    other classic ingest bottleneck."""
+    spark.read.parquet(src_path).repartition(target_files).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+
+
 def read_parquet(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
     r = spark.read
     if schema is not None:

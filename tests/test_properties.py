@@ -203,3 +203,89 @@ def test_stratified_sample_is_hash_prefix(spark, ids, n):
         sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:n]
     )
     assert got == expected
+
+
+# ---------------------------------------------------------- curation
+
+from multi_search_retrival_big_data_spark.operators import curation  # noqa: E402
+
+kv_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.text(alphabet="abc", min_size=0, max_size=4),
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+def _kv(spark, rows):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    return spark.createDataFrame([(int(k), v) for k, v in rows], schema)
+
+
+@SETTINGS
+@given(base=kv_lists, delta=kv_lists)
+def test_upsert_is_idempotent_and_delta_wins(spark, base, delta):
+    b, d = _kv(spark, base), _kv(spark, delta)
+    once = {r["k"]: r["v"] for r in curation.upsert(b, d, ["k"]).collect()}
+    twice = {
+        r["k"]: r["v"]
+        for r in curation.upsert(curation.upsert(b, d, ["k"]), d, ["k"]).collect()
+    }
+    assert once == twice
+    expected = dict(base)
+    expected.update(dict(delta))
+    assert once == expected
+
+
+size_lists = st.lists(
+    st.integers(min_value=1, max_value=40), min_size=1, max_size=15
+)
+
+
+@SETTINGS
+@given(sizes=size_lists)
+def test_pack_bins_are_contiguous_and_fill_bounded(spark, sizes):
+    rows = [("p", i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "part STRING, id BIGINT, n BIGINT")
+    cap = 50
+    out = sorted(
+        curation.pack_budget_bins(df, "part", "id", "n", cap).collect(),
+        key=lambda r: r["id"],
+    )
+    bins = [r["bin_id"] for r in out]
+    # bin ids are non-decreasing in walk order
+    assert bins == sorted(bins)
+    # every bin's fill is < cap + its largest member (overflow bound)
+    fills: dict[int, int] = {}
+    for r in out:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n"]
+    for b, fill in fills.items():
+        members = [r["n"] for r in out if r["bin_id"] == b]
+        assert fill < cap + max(members)
+
+
+@SETTINGS
+@given(data=st.data())
+def test_redact_pii_is_idempotent(spark, data):
+    texts = data.draw(
+        st.lists(
+            st.text(
+                alphabet="ab1.@- \n", min_size=0, max_size=30
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "t"])
+    once = df.select("id", curation.redact_pii(F.col("t")).alias("r"))
+    twice = once.select("id", curation.redact_pii(F.col("r")).alias("r"))
+    a = {r["id"]: r["r"] for r in once.collect()}
+    b = {r["id"]: r["r"] for r in twice.collect()}
+    assert a == b

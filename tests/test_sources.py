@@ -54,3 +54,19 @@ def test_partitioned_parquet_prunes(spark):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(part" in plan or "PartitionFilters: [" in plan
     assert back.count() == 5
+
+
+def test_compact_parquet_collapses_file_count(spark, tmp_path):
+    import glob
+
+    from multi_search_retrival_big_data_spark import sources
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    frag = str(tmp_path / "frag")
+    df.repartition(32).write.parquet(frag)
+    assert len(glob.glob(frag + "/part-*")) == 32
+    dst = str(tmp_path / "compact")
+    sources.compact_parquet(spark, frag, dst, 3)
+    assert len(glob.glob(dst + "/part-*")) == 3
+    got = {r["id"]: r["v"] for r in spark.read.parquet(dst).collect()}
+    assert got == {i: 2 * i for i in range(1000)}
