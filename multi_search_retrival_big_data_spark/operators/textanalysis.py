@@ -288,9 +288,12 @@ def char_bigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFr
     garbled documents (the classic perplexity filter of training-data
     pipelines, with the corpus as its own reference distribution).
 
-    Two corpus aggregates (bigram counts, context counts) broadcast
-    back into a per-doc join — no per-doc state, one shuffle each.
-    Returns (id, n_bigrams, avg_logprob)."""
+    Shape: ONE map-side-combined shuffle collapses the character-
+    position stream to (doc, bigram, n) pairs; the corpus LM tables
+    (bigram counts, context counts — vocabulary-sized) derive from
+    those pairs and broadcast back, so the per-doc side is shuffled
+    once more (the final per-doc aggregate) and never as the raw
+    occurrence stream. Returns (id, n_bigrams, avg_logprob)."""
     s = F.lower(F.col(text_col))
     grams = (
         ensure_min_partitions(docs)
@@ -301,28 +304,41 @@ def char_bigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFr
             s.alias("__s"),
         )
         .select(F.col(id_col), F.col("__s").substr(F.col("pos"), F.lit(2)).alias("g"))
-    ).cache()  # consumed by corpus-count branches AND the doc-side join
-    c2 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = grams.select(F.substring("g", 1, 1).alias("x")).groupBy("x").agg(
-        F.count(F.lit(1)).alias("c1")
     )
-    v = grams.select(F.substring("g", 1, 1).alias("x")).agg(
-        F.countDistinct("x").alias("v")
+    # collapse the occurrence stream to (doc, bigram, n) FIRST: the raw
+    # stream is one row per character position of the corpus, and
+    # joining/shuffling it three times is what goes super-linear under
+    # memory pressure at scale. The map-side-combined groupBy cuts
+    # shuffle volume to distinct (doc, bigram) pairs, and everything
+    # downstream (corpus counts, scoring joins) derives from it.
+    doc_grams = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("n")).cache()
+    c2 = doc_grams.groupBy("g").agg(F.sum("n").alias("c2"))
+    c1 = doc_grams.select(F.substring("g", 1, 1).alias("x"), "n").groupBy("x").agg(
+        F.sum("n").alias("c1")
     )
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
     lp = F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+    # the LM tables are vocabulary-sized (≤ charset² bigrams) —
+    # broadcast them so the per-doc side never shuffles again
     scored = (
-        grams.join(c2, "g")
-        .join(c1, F.substring(F.col("g"), 1, 1) == F.col("x"))
+        doc_grams.join(F.broadcast(c2), "g")
+        .join(F.broadcast(c1), F.substring(F.col("g"), 1, 1) == F.col("x"))
         .crossJoin(F.broadcast(v))
-        .select(F.col(id_col), lp.alias("lp"))
+        .select(F.col(id_col), "n", lp.alias("lp"))
     )
-    from multi_search_retrival_big_data_spark.queries.common import det_round, dsum
+    from multi_search_retrival_big_data_spark.queries.common import det_round
 
+    # oracle parity: the reference sum quantizes lp PER OCCURRENCE at
+    # scale 9 — n identical occurrences contribute n·floor(lp·1e9+0.5)
+    # exactly, so weighting the quantized value keeps bit-parity with
+    # the occurrence-stream formulation
+    q = F.floor(F.col("lp") * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+    wsum = (F.sum(F.col("n").cast("decimal(38,0)") * q).cast("double") / F.lit(1e9))
     return (
         scored.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            det_round(dsum(F.col("lp"), scale=9) / F.count(F.lit(1))).alias("avg_logprob"),
+            F.sum("n").alias("n_bigrams"),
+            det_round(wsum / F.sum("n")).alias("avg_logprob"),
         )
     )
 
