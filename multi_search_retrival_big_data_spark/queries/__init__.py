@@ -87,6 +87,8 @@ _PRIORITY = [
     "curation_line_boilerplate_removal",
     "curation_chunk_documents",
     "sink_compacted_parquet",
+    "pipeline_curation_end_to_end",
+    "ann_pq_filtered_topk",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

@@ -606,6 +606,38 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_filtered_topk",
+    oracle=f"""
+    WITH {_pq_ctes()}
+    SELECT a.vec_id, a.approx_dist FROM adc a
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    WHERE e.label % 3 = 0
+    ORDER BY approx_dist ASC, a.vec_id ASC LIMIT {_PQ_K}
+    """,
+)
+def ann_pq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search through the PQ index: top-k among only
+    the vectors passing a metadata predicate (label % 3 = 0) — the
+    pre-filtered ANN mode every vector store serves (the reference's
+    id-subset restriction, faiss_processing.py:154-166, generalized
+    from an id list to a predicate). The allowed-id set semi-join
+    prunes the code table BEFORE scoring, so the ADC scan shrinks with
+    the predicate's selectivity instead of post-filtering a top-k that
+    might starve. At 100 TB the filter column belongs IN the code
+    table (one wider column at rest ⇒ the predicate pushes into the
+    scan with no join at all); the semi-join form shown here is the
+    layout-free fallback."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    codes = index_store.pq_codes(spark, sf_dir)
+    allowed = emb.filter(F.col("label") % 3 == 0).select("vec_id")
+    codes_f = codes.join(allowed, "vec_id", "left_semi")
+    return ann.ann_pq_adc_topk(
+        emb, codes_f, QUERY_VEC, k=_PQ_K, round_to=6,
+        codebook=ann.pq_codebook(emb), literal_lut=True,
+    )
+
+
+@query(
     "ann_pq_recall_grid",
     oracle=f"""
     WITH {_pq_ctes()},

@@ -403,6 +403,126 @@ def curation_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+# ------------------------------------------------ end-to-end pipeline
+
+PIPE_QUALITY_MIN = 0.5
+PIPE_CAPACITY = 1000  # chars per packed bin
+
+
+def _pipeline_oracle() -> str:
+    from multi_search_retrival_big_data_spark.operators.textanalysis import STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    ntok = r"len(regexp_extract_all(lower(text), '\w+'))"
+    nt_nz = f"CAST(CASE WHEN {ntok} > 0 THEN {ntok} ELSE 1 END AS DOUBLE)"
+    nc_nz = "CAST(CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END AS DOUBLE)"
+    stop = (
+        rf"len(list_filter(regexp_extract_all(lower(text), '\w+'), "
+        rf"x -> list_contains([{en}], x))) / {nt_nz}"
+    )
+    punct = rf"length(regexp_replace(text, '[\w\s]', '', 'g')) / {nc_nz}"
+    quality = (
+        f"({stop} + (1.0 - {punct}) "
+        f"+ CAST(least({ntok}, 100) AS DOUBLE) / 100.0) / 3.0"
+    )
+    return f"""
+    WITH keep AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE {quality} >= {PIPE_QUALITY_MIN}
+    ),
+    hashed AS (
+      SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+      FROM keep
+    ),
+    canon AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY h) AS mn FROM hashed
+      ) WHERE doc_id = mn
+    ),
+    chunks AS (
+      SELECT doc_id, lang,
+             CAST((t.i - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
+             substring(text, CAST(t.i AS INTEGER), {CHUNK_SIZE}) AS chunk
+      FROM canon, unnest(range(1, length(text) + 1, {_STRIDE})) AS t(i)
+    ),
+    sized AS (
+      SELECT doc_id, lang, chunk,
+             doc_id * 1000 + chunk_idx AS ord,
+             length(chunk) AS clen
+      FROM chunks
+    ),
+    cum AS (
+      SELECT *, SUM(clen) OVER (
+               PARTITION BY lang ORDER BY ord ROWS UNBOUNDED PRECEDING
+             ) AS c
+      FROM sized
+    ),
+    binned AS (
+      SELECT lang, doc_id, chunk, clen,
+             CAST(FLOOR((c - clen) / {PIPE_CAPACITY}) AS BIGINT) AS bin_id
+      FROM cum
+    )
+    SELECT lang, bin_id, count(*) AS n_chunks,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(clen) AS BIGINT) AS bin_chars,
+           CAST(SUM({_sql_v("chunk")}) AS BIGINT) AS content_checksum
+    FROM binned
+    GROUP BY lang, bin_id
+    ORDER BY lang, bin_id
+    """
+
+
+@query("pipeline_curation_end_to_end", oracle=_pipeline_oracle())
+def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain as ONE composed plan — the shape of a
+    real pre-training data job: quality filter (composite rational
+    score ≥ {PIPE_QUALITY_MIN}, textanalysis.quality_features) →
+    exact-dedup keep-canonical (dedup.exact_dedup) → overlapping
+    chunking (curation.chunk_documents) → budget packing
+    (curation.pack_budget_bins) → per-bin manifest with a content
+    checksum over every surviving chunk byte. Every stage is the
+    already-oracle-proven operator; this query proves they COMPOSE
+    value-exactly. Shuffle ledger: one hash-partition (dedup window),
+    one prefix-sum window (packing), one final aggregate — the filter
+    and chunking stages are row-local."""
+    from multi_search_retrival_big_data_spark.operators import dedup as dd
+    from multi_search_retrival_big_data_spark.operators import textanalysis as ta
+
+    docs = tables.load(spark, "documents", sf_dir)
+    qual = ta.quality_features(docs, "doc_id", "text").select("doc_id", "quality")
+    keep = docs.join(
+        qual.filter(F.col("quality") >= PIPE_QUALITY_MIN).select("doc_id"), "doc_id"
+    )
+    ded = dd.exact_dedup(keep, "doc_id", "text")
+    canon = keep.join(
+        ded.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+        "doc_id",
+    )
+    chunks = curation.chunk_documents(
+        canon, "doc_id", "text", CHUNK_SIZE, CHUNK_OVERLAP
+    ).join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+    sized = chunks.select(
+        "doc_id",
+        "lang",
+        "chunk",
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("ord"),
+        F.length("chunk").alias("clen"),
+    )
+    packed = curation.pack_budget_bins(sized, "lang", "ord", "clen", PIPE_CAPACITY)
+    return (
+        packed.groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("clen").cast("bigint").alias("bin_chars"),
+            F.sum(shingle_int_value(F.col("chunk"))).cast("bigint").alias(
+                "content_checksum"
+            ),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
 # ---------------------------------------------------------- mixtures
 
 
