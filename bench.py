@@ -147,6 +147,10 @@ OPTIONAL_QUERIES = [
     "corpus_upsert_merge",
     "bucketed_join_zero_shuffle",
     "sketch_binned_quantiles",
+    "dedup_delta_batch_pairs",
+    "curation_line_boilerplate_removal",
+    "pipeline_curation_end_to_end",
+    "ann_pq_filtered_topk",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

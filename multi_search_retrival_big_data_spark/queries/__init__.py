@@ -89,6 +89,7 @@ _PRIORITY = [
     "sink_compacted_parquet",
     "pipeline_curation_end_to_end",
     "ann_pq_filtered_topk",
+    "stream_upsert_latest_parity",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

@@ -215,3 +215,38 @@ def events_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_upsert_latest_parity",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def stream_upsert_latest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO proof: a keyed 'latest event per user'
+    table maintained by a foreachBatch merge over a DOUBLE-DELIVERED
+    event stream (every event arrives twice, across micro-batch
+    boundaries) must equal the batch answer over the clean feed — the
+    per-key (ts, event_id) compare makes replays and out-of-order
+    arrivals no-ops (ingest.run_stream_upsert_latest). This is the
+    CDC/serving materialization pattern; state is one row per key."""
+    from pyspark.sql import functions as F
+
+    out = ingest.run_stream_upsert_latest(spark, sf_dir, copies=2)
+    return (
+        out.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )

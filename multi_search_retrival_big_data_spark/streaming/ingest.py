@@ -87,3 +87,66 @@ def run_to_memory(
     )
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+def run_stream_upsert_latest(
+    spark: SparkSession, sf_dir: str, copies: int = 2
+) -> DataFrame:
+    """STREAMING keyed-table maintenance: materialize "latest event per
+    user" from an at-least-once event feed — the streaming MERGE INTO
+    every CDC/serving pipeline runs. Each micro-batch is reduced to
+    its per-key winner (max (ts, event_id) — ts alone is not a total
+    order under replays), then merged into the maintained table with
+    the same rule, so replays and out-of-order arrivals can never
+    regress a key (an older version loses the (ts, event_id) compare
+    no matter when it arrives; `copies=2` delivers every event twice
+    across micro-batch boundaries to prove it).
+
+    The maintained state lives as a localCheckpoint'd DataFrame —
+    keys-sized by construction (one row per user). Production swaps
+    that for Delta/Iceberg MERGE or alternating compacted parquet
+    generations with identical merge semantics; the checkpointed
+    stream gives exactly-once batch application either way.
+    `stream_upsert_latest_parity` proves the final table equals the
+    batch answer over the deduplicated feed."""
+    from pyspark.sql.window import Window
+
+    stream = read_event_stream(spark, sf_dir, copies=copies)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    state: dict[str, DataFrame | None] = {"table": None}
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        cur = state["table"]
+        merged = latest if cur is None else cur.unionByName(latest)
+        merged = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # eager materialization: the maintained table must not chain
+        # lineage across micro-batches (plan doubles per batch), and
+        # must survive the batch_df going out of scope
+        state["table"] = merged.localCheckpoint()
+
+    ckpt = tempfile.mkdtemp(prefix="upsert_stream_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = state["table"]
+    assert out is not None, "stream delivered no micro-batches"
+    return out

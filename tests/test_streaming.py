@@ -221,3 +221,22 @@ def test_foreachbatch_idempotent_parquet_sink(spark):
     # fresh stream (new checkpoint) replays the same file → no dupes
     run_stream()
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_stream_upsert_latest_matches_batch_even_with_triplicate_delivery(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from multi_search_retrival_big_data_spark import tables
+
+    out = ingest.run_stream_upsert_latest(spark, sf_dir, copies=3)
+    got = {r["user_id"]: (r["event_id"], r["value"]) for r in out.collect()}
+    ev = tables.load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    expected = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == expected
