@@ -69,6 +69,10 @@ STRESS_QUERIES = [
     # row-local regex chain — its x10 ratio proves the PII scrub stays
     # scan-bound (no shuffle to go super-linear)
     "curation_pii_redaction",
+    # the PRODUCTION clustering path (capped candidates + auto
+    # components) next to dedup_cluster_components' uncapped audit
+    # path — the pair of ratios shows what the mega-bucket cap buys
+    "dedup_cluster_components_capped",
 ]
 
 # queries timed on BOTH 10× corpora (uniform vs skewed) — each carries
