@@ -90,6 +90,7 @@ _PRIORITY = [
     "pipeline_curation_end_to_end",
     "ann_pq_filtered_topk",
     "stream_upsert_latest_parity",
+    "join_runtime_bloom_filter",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

@@ -659,6 +659,53 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_runtime_bloom_filter",
+    oracle="""
+    SELECT l.l_linestatus, count(*) AS n_items,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pruning on a shuffle join: the selective
+    dim-side predicate (urgent orders) is turned by Catalyst into a
+    bloom_filter_agg whose filter is INJECTED into the fact-side scan,
+    so most non-matching lineitem rows die before the join shuffle —
+    Spark's runtime-filter answer to the reference's IDSelectorArray
+    pre-filter (faiss_processing.py:154-166) for the case where the
+    allowed set is itself a query result. Runs in an ISOLATED
+    newSession: the injection thresholds are tuned down because the
+    driver corpus is far below the 10 GB default application-side
+    threshold where production clusters get this for free, and
+    broadcast is disabled so a shuffle join exists to prune — leaking
+    either conf into the shared session would distort every other
+    query's plan. tools/audit_plans.py asserts bloom_filter_agg is in
+    the executed plan."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    li = tables.load(s2, "lineitem", sf_dir)
+    orders = tables.load(s2, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
     "ids_dense_enumeration_scalable",
     oracle="""
     SELECT CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS global_id,

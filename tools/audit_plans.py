@@ -86,6 +86,13 @@ NO_EXCHANGE_EXPECTED = {
     "bucketed_join_zero_shuffle",
 }
 
+# queries whose plan must carry an injected runtime bloom filter
+# (bloom_filter_agg on the dim side, applied pre-shuffle on the fact
+# scan side)
+BLOOM_FILTER_EXPECTED = {
+    "join_runtime_bloom_filter",
+}
+
 # queries whose index scan MUST be pruned by a runtime probe result —
 # the plan must contain dynamicpruningexpression on the partitioned
 # index table (IVF inverted lists: only the nprobe cells are read, and
@@ -122,6 +129,8 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("index scan not dynamically pruned")
     if name in NO_EXCHANGE_EXPECTED and "Exchange" in plan:
         flags.append("exchange in a co-located bucketed plan")
+    if name in BLOOM_FILTER_EXPECTED and "bloom_filter_agg" not in plan:
+        flags.append("runtime bloom filter not injected")
     return flags
 
 
