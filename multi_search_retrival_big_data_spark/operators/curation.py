@@ -142,12 +142,17 @@ def weighted_sample_aes(
     adjacent order-statistic gaps of 500+ random keys dwarf 1-ulp
     noise, and the emitted columns carry no raw floats.
 
-    Adds `priority_rank` (1-based). Weights must be > 0."""
+    Adds `priority_rank` (1-based). Rows with weight ≤ 0 are EXCLUDED
+    (P ∝ w = 0 means never selected; and Spark's non-ANSI x/0.0 yields
+    NULL, which would silently sort FIRST under the ascending order —
+    the filter turns that trap into the mathematically correct
+    behavior)."""
     h = shingle_int_value(F.col(id_col).cast("string"))
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
     priority = -F.log(u) / F.col(weight_col).cast("double")
     ranked = (
-        df.withColumn("__priority", priority)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__priority", priority)
         .orderBy(F.asc("__priority"), F.asc(id_col))
         .limit(k)
     )
@@ -176,7 +181,10 @@ def remove_boilerplate_lines(
     document frequency corpus-wide, drop lines appearing in more than
     `max_df` documents (cookie banners, nav menus, license footers),
     and reassemble the survivors in original order. Returns
-    (id, text, n_lines_kept, n_lines_dropped).
+    (id, text, n_lines_kept, n_lines_dropped). NULL-text documents
+    yield no rows (posexplode of a null array) and drop out, like
+    every split/shingle operator in this engine; empty-string
+    documents survive as one empty line.
 
     Shape: one explode + a groupBy on the line VALUE (map-side
     combined; shuffle volume = distinct lines) + one groupBy back on
@@ -231,7 +239,10 @@ def chunk_documents(
         raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
     stride = chunk_size - overlap
     s = F.col(text_col)
-    return docs.select(
+    # empty/null docs yield no chunks — and the length filter is load-
+    # bearing: sequence(1, 0, stride) THROWS (illegal boundaries), it
+    # does not return empty (same hazard as functions/text.word_ngrams)
+    return docs.filter(F.length(s) >= 1).select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(1), F.length(s), F.lit(stride))).alias("__start"),
         s.alias("__s"),

@@ -216,3 +216,21 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "abc")], ["id", "text"])
     with pytest.raises(ValueError):
         curation.chunk_documents(df, "id", "text", 10, 10)
+
+
+def test_chunk_documents_empty_and_null_text(spark):
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "abc")], "id BIGINT, text STRING")
+    out = sorted(
+        (r["id"], r["chunk_idx"], r["chunk"])
+        for r in curation.chunk_documents(df, "id", "text", 10, 4).collect()
+    )
+    # empty/null docs yield no chunks instead of an illegal-sequence crash
+    assert out == [(3, 0, "abc")]
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0), (4, 1.0)], "id BIGINT, w DOUBLE"
+    )
+    out = curation.weighted_sample_aes(df, "id", "w", 10).collect()
+    assert sorted(r["id"] for r in out) == [3, 4]
