@@ -91,6 +91,7 @@ _PRIORITY = [
     "ann_pq_filtered_topk",
     "stream_upsert_latest_parity",
     "join_runtime_bloom_filter",
+    "graph_source_pagerank",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

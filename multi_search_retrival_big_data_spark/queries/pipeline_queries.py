@@ -658,6 +658,119 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power-iteration CTEs (fixed PR_ITERS rounds) over the
+    symmetric source-level near-dup graph, mirroring graph.pagerank —
+    quantized contribution sums make every round's ranks exact, so the
+    unrolled SQL and the Spark loop cannot drift."""
+    from multi_search_retrival_big_data_spark.operators.graph import (
+        PAGERANK_SUM_SCALE,
+    )
+
+    parts = [
+        f"""pedges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT da.source AS src, db.source AS dst
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.id_a
+        JOIN documents db ON db.doc_id = c.id_b
+        WHERE da.source <> db.source
+        UNION ALL
+        SELECT db.source AS src, da.source AS dst
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.id_a
+        JOIN documents db ON db.doc_id = c.id_b
+        WHERE da.source <> db.source
+      )
+    )""",
+        "o AS MATERIALIZED (SELECT src, count(*) AS deg FROM pedges GROUP BY src)",
+        """nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM pedges
+        UNION ALL SELECT dst AS node FROM pedges)
+    )""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)",
+    ]
+    for t in range(PR_ITERS):
+        parts.append(
+            f"""c{t} AS (
+      SELECT e.dst AS node,
+             {_pr_dsum(PAGERANK_SUM_SCALE)} AS c
+      FROM pedges e
+      JOIN r{t} r ON r.node = e.src
+      JOIN o ON o.src = e.src
+      GROUP BY e.dst
+    )"""
+        )
+        parts.append(
+            f"""r{t + 1} AS (
+      SELECT n.node,
+             (1.0 - {PR_DAMPING}) / nn.n + {PR_DAMPING} * COALESCE(c.c, 0.0) AS rank
+      FROM nodes n CROSS JOIN nn LEFT JOIN c{t} c ON c.node = n.node
+    )"""
+        )
+    from multi_search_retrival_big_data_spark.queries.common import sql_det_round as _r
+
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {_minhash_cand_ctes()},
+    {joined}
+    SELECT node AS source, {_r("rank", 9)} AS rank
+    FROM r{PR_ITERS}
+    ORDER BY rank DESC, source
+    """
+
+
+def _pr_dsum(scale: int) -> str:
+    from multi_search_retrival_big_data_spark.queries.common import sql_dsum
+
+    return sql_dsum("r.rank / o.deg", scale)
+
+
+@query("graph_source_pagerank", oracle=_pagerank_oracle())
+def graph_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the source-level near-duplicate graph (sources
+    sharing LSH candidate pairs link to each other) — the host-level
+    link-analysis prior crawl pipelines weight corpus quality by, and
+    the canonical iterative Spark dataflow next to k-means and
+    connected components. Fixed {PR_ITERS}-round power iteration
+    (graph.pagerank): per round, one edge⋈rank equi-join + one
+    map-side-combined contribution sum; no convergence action. The
+    oracle unrolls the same rounds as CTEs — quantized contribution
+    sums keep every round's ranks bit-identical across engines."""
+    from multi_search_retrival_big_data_spark import index_store
+    from multi_search_retrival_big_data_spark.operators import graph
+
+    docs = tables.load(spark, "documents", sf_dir)
+    sig = index_store.minhash_sigs(spark, sf_dir)
+    cand = dedup.lsh_candidate_pairs(
+        dedup.lsh_buckets(sig, "doc_id"), "doc_id"
+    )
+    src_of = docs.select("doc_id", "source")
+    pairs = (
+        cand.join(src_of.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src_of.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    edges = (
+        pairs.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .union(pairs.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
+        .distinct()
+    )
+    ranks = graph.pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING)
+    return (
+        ranks.select(
+            F.col("node").alias("source"), det_round(F.col("rank"), 9).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("source"))
+    )
+
+
 @query(
     "join_runtime_bloom_filter",
     oracle="""
