@@ -92,6 +92,7 @@ _PRIORITY = [
     "stream_upsert_latest_parity",
     "join_runtime_bloom_filter",
     "graph_source_pagerank",
+    "dedup_lsh_recall_audit",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

@@ -658,6 +658,88 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_recall_oracle() -> str:
+    """True pair set = exact all-pairs n-gram Jaccard ≥ threshold;
+    found = the LSH-candidate-bound verified pairs. LSH verify can
+    only LOSE pairs (its candidates are a subset of all pairs and the
+    verify stage is the same exact Jaccard), so precision is 1 by
+    construction and recall is the one number that governs the
+    banding parameters."""
+    return f"""
+    WITH {_minhash_cand_ctes()},
+    truth AS MATERIALIZED (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM shingles x JOIN shingles y
+        ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    tv AS MATERIALIZED (
+      SELECT i.id_a, i.id_b
+      FROM (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM truth c
+        JOIN shingles x ON x.doc_id = c.id_a
+        JOIN shingles y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+        GROUP BY c.id_a, c.id_b
+      ) i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.i / CAST(sa.n + sb.n - i.i AS DOUBLE) >= {JACCARD_THRESHOLD}
+    ),
+    found AS (
+      SELECT t.id_a, t.id_b FROM tv t
+      JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT (SELECT count(*) FROM tv) AS n_true,
+           (SELECT count(*) FROM found) AS n_found,
+           CASE WHEN (SELECT count(*) FROM tv) = 0 THEN 1.0
+                ELSE (SELECT count(*) FROM found)
+                     / CAST((SELECT count(*) FROM tv) AS DOUBLE)
+           END AS recall
+    """
+
+
+@query("dedup_lsh_recall_audit", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall governance for the MinHash-LSH dedup path — the same
+    audit role the recall grids play for the ANN family: ONE row
+    (n_true, n_found, recall) comparing the LSH-candidate-bound
+    verified pairs against the exact all-pairs ground truth
+    (dedup.ngram_jaccard_pairs) at the same threshold. Precision is 1
+    by construction (candidates ⊆ all pairs, identical verify), so
+    recall alone prices the banding parameters; run on a corpus
+    SAMPLE at 100 TB — the ground-truth branch is the quadratic one,
+    exactly like sketch_kmv's exact branch."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    docs = tables.load(spark, "documents", sf_dir)
+    sh = index_store.doc_shingles(spark, sf_dir)
+    sig = index_store.minhash_sigs(spark, sf_dir)
+    truth = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    found_pairs = dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", JACCARD_THRESHOLD,
+        shingles=sh, signatures=sig,
+    ).select("id_a", "id_b")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = (
+        truth.join(found_pairs, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_found))  # 1-row × 1-row scalar combine
+        .select(
+            "n_true",
+            "n_found",
+            F.when(F.col("n_true") == 0, F.lit(1.0))
+            .otherwise(F.col("n_found").cast("double") / F.col("n_true").cast("double"))
+            .alias("recall"),
+        )
+    )
+
+
 PR_ITERS = 5
 PR_DAMPING = 0.85
 

@@ -53,6 +53,7 @@ SCALAR_BROADCAST_OK = {
     "skew_salted_join_lang",    # salted_join replicates the dim across shards BY DESIGN
     "sketch_kmv_distinct_tokens",  # 1-row sketch × 1-row exact-count scalar combine
     "sketch_binned_quantiles",     # bins × quantile-target theta join: both driver-sized
+    "dedup_lsh_recall_audit",      # 1-row n_true × 1-row n_found scalar combine
     "events_resample_hourly_gapfill",  # hour-grid × type-dim densify: the product space IS the output
 }
 
