@@ -280,6 +280,22 @@ def token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def token_distribution(docs: DataFrame, text_col: str) -> DataFrame:
+    """Corpus token-frequency distribution → (token, cnt, p) with
+    p = cnt / total. One explode + a map-side-combined token count +
+    a 1-row total broadcast back; p is an int/int double division —
+    bit-exact in any engine, so distribution diffs (drift monitors)
+    are oracle-checkable. At 100 TB compare TOP-K distributions or
+    hash-sampled corpora — the token table itself is vocabulary-sized
+    and never a bottleneck; the explode pass is the scan."""
+    toks = docs.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token", "cnt", (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("p")
+    )
+
+
 def char_bigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Language-model quality score without a model: a char-bigram LM
     estimated from the corpus itself, add-one smoothed —

@@ -93,6 +93,7 @@ _PRIORITY = [
     "join_runtime_bloom_filter",
     "graph_source_pagerank",
     "dedup_lsh_recall_audit",
+    "monitor_token_drift",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

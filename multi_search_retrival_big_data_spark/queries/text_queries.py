@@ -245,7 +245,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_counts(docs, "doc_id", "text").orderBy("doc_id")
 
 
-from multi_search_retrival_big_data_spark.queries.common import sql_det_round, sql_dsum
+from multi_search_retrival_big_data_spark.queries.common import det_round, sql_det_round, sql_dsum
 
 
 @query(
@@ -375,3 +375,90 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulations agree value-for-value."""
     docs = tables.load(spark, "documents", sf_dir)
     return ta.repetition_features(docs, "doc_id", "text").orderBy("doc_id")
+
+
+DRIFT_TOP = 15
+
+
+@query(
+    "monitor_token_drift",
+    oracle=rf"""
+    WITH newc AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'rev: ' || text ELSE text END AS text
+      FROM documents
+    ),
+    bt AS (
+      SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token FROM documents
+    ),
+    nt AS (
+      SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token FROM newc
+    ),
+    bc AS (SELECT token, count(*) AS cnt FROM bt GROUP BY token),
+    nc AS (SELECT token, count(*) AS cnt FROM nt GROUP BY token),
+    btot AS (SELECT SUM(cnt) AS t FROM bc),
+    ntot AS (SELECT SUM(cnt) AS t FROM nc),
+    bp AS (SELECT token, cnt / CAST(btot.t AS DOUBLE) AS p FROM bc, btot),
+    np AS (SELECT token, cnt / CAST(ntot.t AS DOUBLE) AS p FROM nc, ntot),
+    diff AS (
+      SELECT COALESCE(bp.token, np.token) AS token,
+             COALESCE(bp.p, 0.0) AS p_base,
+             COALESCE(np.p, 0.0) AS p_new
+      FROM bp FULL OUTER JOIN np ON bp.token = np.token
+    )
+    SELECT token,
+           {sql_det_round('pb_raw', 9)} AS p_base,
+           {sql_det_round('pn_raw', 9)} AS p_new,
+           {sql_det_round('pn_raw - pb_raw', 9)} AS delta
+    FROM (
+      SELECT token, p_base AS pb_raw, p_new AS pn_raw FROM diff
+    )
+    ORDER BY {sql_det_round('abs(pn_raw - pb_raw)', 9)} DESC, token
+    LIMIT {DRIFT_TOP}
+    """,
+)
+def monitor_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor — the data-quality check a pipeline runs
+    after every corpus refresh: token-frequency distributions of the
+    base corpus vs its upserted revision (every 3rd doc revised, the
+    corpus_upsert_merge delta), full-outer-joined, top movers by
+    |Δp|. Both distributions are vocabulary-sized aggregates off one
+    scan each; probabilities are int/int divisions so the diff is
+    bit-exact cross-engine. At 100 TB run it on top-K distributions
+    or hash-sampled corpora (sampling.hash_sample) — same plan."""
+    docs = tables.load(spark, "documents", sf_dir)
+    newc = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit("rev: "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bp = ta.token_distribution(docs, "text").select(
+        "token", F.col("p").alias("p_base")
+    )
+    np_ = ta.token_distribution(newc, "text").select(
+        "token", F.col("p").alias("p_new")
+    )
+    diff = (
+        bp.join(np_, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("p_base", F.lit(0.0)).alias("p_base"),
+            F.coalesce("p_new", F.lit(0.0)).alias("p_new"),
+        )
+    )
+    return (
+        diff.select(
+            "token",
+            det_round(F.col("p_base"), 9).alias("p_base"),
+            det_round(F.col("p_new"), 9).alias("p_new"),
+            det_round(F.col("p_new") - F.col("p_base"), 9).alias("delta"),
+        )
+        .orderBy(
+            F.desc(det_round(F.abs(F.col("p_new") - F.col("p_base")), 9)),
+            F.asc("token"),
+        )
+        .limit(DRIFT_TOP)
+    )
