@@ -152,6 +152,7 @@ OPTIONAL_QUERIES = [
     "bucketed_join_zero_shuffle",
     "sketch_binned_quantiles",
     "dedup_delta_batch_pairs",
+    "dedup_cluster_components_capped",  # x1 anchor for its stress ratio
     "curation_line_boilerplate_removal",
     "pipeline_curation_end_to_end",
     "ann_pq_filtered_topk",
