@@ -163,6 +163,31 @@ def weighted_sample_aes(
     )
 
 
+def weighted_sample_aes_per_group(
+    df: DataFrame, group_cols: list[str], id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Per-group weighted sample without replacement: the A-ES
+    priority of weighted_sample_aes ranked WITHIN each group — k rows
+    per group, P(select | group) ∝ weight. The per-language
+    quality-weighted draw (balanced mixture with quality bias) a
+    curation pipeline runs instead of the global draw. One window
+    shuffle partitioned by the group cols (bounded-cardinality strata,
+    same shape as sampling.stratified_sample); rows with weight ≤ 0
+    excluded as in the global variant. Adds `priority_rank`
+    (1-based within group)."""
+    h = shingle_int_value(F.col(id_col).cast("string"))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    priority = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("__priority"), F.asc(id_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__priority", priority)
+        .withColumn("priority_rank", F.row_number().over(w))
+        .filter(F.col("priority_rank") <= k)
+        .drop("__priority")
+    )
+
+
 def upsert(base: DataFrame, delta: DataFrame, key_cols: list[str]) -> DataFrame:
     """Last-writer-wins merge: every key in `delta` replaces its row in
     `base`; unmatched base rows pass through. The relational core of

@@ -94,6 +94,7 @@ _PRIORITY = [
     "graph_source_pagerank",
     "dedup_lsh_recall_audit",
     "monitor_token_drift",
+    "curation_weighted_sample_per_lang",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

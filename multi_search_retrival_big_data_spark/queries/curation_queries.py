@@ -222,6 +222,44 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars", "priority_rank").orderBy("doc_id")
 
 
+GROUP_SAMPLE_K = 12
+
+
+@query(
+    "curation_weighted_sample_per_lang",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             -ln((({_sql_v("CAST(doc_id AS VARCHAR)")}) + 0.5) / 4294967296.0)
+               / n_chars AS p
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY p, doc_id)
+               AS priority_rank
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, priority_rank
+    FROM ranked WHERE priority_rank <= {GROUP_SAMPLE_K}
+    ORDER BY lang, priority_rank
+    """,
+)
+def curation_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-weighted draw: {GROUP_SAMPLE_K} docs per
+    lang with P ∝ n_chars inside each stratum — the balanced-mixture
+    companion to the global curation_weighted_sample (same A-ES
+    priorities, ranked within groups; one bounded-strata window
+    shuffle)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    out = curation.weighted_sample_aes_per_group(
+        docs, ["lang"], "doc_id", "n_chars", GROUP_SAMPLE_K
+    )
+    return out.select("doc_id", "lang", "n_chars", "priority_rank").orderBy(
+        "lang", "priority_rank"
+    )
+
+
 # ------------------------------------------------------------- upsert
 
 

@@ -234,3 +234,21 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     out = curation.weighted_sample_aes(df, "id", "w", 10).collect()
     assert sorted(r["id"] for r in out) == [3, 4]
+
+
+def test_weighted_sample_per_group_is_groupwise_consistent(spark):
+    rows = [(i, "a" if i % 2 else "b", float(1 + (i * 13) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "grp", "w"])
+    out = curation.weighted_sample_aes_per_group(df, ["grp"], "id", "w", 7)
+    by_grp: dict[str, list] = {}
+    for r in out.collect():
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert {g: len(v) for g, v in by_grp.items()} == {"a": 7, "b": 7}
+    # within each group the selection equals the python A-ES recompute
+    for g, members in by_grp.items():
+        pool = [(i, w) for i, grp, w in rows if grp == g]
+        expected = [
+            i for i, _ in sorted(pool, key=lambda t: (_aes_priority(t[0], t[1]), t[0]))[:7]
+        ]
+        got = [r["id"] for r in sorted(members, key=lambda r: r["priority_rank"])]
+        assert got == expected
