@@ -95,6 +95,7 @@ _PRIORITY = [
     "dedup_lsh_recall_audit",
     "monitor_token_drift",
     "curation_weighted_sample_per_lang",
+    "profile_corr_chars_tokens",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

@@ -316,3 +316,65 @@ def events_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rn")
     )
+
+
+@query(
+    "profile_corr_chars_tokens",
+    oracle=rf"""
+    WITH xy AS (
+      SELECT lang,
+             n_chars AS x,
+             len(regexp_extract_all(lower(text), '\w+')) AS y
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, count(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM xy GROUP BY lang
+    )
+    SELECT lang, n AS n_docs,
+           {sql_det_round(
+               "CAST(n * sxy - sx * sy AS DOUBLE)"
+               " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+               "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))", 9)} AS corr_chars_tokens
+    FROM s
+    ORDER BY lang
+    """,
+)
+def profile_corr_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pearson correlation of document length vs token
+    count — the profiling statistic that validates token-count
+    estimators per language. Computed from INTEGER moment sums
+    (n, Σx, Σy, Σxy, Σx², Σy² — all exact, map-side combined), so
+    unlike the built-in corr() aggregate (float accumulation,
+    order-dependent) the value is bit-identical across engines: the
+    only float ops are two correctly-rounded sqrts, one multiply and
+    one divide on exactly-represented integers."""
+    docs = tables.load(spark, "documents", sf_dir)
+    x = F.col("n_chars")
+    y = F.size(T.tokenize(F.col("text")))
+    xy = docs.select("lang", x.alias("x"), y.alias("y"))
+    s = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt((n * F.col("sxx") - sx * sx).cast("double")) * F.sqrt(
+        (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return (
+        s.select(
+            "lang",
+            n.alias("n_docs"),
+            det_round(num / den, 9).alias("corr_chars_tokens"),
+        )
+        .orderBy("lang")
+    )

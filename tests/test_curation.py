@@ -252,3 +252,23 @@ def test_weighted_sample_per_group_is_groupwise_consistent(spark):
         ]
         got = [r["id"] for r in sorted(members, key=lambda r: r["priority_rank"])]
         assert got == expected
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Dropping each chunk's overlap prefix and concatenating
+    reproduces the original text exactly."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog repeatedly today",
+        "x" * 97,
+        "short",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["id", "text"])
+    size, overlap = 16, 5
+    rows = curation.chunk_documents(df, "id", "text", size, overlap).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append((r["chunk_idx"], r["chunk"]))
+    for i, text in enumerate(texts):
+        chunks = [c for _, c in sorted(by_id[i])]
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == text
