@@ -96,6 +96,7 @@ _PRIORITY = [
     "monitor_token_drift",
     "curation_weighted_sample_per_lang",
     "profile_corr_chars_tokens",
+    "events_top3_per_user",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

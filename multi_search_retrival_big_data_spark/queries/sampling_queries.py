@@ -378,3 +378,37 @@ def profile_corr_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "events_top3_per_user",
+    oracle="""
+    SELECT user_id, event_id, value, rn
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    ORDER BY user_id, rn
+    """,
+)
+def events_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (top-3 events per user by value) — the group
+    variant of the engine's most-used primitive. Spark compiles the
+    rank filter to a WindowGroupLimit PAIR: a Partial node prunes each
+    map partition to its per-group top-3 BEFORE the shuffle, the Final
+    node prunes after — so shuffle volume is O(groups·k·partitions),
+    not O(rows), the per-group analogue of TakeOrderedAndProject
+    (asserted by tools/audit_plans.py WINDOW_GROUP_LIMIT_EXPECTED)."""
+    from pyspark.sql.window import Window
+
+    ev = tables.load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("user_id", "rn")
+    )

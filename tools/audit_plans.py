@@ -95,6 +95,14 @@ BLOOM_FILTER_EXPECTED = {
     "join_runtime_bloom_filter",
 }
 
+# queries whose per-group rank filter must compile to the
+# WindowGroupLimit pushdown (map-side per-group top-k pruning before
+# the shuffle) — a full WindowExec here means shuffle volume is
+# O(rows), not O(groups*k*partitions)
+WINDOW_GROUP_LIMIT_EXPECTED = {
+    "events_top3_per_user",
+}
+
 # queries whose index scan MUST be pruned by a runtime probe result —
 # the plan must contain dynamicpruningexpression on the partitioned
 # index table (IVF inverted lists: only the nprobe cells are read, and
@@ -133,6 +141,8 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("exchange in a co-located bucketed plan")
     if name in BLOOM_FILTER_EXPECTED and "bloom_filter_agg" not in plan:
         flags.append("runtime bloom filter not injected")
+    if name in WINDOW_GROUP_LIMIT_EXPECTED and "WindowGroupLimit" not in plan:
+        flags.append("per-group top-k not pushed down (no WindowGroupLimit)")
     return flags
 
 
