@@ -97,6 +97,7 @@ _PRIORITY = [
     "curation_weighted_sample_per_lang",
     "profile_corr_chars_tokens",
     "events_top3_per_user",
+    "dedup_lsh_capped_recall_audit",
     "speech_asr_bm25_search",
     "multimodal_resize",
     "ocr_tfidf_search",

@@ -658,15 +658,15 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_recall_oracle() -> str:
+def _lsh_recall_oracle(max_bucket: int | None = None) -> str:
     """True pair set = exact all-pairs n-gram Jaccard ≥ threshold;
     found = the LSH-candidate-bound verified pairs. LSH verify can
     only LOSE pairs (its candidates are a subset of all pairs and the
     verify stage is the same exact Jaccard), so precision is 1 by
     construction and recall is the one number that governs the
-    banding parameters."""
+    banding parameters (and, with `max_bucket`, prices the cap)."""
     return f"""
-    WITH {_minhash_cand_ctes()},
+    WITH {_minhash_cand_ctes(max_bucket)},
     truth AS MATERIALIZED (
       SELECT x.doc_id AS id_a, y.doc_id AS id_b
       FROM shingles x JOIN shingles y
@@ -925,3 +925,45 @@ def ids_dense_enumeration_scalable(spark: SparkSession, sf_dir: str) -> DataFram
         docs, ["source", "doc_id"], id_col="global_id"
     )
     return out.select("global_id", "doc_id").orderBy("global_id")
+
+
+@query(
+    "dedup_lsh_capped_recall_audit",
+    oracle=_lsh_recall_oracle(LSH_MAX_BUCKET),
+)
+def dedup_lsh_capped_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIR-level recall of the CAPPED candidate path against the
+    exact ground truth — the honest price tag of the mega-bucket cap:
+    spanning pair sets intentionally drop within-mega-bucket pairs, so
+    pair recall can dip below the uncapped path's (dedup_lsh_recall_
+    audit) while CLUSTER recall stays exact
+    (dedup_cluster_components_capped proves identical clusters —
+    transitive closure only needs the spanning set). Read the two
+    audits together: pairs are the budget, clusters are the product."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    docs = tables.load(spark, "documents", sf_dir)
+    sh = index_store.doc_shingles(spark, sf_dir)
+    sig = index_store.minhash_sigs(spark, sf_dir)
+    truth = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    found_pairs = dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", JACCARD_THRESHOLD,
+        shingles=sh, signatures=sig, max_bucket=LSH_MAX_BUCKET,
+    ).select("id_a", "id_b")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = (
+        truth.join(found_pairs, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_found))  # 1-row × 1-row scalar combine
+        .select(
+            "n_true",
+            "n_found",
+            F.when(F.col("n_true") == 0, F.lit(1.0))
+            .otherwise(F.col("n_found").cast("double") / F.col("n_true").cast("double"))
+            .alias("recall"),
+        )
+    )

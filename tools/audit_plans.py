@@ -54,6 +54,7 @@ SCALAR_BROADCAST_OK = {
     "sketch_kmv_distinct_tokens",  # 1-row sketch × 1-row exact-count scalar combine
     "sketch_binned_quantiles",     # bins × quantile-target theta join: both driver-sized
     "dedup_lsh_recall_audit",      # 1-row n_true × 1-row n_found scalar combine
+    "dedup_lsh_capped_recall_audit",  # same 1-row scalar combine, capped path
     "monitor_token_drift",         # two 1-row corpus-total scalar broadcasts
     "events_resample_hourly_gapfill",  # hour-grid × type-dim densify: the product space IS the output
 }
