@@ -124,6 +124,22 @@ def pack_budget_bins(
     )
 
 
+AES_PRIORITY_SCALE = 1e12
+
+
+def _aes_priority_quantized(id_col: str, weight_col: str) -> Column:
+    """floor(-ln(u)/w · 1e12 + 0.5) as bigint, u = md5-uniform of the
+    id — the A-ES key quantized BEFORE ranking so Spark and DuckDB
+    order identical integers (no raw libm doubles in the sort key).
+    Range check: w ≥ 1 (the weights here are char counts) gives
+    -ln(u) ≤ 32·ln 2 ≈ 22.2, so the scaled key ≤ ~2.22e13 ≪ 2^53 —
+    the double holds it exactly and floor is deterministic."""
+    h = shingle_int_value(F.col(id_col).cast("string"))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    p = -F.log(u) / F.col(weight_col).cast("double")
+    return F.floor(p * F.lit(AES_PRIORITY_SCALE) + F.lit(0.5)).cast("bigint")
+
+
 def weighted_sample_aes(
     df: DataFrame, id_col: str, weight_col: str, k: int
 ) -> DataFrame:
@@ -137,19 +153,20 @@ def weighted_sample_aes(
 
     Scan + TakeOrderedAndProject: the priority is row-local, the only
     movement is the k·partitions top-k merge. Deterministic across
-    retries/layout (no RNG state); ln is the one transcendental — the
-    selected SET is robust to sub-ulp libm differences because
-    adjacent order-statistic gaps of 500+ random keys dwarf 1-ulp
-    noise, and the emitted columns carry no raw floats.
+    retries/layout (no RNG state); ln is the one transcendental, so
+    (r4 advice) the ranking key is the QUANTIZED priority
+    floor(p·1e12 + 0.5) as bigint — both engines then rank on
+    identical integers, and a 1-ulp libm difference can flip a rank
+    only in the measure-zero case where p sits within ulp·1e12 of a
+    quantum boundary AND the engines' ln disagree on that row, rather
+    than whenever two keys land within a ulp of each other.
 
     Adds `priority_rank` (1-based). Rows with weight ≤ 0 are EXCLUDED
     (P ∝ w = 0 means never selected; and Spark's non-ANSI x/0.0 yields
     NULL, which would silently sort FIRST under the ascending order —
     the filter turns that trap into the mathematically correct
     behavior)."""
-    h = shingle_int_value(F.col(id_col).cast("string"))
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
-    priority = -F.log(u) / F.col(weight_col).cast("double")
+    priority = _aes_priority_quantized(id_col, weight_col)
     ranked = (
         df.filter(F.col(weight_col) > 0)
         .withColumn("__priority", priority)
@@ -174,10 +191,10 @@ def weighted_sample_aes_per_group(
     shuffle partitioned by the group cols (bounded-cardinality strata,
     same shape as sampling.stratified_sample); rows with weight ≤ 0
     excluded as in the global variant. Adds `priority_rank`
-    (1-based within group)."""
-    h = shingle_int_value(F.col(id_col).cast("string"))
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
-    priority = -F.log(u) / F.col(weight_col).cast("double")
+    (1-based within group). Ranks on the QUANTIZED priority (see
+    weighted_sample_aes) — small strata make rank stability matter
+    even more here."""
+    priority = _aes_priority_quantized(id_col, weight_col)
     w = Window.partitionBy(*group_cols).orderBy(F.asc("__priority"), F.asc(id_col))
     return (
         df.filter(F.col(weight_col) > 0)
@@ -211,6 +228,13 @@ def remove_boilerplate_lines(
     every split/shingle operator in this engine; empty-string
     documents survive as one empty line.
 
+    Empty-result contract (pinned per r4 advice): a document whose
+    EVERY line is dropped comes back with text = NULL (not ''),
+    matching the DuckDB oracle idiom `string_agg(...) FILTER` — which
+    yields NULL over an empty group — so a checksum over `text` can
+    never silently diverge between engines. `text IS NULL ⟺
+    n_lines_kept = 0`.
+
     Shape: one explode + a groupBy on the line VALUE (map-side
     combined; shuffle volume = distinct lines) + one groupBy back on
     the doc id. The df table is usually tiny relative to the corpus —
@@ -227,26 +251,30 @@ def remove_boilerplate_lines(
     kept = lines.join(df_counts, "line").withColumn(
         "__keep", F.col("line_df") <= F.lit(max_df)
     )
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("__keep"),
-                                F.struct(F.col("pos"), F.col("line")),
-                            )
+    agged = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("pos"), F.col("line")),
                         )
-                    ),
-                    lambda s: s["line"],
+                    )
                 ),
-                "\n",
-            ).alias("text"),
-            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("n_lines_kept"),
-            F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias("n_lines_dropped"),
-        )
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("__text_joined"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias("n_lines_dropped"),
+    )
+    return agged.select(
+        id_col,
+        # all-lines-dropped → NULL, the string_agg-FILTER contract
+        F.when(F.col("n_lines_kept") > 0, F.col("__text_joined")).alias("text"),
+        "n_lines_kept",
+        "n_lines_dropped",
     )
 
 

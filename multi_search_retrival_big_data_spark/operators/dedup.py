@@ -482,51 +482,74 @@ def connected_components_auto(
     so it usually wins in `shallow_rounds` one-shuffle rounds — with
     the O(log² n)-round large-star/small-star algorithm as the
     diameter-proof fallback. `driver_max_edges=0` forces the
-    distributed path (used by tests)."""
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    collected = None
-    if driver_max_edges > 0:
-        # ONE evaluation decides the gate AND fetches the edges: a
-        # limit(B+1)-collect instead of count-then-collect — the pair
-        # pipeline upstream (shingle/verify joins) is the expensive
-        # part, and a separate count() would evaluate it twice
-        head = edges.limit(driver_max_edges + 1).collect()
-        if len(head) <= driver_max_edges:
-            collected = head
-    if collected is not None:
-        parent: dict = {}
+    distributed path (used by tests).
 
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
+    Self-pairs (a, a) are legal input: node a is emitted as a
+    singleton cluster (cluster_id = a) by ALL THREE routes — the
+    node set is seeded from the UNFILTERED pair list, so route choice
+    can never change which nodes appear in the output (r4 advice).
 
-        for r in collected:
-            a, b = r["src"], r["dst"]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by MIN root so the final label is the minimum
-                # reachable id, matching the distributed algorithms
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        rows = [(n, find(n)) for n in parent]
-        node_type = dict(pairs.dtypes)[id_a]
-        return pairs.sparkSession.createDataFrame(
-            rows, f"node {node_type}, cluster_id {node_type}"
-        )
+    The deduped edge list is persisted before the gate probe: the
+    probe's limit(B+1)-collect is the FIRST evaluation of the
+    expensive upstream pair pipeline (shingle/verify joins), and when
+    the graph exceeds the gate the distributed fallback re-reads the
+    SAME persisted edges instead of re-deriving the pipeline from
+    `pairs` — the crawl-scale case pays the dominant cost once, not
+    twice. (The probe's early-exit means only the partitions it
+    touched are cached; the fallback recomputes just the rest.)"""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct()
+    use_gate = driver_max_edges > 0
+    if use_gate:
+        from pyspark import StorageLevel
+
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        return connected_components(pairs, id_a, id_b, max_iter=shallow_rounds)
-    except RuntimeError:
-        return connected_components_lss(pairs, id_a, id_b, max_iter=max_iter)
+        if use_gate:
+            # ONE evaluation decides the gate AND fetches the edges: a
+            # limit(B+1)-collect instead of count-then-collect
+            head = edges.limit(driver_max_edges + 1).collect()
+            if len(head) <= driver_max_edges:
+                parent: dict = {}
+
+                def find(x):
+                    root = x
+                    while parent[root] != root:
+                        root = parent[root]
+                    while parent[x] != root:
+                        parent[x], x = root, parent[x]
+                    return root
+
+                for r in head:
+                    a, b = r["src"], r["dst"]
+                    # seed BOTH endpoints before the self-loop skip so a
+                    # node appearing only as (a, a) stays in the output
+                    parent.setdefault(a, a)
+                    parent.setdefault(b, b)
+                    if a == b:
+                        continue
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        # union by MIN root so the final label is the
+                        # minimum reachable id, matching the distributed
+                        # algorithms
+                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                        parent[hi] = lo
+                rows = [(n, find(n)) for n in parent]
+                node_type = dict(pairs.dtypes)[id_a]
+                return pairs.sparkSession.createDataFrame(
+                    rows, f"node {node_type}, cluster_id {node_type}"
+                )
+        # distributed fallback reuses the persisted/deduped edges (both
+        # algorithms symmetrize internally, so one direction suffices)
+        try:
+            return connected_components(edges, "src", "dst", max_iter=shallow_rounds)
+        except RuntimeError:
+            return connected_components_lss(edges, "src", "dst", max_iter=max_iter)
+    finally:
+        if use_gate:
+            # both distributed paths localCheckpoint eagerly inside, so
+            # the returned DataFrame no longer depends on this cache
+            edges.unpersist()
 
 
 def connected_components_lss(
@@ -561,15 +584,23 @@ def connected_components_lss(
     run (equal-size distinct sets are equal iff one difference is
     empty) — the expensive check fires once, at the actual fixed
     point, not every round.
+
+    Node-set semantics match connected_components / the driver
+    union-find (r4 advice): the output node set is captured from the
+    UNFILTERED symmetric pair list before self-loops are dropped, so a
+    node appearing only as (a, a) is emitted as a singleton cluster
+    instead of silently vanishing from the star fixed point.
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    edges = (
+    sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .localCheckpoint()
     )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    edges = sym.filter(F.col("src") != F.col("dst"))
 
     def nbr_min(e: DataFrame) -> DataFrame:
         return e.groupBy("src").agg(
@@ -620,10 +651,15 @@ def connected_components_lss(
             f"connected_components_lss did not converge in {max_iter} rounds; "
             "raise max_iter (O(log^2 n) rounds suffice for any graph)"
         )
-    return (
+    labels = (
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
         .select(F.col("src").alias("node"), "cluster_id")
+    )
+    # nodes isolated at the fixed point (self-loop-only input) label
+    # themselves — a narrow left join against the checkpointed node set
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
     )
 
 

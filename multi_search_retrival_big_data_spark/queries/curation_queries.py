@@ -195,8 +195,8 @@ def curation_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH keyed AS (
       SELECT doc_id, lang, n_chars,
-             -ln((({_sql_v("CAST(doc_id AS VARCHAR)")}) + 0.5) / 4294967296.0)
-               / n_chars AS p
+             CAST(floor(-ln((({_sql_v("CAST(doc_id AS VARCHAR)")}) + 0.5) / 4294967296.0)
+               / n_chars * 1e12 + 0.5) AS BIGINT) AS p
       FROM documents
     ),
     top AS (
@@ -230,8 +230,8 @@ GROUP_SAMPLE_K = 12
     oracle=f"""
     WITH keyed AS (
       SELECT doc_id, lang, n_chars,
-             -ln((({_sql_v("CAST(doc_id AS VARCHAR)")}) + 0.5) / 4294967296.0)
-               / n_chars AS p
+             CAST(floor(-ln((({_sql_v("CAST(doc_id AS VARCHAR)")}) + 0.5) / 4294967296.0)
+               / n_chars * 1e12 + 0.5) AS BIGINT) AS p
       FROM documents
     ),
     ranked AS (

@@ -92,10 +92,11 @@ def test_pack_budget_bins_partition_independent(spark):
 # ----------------------------------------------------------- sampling
 
 
-def _aes_priority(doc_id: int, w: float) -> float:
+def _aes_priority(doc_id: int, w: float) -> int:
+    # the QUANTIZED key the operator ranks on (r5: floor(p·1e12+0.5))
     h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
     u = (h + 0.5) / 2**32
-    return -math.log(u) / w
+    return math.floor(-math.log(u) / w * 1e12 + 0.5)
 
 
 def test_weighted_sample_matches_python_recompute(spark):
@@ -188,6 +189,21 @@ def test_remove_boilerplate_keeps_order_and_duplicate_lines_within_doc(spark):
     # within-doc repeats count once toward df, and both copies survive
     assert out["text"] == "a\nb\na\nc"
     assert out["n_lines_kept"] == 4
+
+
+def test_remove_boilerplate_all_dropped_yields_null(spark):
+    # pinned r5 contract: text IS NULL ⟺ n_lines_kept = 0 (matching
+    # the oracle's string_agg(...) FILTER, which is NULL over an empty
+    # group) — never '' for an all-boilerplate document
+    rows = [(i, "SHARED NAV") for i in range(1, 4)] + [(4, "unique\nSHARED NAV")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r["id"]: (r["text"], r["n_lines_kept"])
+        for r in curation.remove_boilerplate_lines(df, "id", "text", 2).collect()
+    }
+    assert out[1] == (None, 0)
+    assert out[2] == (None, 0)
+    assert out[4] == ("unique", 1)
 
 
 # ----------------------------------------------------------- chunking

@@ -255,6 +255,28 @@ def test_connected_components_auto_driver_fast_path(spark):
     assert [f.name for f in out.schema.fields] == ["node", "cluster_id"]
 
 
+def test_connected_components_selfloop_only_node_all_routes(spark):
+    """r4 advice: a node appearing ONLY in a self-pair (a, a) must come
+    out of every route as a singleton cluster — driver union-find,
+    min-label propagation, and large-star/small-star must agree on the
+    node SET, not just on shared labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 9)], "id_a BIGINT, id_b BIGINT"
+    )
+    want = {1: 1, 2: 1, 3: 1, 9: 9}
+    routes = {
+        "driver": dedup.connected_components_auto(pairs),
+        "auto-distributed": dedup.connected_components_auto(
+            pairs, driver_max_edges=0
+        ),
+        "propagation": dedup.connected_components(pairs),
+        "lss": dedup.connected_components_lss(pairs),
+    }
+    for name, df in routes.items():
+        got = {r["node"]: r["cluster_id"] for r in df.collect()}
+        assert got == want, f"route {name}: {got}"
+
+
 def test_lsh_delta_candidate_pairs_equals_restricted_full(spark):
     """Delta-probe candidates == full self-join candidates restricted
     to pairs touching the delta (the incremental-dedup equivalence)."""
