@@ -34,16 +34,26 @@ def pagerank(
     damping: float = PAGERANK_DAMPING,
     src: str = "src",
     dst: str = "dst",
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list → (node,
     rank) after exactly `iters` rounds from the uniform start:
 
-        r_{t+1}(v) = (1−d)/N + d · Σ_{u→v} r_t(u) / outdeg(u)
+        r_{t+1}(v) = (1−d)/N + d · (Σ_{u→v} r_t(u) / outdeg(u) [+ D_t/N])
 
-    Simple variant: dangling nodes (no out-edges) leak their damped
-    mass rather than redistributing it — the behavior the oracle
-    mirrors; production crawls usually drop dangling hosts or add a
-    sink node explicitly before calling this.
+    `redistribute_dangling=False` (simple variant): dangling nodes (no
+    out-edges) leak their damped mass rather than redistributing it —
+    production crawls using this form drop dangling hosts or add a
+    sink node explicitly before calling.
+
+    `redistribute_dangling=True` (production host-rank form): each
+    round the dangling mass D_t = Σ_{outdeg(u)=0} r_t(u) is summed
+    with the same quantized-DECIMAL trick (so D_t is an exact,
+    order-independent double) and every node receives d·D_t/N on top
+    of its in-link contributions — total rank mass is conserved at
+    1 every round. Cost: ONE extra 1-row aggregate over the (tiny,
+    checkpointed) dangling-node slice of the rank table per round,
+    broadcast back as a scalar — no extra full-table shuffle.
 
     Scale shape: per round ONE equi-join of the edge list against the
     N-row rank table and ONE map-side-combined aggregate on the target
@@ -66,19 +76,29 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint()
     ewd = e.join(outdeg, "src").localCheckpoint()  # (src, dst, deg), built once
+    dangling = None
+    if redistribute_dangling:
+        dangling = nodes.join(
+            outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).localCheckpoint()
     for _ in range(iters):
         contrib = (
             ewd.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(dsum(F.col("rank") / F.col("deg"), scale=PAGERANK_SUM_SCALE).alias("c"))
         )
+        gain = F.coalesce("c", F.lit(0.0))
+        joined = nodes.join(contrib, "node", "left")
+        if dangling is not None:
+            dmass = dangling.join(ranks, "node").agg(
+                dsum(F.col("rank"), scale=PAGERANK_SUM_SCALE).alias("__dm")
+            )
+            joined = joined.crossJoin(F.broadcast(dmass))
+            gain = gain + F.coalesce("__dm", F.lit(0.0)) / F.lit(float(n_nodes))
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
+            joined.select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (F.lit(base) + F.lit(damping) * gain).alias("rank"),
             )
             .localCheckpoint()
         )

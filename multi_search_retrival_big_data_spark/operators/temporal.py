@@ -114,7 +114,14 @@ def temporal_neighborhood(
     previous ones (mode=2), excluding the anchor itself
     (search_utils.py:151-158). Equi-join on keys + bounded BETWEEN on
     seq; duplicates collapse via distinct on the target id, matching
-    the reference's `sorted(set(...))` at :161."""
+    the reference's `sorted(set(...))` at :161.
+
+    Window-size note: the reference's `range(start, end)` at :155 is
+    END-EXCLUSIVE, so its literal mode-1 window is shot+1..shot+R-1
+    (R-1 shots) and mode-2 is shot-R..shot-2. This operator pins the
+    documented intent instead — `range_filter=R` means R neighboring
+    shots, symmetric in both modes; pass `range_filter=R-1` (mode 1)
+    for bug-compatible output."""
     a = anchors.select(*[F.col(k) for k in keys], F.col(seq_col).alias("__aseq"))
     if mode == 1:
         cond = (F.col(seq_col) > F.col("__aseq")) & (

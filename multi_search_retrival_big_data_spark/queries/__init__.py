@@ -68,51 +68,45 @@ _MODULES = [
 ]
 
 # The driver records a CORRECTNESS row for (at most) the first 50
-# registry entries per round. Rounds 1-3 proved all 119 then-registered
-# entries, so round-4 additions (never driver-checked) go FIRST; the
-# remainder keeps module registration order (all driver-green in
-# CORRECTNESS_r01/r02/r03 and re-proven by the judge's r3 full gate).
-_PRIORITY = [
-    # round-4 additions (new, never driver-checked)
-    "curation_pii_redaction",
-    "curation_pack_bins",
-    "curation_weighted_sample",
-    "corpus_upsert_merge",
-    "curation_mixture_interleave",
-    "source_orc_roundtrip",
-    "bucketed_join_zero_shuffle",
-    "sketch_binned_quantiles",
-    "dedup_delta_batch_pairs",
-    "index_incremental_ivf_parity",
-    "curation_line_boilerplate_removal",
-    "curation_chunk_documents",
-    "sink_compacted_parquet",
-    "pipeline_curation_end_to_end",
-    "ann_pq_filtered_topk",
-    "stream_upsert_latest_parity",
-    "join_runtime_bloom_filter",
-    "graph_source_pagerank",
-    "dedup_lsh_recall_audit",
-    "monitor_token_drift",
-    "curation_weighted_sample_per_lang",
-    "profile_corr_chars_tokens",
-    "events_top3_per_user",
-    "dedup_lsh_capped_recall_audit",
-    "speech_asr_bm25_search",
-    "multimodal_resize",
-    "ocr_tfidf_search",
-    "multimodal_tag_freqs",
-    "multimodal_color_grid",
-    "corpus_embedding_build",
-    "multimodal_video_probe",
-    "multimodal_shot_detection",
-    "multimodal_vad_segments",
-    "multimodal_asr_transcripts",
-    "dedup_minhash_lsh_capped",
-    "dedup_cluster_components_capped",
-    "dedup_lsh_bucket_stats",
-    "index_incremental_stream_latedata_parity",
-]
+# registry entries per round, so ordering IS the proof-freshness
+# policy. Rotation rule (r4 verdict item 1): never-driver-proven
+# queries (new this round, or rows that ever failed) go FIRST, then
+# everything else ordered by OLDEST driver proof first — each round
+# re-certifies the ~50 stalest entries, so no query's external proof
+# ages more than ~⌈N/50⌉ rounds. The proof ledger is read from the
+# committed CORRECTNESS_r*.json files at the repo root; ties keep
+# module registration order.
+
+
+def _last_proof_round() -> dict[str, int]:
+    """name → latest round whose driver row PASSED (rows/schema/hash
+    all true, or the rows-only check for no-oracle entries). Failed or
+    errored rows do not count as proof — they re-prioritize to the
+    front like new queries."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    last: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(p.rsplit("_r", 1)[-1].split(".")[0])
+            with open(p) as f:
+                data = json.load(f)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            if not row.get("rows_match"):
+                continue
+            if row.get("hash_match") is False or row.get("schema_match") is False:
+                continue
+            last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def load_registry() -> dict[str, QueryDef]:
@@ -123,6 +117,7 @@ def load_registry() -> dict[str, QueryDef]:
             # allow partial builds while modules are still being added
             if mod.rsplit(".", 1)[-1] not in str(e):
                 raise
-    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
-    ordered.update({n: qd for n, qd in REGISTRY.items() if n not in ordered})
-    return ordered
+    last = _last_proof_round()
+    names = list(REGISTRY)
+    order = sorted(range(len(names)), key=lambda i: (last.get(names[i], 0), i))
+    return {names[i]: REGISTRY[names[i]] for i in order}

@@ -696,6 +696,84 @@ def ann_pq_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("r")
 
 
+_PQF_SELS = (("mod03", 3), ("mod10", 10))
+
+
+@query(
+    "ann_pq_filtered_recall_grid",
+    oracle=f"""
+    WITH {_pq_ctes()},
+    {",".join(
+        f'''
+    alw_{s} AS (SELECT vec_id FROM embeddings WHERE label % {m} = 0),
+    fadc_{s} AS MATERIALIZED (
+      SELECT a.vec_id,
+             row_number() OVER (ORDER BY a.approx_dist ASC, a.vec_id ASC) AS rn
+      FROM adc a JOIN alw_{s} w ON w.vec_id = a.vec_id
+    ),
+    fex_{s} AS MATERIALIZED (
+      SELECT e.vec_id FROM embeddings e JOIN alw_{s} w ON w.vec_id = e.vec_id
+      ORDER BY list_distance({_V}, {sql_vec(QUERY_VEC)}) ASC, e.vec_id ASC
+      LIMIT {_PQ_RECALL_K}
+    )'''
+        for s, m in _PQF_SELS
+    )}
+    {" UNION ALL ".join(
+        f'''SELECT '{s}' AS sel, {r} AS r, {_PQ_RECALL_K} AS k,
+               (SELECT count(*) FROM fadc_{s} a JOIN fex_{s} x ON a.vec_id = x.vec_id
+                WHERE a.rn <= {r}) AS hits,
+               (SELECT count(*) FROM fadc_{s} a JOIN fex_{s} x ON a.vec_id = x.vec_id
+                WHERE a.rn <= {r}) / CAST({_PQ_RECALL_K} AS DOUBLE) AS recall'''
+        for s, _m in _PQF_SELS
+        for r in _PQ_GRID_R
+    )}
+    ORDER BY sel, r
+    """,
+)
+def ann_pq_filtered_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall governance for FILTERED vector search — the
+    selectivity × shortlist grid ann_pq_filtered_topk lacks: for each
+    metadata predicate (label % 3 / % 10, ~33% / ~10% selective) and
+    shortlist size R, how many of the exact filtered top-{k} survive
+    in the pre-filter ADC top-R. Filtered ANN quietly loses recall at
+    scale exactly here (a fixed R covers a shrinking fraction of the
+    allowed set as predicates tighten), so the rollout gate must
+    measure the interaction, not the unfiltered grid. Same plan shape
+    per cell as ann_pq_filtered_topk: allowed-id semi-join BEFORE the
+    ADC scan, then the exact filtered scan as ground truth."""
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    codes = index_store.pq_codes(spark, sf_dir)
+    out = None
+    for sel, mod in _PQF_SELS:
+        allowed = emb.filter(F.col("label") % mod == 0).select("vec_id")
+        exact = (
+            emb.join(allowed, "vec_id", "left_semi")
+            .select("vec_id", l2_dist("embedding", lit_vec(QUERY_VEC)).alias("__d"))
+            .orderBy(F.asc("__d"), F.asc("vec_id"))
+            .limit(_PQ_RECALL_K)
+            .select("vec_id")
+        )
+        codes_f = codes.join(allowed, "vec_id", "left_semi")
+        for r in _PQ_GRID_R:
+            cand = ann.ann_pq_adc_topk(
+                emb, codes_f, QUERY_VEC, k=r, round_to=6
+            ).select("vec_id")
+            hits = cand.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
+            row = hits.select(
+                F.lit(sel).alias("sel"),
+                F.lit(r).alias("r"),
+                F.lit(_PQ_RECALL_K).alias("k"),
+                F.col("hits"),
+                (F.col("hits").cast("double") / F.lit(float(_PQ_RECALL_K))).alias(
+                    "recall"
+                ),
+            )
+            out = row if out is None else out.union(row)
+    return out.orderBy("sel", "r")
+
+
 # --- Two-stage PQ: ADC shortlist → exact re-rank ---------------------------
 
 _PQ_RERANK_K = 50

@@ -853,6 +853,117 @@ def graph_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_redistributed_oracle() -> str:
+    """Unrolled power-iteration CTEs with per-round dangling-mass
+    redistribution over a DIRECTED low→high source graph (so dangling
+    nodes genuinely exist: any source that is never the lexicographic
+    minimum of a pair has no out-edges). Mirrors
+    graph.pagerank(redistribute_dangling=True): the dangling sum is
+    quantized-exact per round, so both engines' ranks stay
+    bit-identical."""
+    from multi_search_retrival_big_data_spark.operators.graph import (
+        PAGERANK_SUM_SCALE,
+    )
+    from multi_search_retrival_big_data_spark.queries.common import (
+        sql_det_round as _r,
+    )
+    from multi_search_retrival_big_data_spark.queries.common import sql_dsum
+
+    parts = [
+        """pedges AS MATERIALIZED (
+      SELECT DISTINCT least(da.source, db.source) AS src,
+             greatest(da.source, db.source) AS dst
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.id_a
+      JOIN documents db ON db.doc_id = c.id_b
+      WHERE da.source <> db.source
+    )""",
+        "o AS MATERIALIZED (SELECT src, count(*) AS deg FROM pedges GROUP BY src)",
+        """nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM pedges
+        UNION ALL SELECT dst AS node FROM pedges)
+    )""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)",
+    ]
+    for t in range(PR_ITERS):
+        parts.append(
+            f"""c{t} AS (
+      SELECT e.dst AS node,
+             {_pr_dsum(PAGERANK_SUM_SCALE)} AS c
+      FROM pedges e
+      JOIN r{t} r ON r.node = e.src
+      JOIN o ON o.src = e.src
+      GROUP BY e.dst
+    )"""
+        )
+        parts.append(
+            f"""d{t} AS (
+      SELECT {sql_dsum("r.rank", PAGERANK_SUM_SCALE)} AS dm
+      FROM r{t} r
+      WHERE r.node NOT IN (SELECT src FROM pedges)
+    )"""
+        )
+        parts.append(
+            f"""r{t + 1} AS (
+      SELECT n.node,
+             (1.0 - {PR_DAMPING}) / nn.n
+               + {PR_DAMPING} * (COALESCE(c.c, 0.0) + COALESCE(d.dm, 0.0) / nn.n) AS rank
+      FROM nodes n CROSS JOIN nn CROSS JOIN d{t} d
+      LEFT JOIN c{t} c ON c.node = n.node
+    )"""
+        )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {_minhash_cand_ctes()},
+    {joined}
+    SELECT node AS source, {_r(f"r{PR_ITERS}.rank", 9)} AS rank
+    FROM r{PR_ITERS}
+    ORDER BY rank DESC, source
+    """
+
+
+@query(
+    "graph_source_pagerank_redistributed",
+    oracle=_pagerank_redistributed_oracle(),
+)
+def graph_source_pagerank_redistributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with per-round dangling-mass redistribution — the
+    production host-rank form (total rank mass conserved at 1.0 every
+    round), next to graph_source_pagerank's documented simple/leaky
+    variant. The graph is DIRECTED low→high here so dangling sources
+    exist by construction; per round the extra cost over the simple
+    variant is one 1-row quantized aggregate over the dangling slice
+    of the rank table, broadcast back as a scalar."""
+    from multi_search_retrival_big_data_spark import index_store
+    from multi_search_retrival_big_data_spark.operators import graph
+
+    docs = tables.load(spark, "documents", sf_dir)
+    sig = index_store.minhash_sigs(spark, sf_dir)
+    cand = dedup.lsh_candidate_pairs(
+        dedup.lsh_buckets(sig, "doc_id"), "doc_id"
+    )
+    src_of = docs.select("doc_id", "source")
+    pairs = (
+        cand.join(src_of.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src_of.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    edges = pairs.select(
+        F.least("sa", "sb").alias("src"), F.greatest("sa", "sb").alias("dst")
+    ).distinct()
+    ranks = graph.pagerank(
+        edges, iters=PR_ITERS, damping=PR_DAMPING, redistribute_dangling=True
+    )
+    return (
+        ranks.select(
+            F.col("node").alias("source"), det_round(F.col("rank"), 9).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("source"))
+    )
+
+
 @query(
     "join_runtime_bloom_filter",
     oracle="""

@@ -145,3 +145,77 @@ def sink_partitioned_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFra
     sources.write_partitioned_parquet(docs, path, ["lang"])
     back = sources.read_parquet(spark, path).filter(F.col("lang").isin("fr", "zh"))
     return _roundtrip_agg(back)
+
+
+@query(
+    "index_gc_retention",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('refreshed_generation_kept', 1),
+      ('serving_generation_kept', 1),
+      ('stale_generation_dropped', 1),
+      ('stale_location_removed', 1)
+    ) t(probe, ok) ORDER BY probe
+    """,
+)
+def index_gc_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-store janitor retention proof (the production failure this
+    guards is dropping a LIVE generation): a throwaway corpus is
+    fitted (generation A), then REFRESHED in place — same path, bumped
+    snapshot stats, so _corpus_fingerprint changes exactly like an
+    Iceberg/Delta snapshot id — and fitted again (generation B).
+    gc_stale_index_tables with the refreshed corpus + every testdata
+    tier listed live must drop A (catalog AND warehouse location) while
+    keeping B and the serving corpus' generation. Each probe is a
+    hash-checked row, so a janitor that over- or under-collects fails
+    the oracle gate, not just a unit test."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    gcd = tempfile.mkdtemp(prefix="msrbd_gcq_")
+    atexit.register(shutil.rmtree, gcd, ignore_errors=True)
+    corpus = os.path.join(gcd, "documents.parquet")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, corpus)
+    else:
+        shutil.copy(src, corpus)
+
+    index_store.tfidf_postings(spark, gcd)  # generation A
+    stale_name = index_store._table_name("tfidf", gcd, "11", "documents")
+    # simulated corpus refresh: bump the snapshot stats in place
+    for root, _dirs, files in os.walk(corpus):
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_001))
+    if os.path.isfile(corpus):
+        st = os.stat(corpus)
+        os.utime(corpus, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_001))
+    index_store.tfidf_postings(spark, gcd)  # generation B
+    fresh_name = index_store._table_name("tfidf", gcd, "11", "documents")
+    index_store.tfidf_postings(spark, sf_dir)  # serving generation
+    serving_name = index_store._table_name("tfidf", sf_dir, "11", "documents")
+    assert stale_name != fresh_name, "refresh did not change the fingerprint"
+
+    import glob as _glob
+
+    live = sorted(set([sf_dir, gcd] + _glob.glob("/root/testdata/sf*")))
+    dropped = index_store.gc_stale_index_tables(spark, live)
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    import urllib.parse as _up
+
+    base = _up.unquote(_up.urlparse(wh).path) or wh
+    probes = {
+        "stale_generation_dropped": stale_name in dropped
+        and not spark.catalog.tableExists(stale_name),
+        "refreshed_generation_kept": fresh_name not in dropped
+        and spark.catalog.tableExists(fresh_name),
+        "serving_generation_kept": serving_name not in dropped
+        and spark.catalog.tableExists(serving_name),
+        "stale_location_removed": not os.path.exists(
+            os.path.join(base, stale_name)
+        ),
+    }
+    rows = sorted((k, int(v)) for k, v in probes.items())
+    return spark.createDataFrame(rows, "probe STRING, ok INT")

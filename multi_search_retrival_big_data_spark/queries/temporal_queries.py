@@ -197,6 +197,60 @@ def temporal_requery_next_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temporal_requery_prev_shots",
+    oracle=f"""
+    WITH {_SEQ},
+    anchors AS (
+      SELECT * FROM seqd WHERE event_type = 'view'
+      ORDER BY value DESC, event_id LIMIT 20
+    ),
+    cands AS (
+      SELECT DISTINCT s.user_id, s.event_id, s.value
+      FROM seqd s JOIN anchors a
+        ON s.user_id = a.user_id AND s.seq < a.seq AND s.seq >= a.seq - 3
+    ),
+    prevb AS (SELECT user_id, MAX(value) AS prev_best FROM anchors GROUP BY 1),
+    curb AS (SELECT user_id, MAX(value) AS cur_best FROM cands GROUP BY 1)
+    SELECT c.user_id, c.cur_best, p.prev_best,
+           c.cur_best + p.prev_best AS combined
+    FROM curb c JOIN prevb p USING(user_id)
+    ORDER BY combined DESC, user_id
+    """,
+)
+def temporal_requery_prev_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 mode 2 — the backwards temporal re-query
+    (search_utils.py:151-158, `start, end = shot-R, shot-1`): anchors
+    expand to the PREVIOUS R=3 positions in their group's timeline;
+    the group's final rank is current best + previous best (:216-220),
+    emitted here with its two addends so the oracle pins the combined
+    rank AND its decomposition. Same plan shape as the mode-1 query:
+    one bounded range condition riding the group equi-join, then two
+    bounded-cardinality aggregates."""
+    ev = tables.load(spark, "events", sf_dir)
+    seqd = temporal.sequence_rank(ev, ["user_id"], ["ts", "event_id"])
+    anchors = (
+        seqd.filter(F.col("event_type") == "view")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+    )
+    cands = temporal.temporal_neighborhood(
+        anchors.select("user_id", "seq"),
+        seqd.select("user_id", "event_id", "value", "seq"),
+        keys=["user_id"], mode=2, range_filter=3,
+    ).select("user_id", "event_id", "value").distinct()
+    prevb = anchors.groupBy("user_id").agg(F.max("value").alias("prev_best"))
+    curb = cands.groupBy("user_id").agg(F.max("value").alias("cur_best"))
+    return (
+        curb.join(prevb, "user_id")
+        .select(
+            "user_id", "cur_best", "prev_best",
+            (F.col("cur_best") + F.col("prev_best")).alias("combined"),
+        )
+        .orderBy(F.desc("combined"), F.asc("user_id"))
+    )
+
+
+@query(
     "neighborhood_browse",
     oracle=f"""
     WITH {_SEQ},
@@ -286,6 +340,172 @@ def endpoint_textsearch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multi_search_retrival_big_data_spark.api import SearchEngine
 
     return SearchEngine(spark, sf_dir).text_search(_ENDPOINT_TEXT, k=100)
+
+
+# --- /panel facade: canned drawn-panel request, compiled at import
+# time by the SAME driver-side compiler the facade uses (Q20,
+# functions/visual.parse_panel — reference utils/parse_frontend.py:3-52)
+_PANEL_REQUEST = {
+    "dragObject": [
+        {"type": "car",
+         "position": {"xTop": 0.1, "yTop": 0.1, "xBottom": 0.45, "yBottom": 0.4}},
+        {"type": "red",
+         "position": {"xTop": 0.5, "yTop": 0.55, "xBottom": 0.9, "yBottom": 0.95}},
+    ],
+    "tags": ["fast", "join", "window"],
+    "amount": "merge, scan",
+}
+
+
+def _panel_qterms() -> dict[str, list[tuple[str, int]]]:
+    from multi_search_retrival_big_data_spark.functions import visual
+
+    channels = visual.parse_panel(_PANEL_REQUEST)
+    return {
+        ch: sorted({t: toks.count(t) for t in set(toks)}.items())
+        for ch, toks in channels.items()
+        if toks
+    }
+
+
+def _panel_oracle(k: int = 50) -> str:
+    """Four per-channel TF-IDF CTE chains over the COMPILED panel
+    tokens (bbox/color channels match no corpus term and contribute
+    empty top-k's on both engines — exactly like the Spark plan),
+    min-max fused, grouped by source."""
+    qterms = _panel_qterms()
+    prefixes = {ch: f"{ch[:2]}_" for ch in sorted(qterms)}
+    chains = ",\n    ".join(
+        tfidf_cte(p, (1, 1), qterms[ch]).lstrip().removeprefix(",").strip()
+        for ch, p in prefixes.items()
+    )
+    tops = ",\n    ".join(
+        f"{p}top AS (SELECT doc_id, score FROM {p}topk ORDER BY score DESC, doc_id LIMIT {k})"
+        for p in prefixes.values()
+    )
+    norms = ",\n    ".join(
+        f"""{p}mm AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM {p}top),
+    {p}nrm AS (
+      SELECT doc_id, (score - mm.mn) / (mm.mx - mm.mn + 1e-6) AS score
+      FROM {p}top CROSS JOIN {p}mm mm
+    )"""
+        for p in prefixes.values()
+    )
+    union = " UNION ALL ".join(f"SELECT * FROM {p}nrm" for p in prefixes.values())
+    return f"""
+    WITH {chains},
+    {tops},
+    {norms},
+    fused AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(FLOOR(score * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS s
+      FROM ({union}) u GROUP BY 1
+    ),
+    ftop AS (
+      SELECT doc_id, CAST(FLOOR(s * 1e6 + 0.5) AS DOUBLE) / 1e6 AS score
+      FROM fused ORDER BY score DESC, doc_id LIMIT {k}
+    ),
+    hyd AS (SELECT f.doc_id, f.score, d.source FROM ftop f JOIN documents d USING(doc_id)),
+    grouped AS (
+      SELECT source, MAX(score) AS best_score, COUNT(*) AS hit_count FROM hyd GROUP BY source
+    ),
+    best AS (
+      SELECT h.source, MIN(h.doc_id) AS best_id
+      FROM hyd h JOIN grouped g ON h.source = g.source AND h.score = g.best_score
+      GROUP BY h.source
+    )
+    SELECT g.source, g.best_score, g.hit_count, b.best_id
+    FROM grouped g JOIN best b USING(source)
+    ORDER BY g.best_score DESC, g.source
+    """
+
+
+@query("endpoint_panel_search", oracle=_panel_oracle())
+def endpoint_panel_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full /panel endpoint pipeline through the facade
+    (api.SearchEngine.panel_search, reference app.py:368-406): a canned
+    dragObject+tags+amount request compiled by the Q20 grid encoder
+    (functions/visual.parse_panel — the last previously pytest-only §2
+    row, now inside an oracle-checked plan), term-counted per channel,
+    scored by the persisted 4-channel TF-IDF index in ONE linear plan,
+    min-max fused (Q8), hydrated and grouped by source (Q18/Q15). The
+    bbox/color channels compile real grid-cell tokens that match no
+    corpus term — they contribute empty channels identically on both
+    engines, proving the empty-channel skip the reference applies to
+    None channels (faiss_processing.py:241-258)."""
+    from multi_search_retrival_big_data_spark.api import SearchEngine
+
+    return SearchEngine(spark, sf_dir).panel_search(_PANEL_REQUEST, k=50, group=True)
+
+
+_FEEDBACK_VOTES = ([3, 7], [11])  # (positive ids, negative ids)
+
+
+@query(
+    "endpoint_feedback_rerank",
+    oracle=f"""
+    WITH cand AS (
+      SELECT vec_id, {sql_det_round(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), {sql_vec(_ENDPOINT_QV)}) /"
+        f"(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *"
+        f" sqrt(list_dot_product({sql_vec(_ENDPOINT_QV)}, {sql_vec(_ENDPOINT_QV)})))"
+    )} AS score
+      FROM embeddings ORDER BY score DESC, vec_id LIMIT 20
+    ),
+    votes(vid, sign) AS (VALUES {", ".join(
+        [f"({i}, 1.0)" for i in _FEEDBACK_VOTES[0]]
+        + [f"({i}, -1.0)" for i in _FEEDBACK_VOTES[1]]
+    )}),
+    kept AS (
+      SELECT c.vec_id, c.score FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vid FROM votes WHERE sign < 0)
+    ),
+    pairs AS (
+      SELECT k.vec_id, k.score AS prev_score,
+             v.sign * (list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(ev.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(ev.embedding AS DOUBLE[]), CAST(ev.embedding AS DOUBLE[]))))) AS delta
+      FROM kept k
+      JOIN embeddings e ON e.vec_id = k.vec_id
+      CROSS JOIN votes v
+      JOIN embeddings ev ON ev.vec_id = v.vid
+    ),
+    rr AS (
+      SELECT vec_id,
+             {sql_det_round("prev_score + CAST(SUM(CAST(FLOOR(delta * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12")} AS score
+      FROM pairs GROUP BY vec_id, prev_score
+      ORDER BY score DESC, vec_id LIMIT 10
+    ),
+    hyd AS (SELECT r.vec_id, r.score, e.label FROM rr r JOIN embeddings e USING(vec_id)),
+    grouped AS (
+      SELECT label, MAX(score) AS best_score, COUNT(*) AS hit_count FROM hyd GROUP BY label
+    ),
+    best AS (
+      SELECT h.label, MIN(h.vec_id) AS best_id
+      FROM hyd h JOIN grouped g ON h.label = g.label AND h.score = g.best_score
+      GROUP BY h.label
+    )
+    SELECT g.label, g.best_score, g.hit_count, b.best_id
+    FROM grouped g JOIN best b USING(label)
+    ORDER BY g.best_score DESC, g.label
+    """,
+)
+def endpoint_feedback_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full /feedback endpoint pipeline through the facade
+    (reference app.py:543-556: reranking → group_result_by_video →
+    enrich): a previous /textsearch result (ungrouped top-20 through
+    the Arrow scorer) re-ranked by Rocchio relevance feedback
+    (Q3, SearchEngine.feedback) with canned up/down votes, then
+    hydrated and grouped by parent label (Q18/Q15) exactly like the
+    serving path."""
+    from multi_search_retrival_big_data_spark.api import SearchEngine
+    from multi_search_retrival_big_data_spark.operators import grouping as _grouping
+
+    eng = SearchEngine(spark, sf_dir)
+    prev = eng.text_search(_ENDPOINT_TEXT, k=20, group=False)
+    reranked = eng.feedback(prev, *_FEEDBACK_VOTES, k=10)
+    hyd = _grouping.hydrate(reranked, eng.emb, "vec_id", ["label"])
+    return _grouping.group_hits(hyd, ["label"], "vec_id")
 
 
 @query(

@@ -35,6 +35,7 @@ SCALAR_BROADCAST_OK = {
     "sparse_multichannel_context",
     "dense_knn_by_id",       # 1-row reconstructed query vector
     "dense_rocchio_rerank",  # tiny vote set cross candidates
+    "endpoint_feedback_rerank",  # same rocchio vote-set cross, behind the facade
     "group_hits_by_source",  # sparse scorer's 1-row qnorm broadcast
     "emb_near_dup_exact",    # all-pairs audit path: cross join BY DESIGN
     # (ann_ivf_topk_cosine / ann_recall_at_k no longer need an entry:
