@@ -52,6 +52,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 RUNS = 3
 
+# r4→r5: four queries drifted +0.4-0.8 s between rounds at sf0.1 —
+# small absolute, but the bench should distinguish scheduler/GC noise
+# from real cost. These are timed over more runs and their full
+# (min, med, max) spread is recorded under "drift_watch" so a drifted
+# median can be read against its own floor.
+DRIFT_RUNS = 5
+DRIFT_WATCH = [
+    "group_hits_by_source",
+    "dedup_minhash_lsh",
+    "emb_near_dup_lsh",
+    "stream_tumbling_event_counts",
+]
+
 STRESS_REPLICATION = 10
 # the 5 most expensive r2 queries (VERDICT r2 plan-audit list) + the
 # new components variant; all documents/embeddings-bound
@@ -73,6 +86,11 @@ STRESS_QUERIES = [
     # components) next to dedup_cluster_components' uncapped audit
     # path — the pair of ratios shows what the mega-bucket cap buys
     "dedup_cluster_components_capped",
+    # r5: curation operators whose windows/prefix-sums key on `lang` —
+    # exactly what a hot language key stresses (VERDICT r4 item 5)
+    "curation_pack_bins",
+    "curation_weighted_sample_per_lang",
+    "pipeline_curation_end_to_end",
 ]
 
 # queries timed on BOTH 10× corpora (uniform vs skewed) — each carries
@@ -84,6 +102,12 @@ SKEW_QUERIES = [
     "group_hits_by_source",
     "dedup_minhash_lsh_capped",
     "dedup_exact_groups",
+    # r5: lang-keyed curation windows under the ~30%-hot 'en' key —
+    # per-lang packing prefix-sum, per-lang A-ES sampling window, and
+    # the end-to-end pipeline that chains both behind the dedup stage
+    "curation_pack_bins",
+    "curation_weighted_sample_per_lang",
+    "pipeline_curation_end_to_end",
 ]
 
 # byte-identical boilerplate planted on ~2% of skew-tier rows — the
@@ -156,6 +180,11 @@ OPTIONAL_QUERIES = [
     "curation_line_boilerplate_removal",
     "pipeline_curation_end_to_end",
     "ann_pq_filtered_topk",
+    # round-5 anchors: filtered IVF serving, incremental embedding
+    # dedup (delta probe), and the /panel facade end-to-end
+    "ann_ivf_filtered_topk",
+    "emb_near_dup_delta",
+    "endpoint_panel_search",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):
@@ -276,17 +305,27 @@ def _build_skew_dir(spark, sf_dir: str, replication: int) -> str:
     return out
 
 
-def _time_queries(spark, qs, names, sf_dir: str) -> dict[str, float]:
+def _time_queries(
+    spark, qs, names, sf_dir: str, spreads: dict | None = None
+) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name]
         fn(spark, sf_dir).count()  # warm-up (also builds index tables)
+        watched = spreads is not None and name in DRIFT_WATCH
         samples = []
-        for _ in range(RUNS):
+        for _ in range(DRIFT_RUNS if watched else RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        if watched:
+            spreads[name] = {
+                "min": round(min(samples), 4),
+                "med": timings[name],
+                "max": round(max(samples), 4),
+                "runs": len(samples),
+            }
     return timings
 
 
@@ -300,7 +339,8 @@ def main() -> None:
     names = [n for n in BENCH_QUERIES if n in qs] + [
         n for n in OPTIONAL_QUERIES if n in qs
     ]
-    timings = _time_queries(spark, qs, names, sf_dir)
+    spreads: dict = {}
+    timings = _time_queries(spark, qs, names, sf_dir, spreads)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "total wall-clock over headline queries (each the median of 3 runs)",
@@ -308,6 +348,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "drift_watch": spreads,
     }
 
     stress_flag = os.environ.get("SPARK_GRAFT_STRESS", "")

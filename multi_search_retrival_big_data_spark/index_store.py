@@ -544,6 +544,103 @@ def ivf_assignments_incremental(
     return spark.table(name)
 
 
+def pq_codes_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    base_filter: str,
+    delta_filter: str,
+    m: int = ann.PQ_M,
+    ks: int = ann.PQ_KS,
+    stride: int = ann.PQ_STRIDE,
+) -> DataFrame:
+    """Incremental PQ code maintenance under a FROZEN codebook —
+    FAISS's IndexPQ train/add split as a bucketed append: the code
+    table is built from the BASE corpus slice, then the DELTA slice's
+    codes are APPENDED. Given a fixed codebook, a vector's M codes are
+    a pure function of that vector (per-sub-space argmin), so appends
+    are exact — the same math property that makes LSH bands and IVF
+    lists append-incremental (module header). The codebook is trained
+    from the base slice (that is all FAISS has at train time); the
+    guard below fails loudly if the stride-sampled training ids are
+    not fully inside the base slice, because then append ≠ rebuild by
+    construction. What appends do NOT refresh: the codebook — after
+    heavy drift the ADC recall grid (ann_pq_recall_grid) decides when
+    to retrain and re-encode. Rebuilt every call — the function exists
+    to PROVE the append path (index_incremental_pq_parity)."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    base = emb.filter(base_filter)
+    n_train_base = base.filter(
+        (base.vec_id % stride == 0) & (base.vec_id < ks * stride)
+    ).count()
+    if n_train_base != ks:
+        raise ValueError(
+            f"codebook training ids not fully inside the base slice "
+            f"({n_train_base}/{ks}); append != rebuild for such a split"
+        )
+    codebook = ann.pq_codebook(base, m=m, ks=ks, stride=stride)
+    name = _table_name("pqinc", sf_dir, f"m{m}k{ks}s{stride}", "embeddings")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _drop_stale_location(spark, name)
+    ann.write_pq_codes(
+        ann.pq_encode(base, m=m, ks=ks, stride=stride, codebook=codebook), name
+    )
+    delta_codes = ann.pq_encode(
+        emb.filter(delta_filter), m=m, ks=ks, stride=stride, codebook=codebook
+    )
+    (
+        delta_codes.write.mode("append")
+        .bucketBy(32, delta_codes.columns[0])
+        .sortBy(delta_codes.columns[0])
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+def sq8_codes_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    base_filter: str,
+    delta_filter: str,
+) -> DataFrame:
+    """Incremental SQ8 maintenance under FROZEN base-trained bounds —
+    FAISS IndexScalarQuantizer's train/add split as a bucketed append:
+    the per-dimension (vmin, vmax) model is trained ONLY on the BASE
+    corpus slice (that is all the trainer has at t0), base codes are
+    written, then the DELTA slice's codes are APPENDED. Given fixed
+    bounds, a vector's byte codes are a pure function of that vector;
+    delta values outside a dimension's trained range CLAMP to the byte
+    boundary — the same saturation FAISS applies to add()-ed drifted
+    vectors. What appends do NOT refresh: the bounds — after heavy
+    drift the recall row (ann_sq8_recall) is the retrain trigger.
+    Rebuilt every call — the function exists to PROVE the append path
+    (index_incremental_sq8_parity, whose oracle re-derives the SAME
+    base-slice bounds and encodes every vector from scratch)."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    base = emb.filter(base_filter)
+    bounds = ann.sq8_train(base)
+    name = _table_name("sq8inc", sf_dir, "d64", "embeddings")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _drop_stale_location(spark, name)
+    (
+        ann.sq8_encode(base, bounds)
+        .write.mode("overwrite")
+        .bucketBy(POSTINGS_BUCKETS, "vec_id")
+        .sortBy("vec_id")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    (
+        ann.sq8_encode(emb.filter(delta_filter), bounds)
+        .write.mode("append")
+        .bucketBy(POSTINGS_BUCKETS, "vec_id")
+        .sortBy("vec_id")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
 def lsh_bands_stream_incremental(
     spark: SparkSession,
     sf_dir: str,

@@ -370,6 +370,7 @@ def ann_ivf_topk(
     nprobe: int = IVF_NPROBE,
     round_to: int | None = None,
     assign: DataFrame | None = None,
+    subset: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN QUERY path: probe the `nprobe` centroids nearest
     the query, prune to their inverted lists, rank the cell union by
@@ -389,7 +390,16 @@ def ann_ivf_topk(
     being ranked, so the co-located layout is the serving shape.
     When omitted, assignment is computed inline (audit/self-contained
     mode — a full corpus×centroids pass per query, never the serving
-    shape)."""
+    shape).
+
+    `subset` (an allowed-id DataFrame) makes this the FILTERED IVF
+    search: the semi-join applies AFTER the cell prune and BEFORE the
+    score expression, so the plan reads nprobe/nlist of the index and
+    ranks only the allowed rows inside those cells — pre-filter
+    semantics within the probed shortlist, same placement as
+    ann_pq_filtered_topk's prune. At 100 TB the filter column belongs
+    IN the assignment table (predicate pushdown into the pruned
+    partitions, no join)."""
     emb = ensure_min_partitions(emb)
     cent = centroids(emb, id_col, vec_col, stride)
     if assign is None:
@@ -406,15 +416,21 @@ def ann_ivf_topk(
     score = cosine_sim(vec_col, q)
     if round_to is not None:
         score = det_round(score, round_to)
+    def _restrict(df: DataFrame) -> DataFrame:
+        if subset is None:
+            return df
+        allowed = subset.select(F.col(subset.columns[0]).alias(id_col))
+        return df.join(allowed, id_col, "left_semi")
+
     if vec_col in assign.columns:
         # co-located layout: rank inside the pruned partitions
-        cand = assign.join(F.broadcast(probed), "cid")
+        cand = _restrict(assign.join(F.broadcast(probed), "cid"))
         return (
             cand.select(F.col(id_col), score.alias("score"))
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k)
         )
-    cand_ids = assign.join(F.broadcast(probed), "cid").select(id_col)
+    cand_ids = _restrict(assign.join(F.broadcast(probed), "cid").select(id_col))
     return (
         emb.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), score.alias("score"))

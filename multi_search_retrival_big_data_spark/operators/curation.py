@@ -133,7 +133,12 @@ def _aes_priority_quantized(id_col: str, weight_col: str) -> Column:
     order identical integers (no raw libm doubles in the sort key).
     Range check: w ≥ 1 (the weights here are char counts) gives
     -ln(u) ≤ 32·ln 2 ≈ 22.2, so the scaled key ≤ ~2.22e13 ≪ 2^53 —
-    the double holds it exactly and floor is deterministic."""
+    the double holds it exactly and floor is deterministic.
+
+    Domain note: A-ES ranking is weight-SCALE-invariant (scaling every
+    w by c scales every priority by 1/c, preserving order), so callers
+    with tiny weights (w ≪ 1e-5 would overflow the bigint key)
+    normalize them up first — the sample distribution is unchanged."""
     h = shingle_int_value(F.col(id_col).cast("string"))
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
     p = -F.log(u) / F.col(weight_col).cast("double")
@@ -335,4 +340,84 @@ def mixture_interleave(
         .withColumn("vt", F.col("class_rank").cast("bigint") * stride_expr.cast("bigint"))
         .orderBy("vt", class_col, "class_rank")
         .limit(n)
+    )
+
+
+QUALITY_BIN_SCALE = 10_000
+
+
+def quality_quantile_filter(
+    docs: DataFrame,
+    id_col: str,
+    score_col: str,
+    group_col: str,
+    keep_frac: float,
+    bin_scale: int = QUALITY_BIN_SCALE,
+) -> DataFrame:
+    """Per-group quality-threshold filter — 'keep the top `keep_frac`
+    of documents per language by quality score' (the FineWeb/Gopher
+    curation step that follows scoring) — computed WITHOUT a
+    corpus-wide window, because the group key is a language and
+    language keys are maximally skewed (one hot 'en' partition would
+    serialize a rank()-based cut).
+
+    Shape: the score is quantized to an integer bin (floor(s·scale +
+    0.5) — the det_round integer trick, so both engines bin
+    identically), a (group, bin) histogram is aggregated with map-side
+    partial combine, the per-group threshold bin is elected on the
+    HISTOGRAM (cumulative count from the top bin down; the highest bin
+    whose cumulative count reaches ⌈frac·n⌉ — boundary-bin ties are
+    KEPT, so the kept count may exceed the target by at most one bin's
+    population), and the corpus is filtered through a broadcast join
+    against the |groups|-row threshold table. Cost at 100 TB: one
+    scan + partial agg (histogram ≤ |groups|·scale rows), a window
+    over that tiny table, one broadcast-hash filter pass. A hot group
+    adds rows to ONE histogram cell, not one shuffle partition.
+
+    Returns the SURVIVORS: (id, group, qbin, min_qbin)."""
+    qbin = F.floor(
+        F.col(score_col) * F.lit(float(bin_scale)) + F.lit(0.5)
+    ).cast("bigint")
+    binned = docs.select(
+        F.col(id_col), F.col(group_col), qbin.alias("qbin")
+    )
+    hist = binned.groupBy(group_col, "qbin").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy(group_col).orderBy(F.desc("qbin"))
+    w_all = Window.partitionBy(group_col)
+    thr = (
+        hist.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_all))
+        .withColumn("k", F.ceil(F.lit(keep_frac) * F.col("n")).cast("bigint"))
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy(group_col)
+        .agg(F.max("qbin").alias("min_qbin"))
+    )
+    return binned.join(F.broadcast(thr), group_col).filter(
+        F.col("qbin") >= F.col("min_qbin")
+    )
+
+
+N_SHARDS = 8
+
+
+def assign_shards(
+    docs: DataFrame, id_col: str, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Deterministic training-shard assignment — the 'global shuffle +
+    shard' export step every tokenizer-bound pipeline ends with: shard
+    = md5-derived-uint32(id) mod n_shards, and a row-local
+    `sort_key` (the same md5 integer) whose within-shard ascending
+    order IS the reproducible shuffle order. Both are pure functions
+    of the id, so the export is identical across retries, cluster
+    sizes, and input partitionings — the property that makes training
+    runs reproducible from the manifest alone.
+
+    At scale the writer runs `repartition(n_shards, shard)
+    .sortWithinPartitions(sort_key).write.partitionBy(shard)`: one
+    shuffle, file layout = shard layout. The md5 key equidistributes
+    ids, so shards are balanced regardless of id clustering; a hot
+    document id does not exist (ids are unique)."""
+    h = shingle_int_value(F.concat(F.lit("shard|"), F.col(id_col).cast("string")))
+    return docs.withColumn("shard", (h % F.lit(n_shards)).cast("int")).withColumn(
+        "sort_key", h
     )

@@ -692,3 +692,54 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    quality_col: str,
+    node_col: str = "node",
+) -> DataFrame:
+    """The dedup PRODUCT: per-document keep/drop decisions given a
+    duplicate-cluster table (connected_components* output) — every
+    cluster keeps exactly one canonical representative (highest
+    `quality_col`, ties to the smallest id — 'keep the longest/best
+    member', the standard crawl-dedup rule), every unclustered
+    document survives as its own singleton. Output: (id, cluster_id
+    coalesced to the own id for singletons, keep BOOLEAN) for EVERY
+    input document — the table a corpus-filter job semi-joins against.
+
+    Scale notes: the cluster-membership table holds only verified
+    near-dup members — orders of magnitude smaller than the corpus —
+    so the winner election is a partial-aggregated groupBy on that
+    small table (min of a (−quality, id) struct ≡ row_number()=1 by
+    quality DESC, id ASC, without a window), and the corpus pays
+    exactly ONE left equi-join against the annotated membership
+    (broadcastable whenever the duplicate rate is small; a hash join
+    on the id key otherwise). No corpus-wide window, no skew exposure:
+    the join key is the unique document id."""
+    members = clusters.select(F.col(node_col).alias(id_col), "cluster_id").join(
+        docs.select(F.col(id_col), F.col(quality_col)), id_col
+    )
+    winners = (
+        members.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(quality_col)).alias("nq"), F.col(id_col).alias("w")
+                )
+            ).alias("s")
+        )
+        .select("cluster_id", F.col("s.w").alias("__winner"))
+    )
+    annotated = members.join(winners, "cluster_id").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        (F.col(id_col) == F.col("__winner")).alias("keep"),
+    )
+    return docs.select(F.col(id_col)).join(annotated, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
+    )

@@ -223,12 +223,19 @@ def language_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_features(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_features(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document quality features and a composite score, all as
     rational IEEE arithmetic (no transcendentals — libm log/exp can
     differ by an ulp across engines, breaking oracle parity):
     n_chars, n_tokens, word_char_ratio, punct_ratio, digit_ratio,
-    stopword_ratio (en), quality ∈ [0,1]."""
+    stopword_ratio (en), quality ∈ [0,1]. `keep_cols` passes metadata
+    columns (e.g. lang) through the projection so downstream grouped
+    consumers don't pay a corpus self-join to get them back."""
     t = F.col(text_col)
     toks = tokenize(t)
     en = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
@@ -250,6 +257,7 @@ def quality_features(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ) / F.lit(3.0)
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_chars.cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
         (word_chars / nz).alias("word_char_ratio"),

@@ -147,6 +147,68 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_near_dup_delta",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, {_V} AS v, {_sig_sql(_V)} AS s FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, CAST(b AS INTEGER) AS band,
+             substring(s, CAST(b AS INTEGER) * {_ROWS} + 1, {_ROWS}) AS bval
+      FROM sig, unnest(range(0, {ann.ANN_BANDS})) AS t(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+             greatest(a.vec_id, b.vec_id) AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bval = b.bval
+                   AND a.vec_id <> b.vec_id
+      WHERE a.vec_id % 5 = 0
+    ),
+    pv AS (
+      SELECT p.id_a, p.id_b,
+             CAST(ea.embedding AS DOUBLE[]) AS va,
+             CAST(eb.embedding AS DOUBLE[]) AS vb
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.id_a
+      JOIN embeddings eb ON eb.vec_id = p.id_b
+    )
+    {_near_dup_tail("pv", COSINE_DUP_THRESHOLD)}
+    """,
+)
+def emb_near_dup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dup mining: a delta batch (vec_id %
+    5 = 0 plays the newly-ingested vectors) probes the persisted
+    (band, bval)-partitioned banding table instead of re-running the
+    corpus band self-join — the embedding sibling of
+    dedup_delta_batch_pairs. Cost is O(|delta| × band collision
+    rate) reads at the delta's partition keys; candidates with ≥1
+    delta member are then exact-cosine verified. The oracle derives
+    the SAME delta-touching pair set from a full banding, proving the
+    probe ≡ full-self-join-restricted equivalence."""
+    from multi_search_retrival_big_data_spark.functions.rounding import det_round
+    from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
+    from multi_search_retrival_big_data_spark.operators import dedup as _dedup
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    banded = index_store.emb_lsh_bands(spark, sf_dir).select(
+        "vec_id", "band", F.col("bval").alias("bucket")
+    )
+    delta_ids = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    cand = _dedup.lsh_delta_candidate_pairs(banded, delta_ids, "vec_id")
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    cos = det_round(cosine_sim("__va", "__vb"), 6)
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(COSINE_DUP_THRESHOLD))
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+    )
+
+
 _STRIDE = ann.IVF_CENTROID_STRIDE
 _NPROBE = ann.IVF_NPROBE
 
@@ -194,6 +256,54 @@ def ann_ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, "embeddings", sf_dir)
     assign = index_store.ivf_assignments(spark, sf_dir)
     return ann.ann_ivf_topk(emb, QUERY_VEC, k=50, round_to=6, assign=assign)
+
+
+@query(
+    "ann_ivf_filtered_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, {_V} AS cv FROM embeddings WHERE vec_id % {_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_l2_sql('c.cv', 'CAST(e.embedding AS DOUBLE[])')}, c.cid
+               ) AS rn
+        FROM embeddings e, cent c
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT cid FROM cent
+      ORDER BY {_l2_sql('cv', sql_vec(QUERY_VEC))}, cid
+      LIMIT {_NPROBE}
+    ),
+    cand AS (
+      SELECT a.vec_id FROM assign a JOIN probed p USING (cid)
+      WHERE a.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)
+    )
+    SELECT e.vec_id, {sql_det_round(_cos_sql(_V, sql_vec(QUERY_VEC)))} AS score
+    FROM embeddings e JOIN cand c USING (vec_id)
+    ORDER BY score DESC, e.vec_id
+    LIMIT 50
+    """,
+)
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search through the IVF index: top-k among only
+    the vectors passing a metadata predicate (label % 3 = 0), with the
+    allowed-id semi-join applied AFTER the nprobe cell prune and
+    BEFORE the exact-cosine rank — the plan still reads nprobe/nlist
+    of the cid-partitioned inverted lists, then ranks only the allowed
+    rows inside them. The IVF sibling of ann_pq_filtered_topk: every
+    ANN serving path here has a filtered mode, because a vector store
+    that post-filters its top-k starves under selective predicates."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    assign = index_store.ivf_assignments(spark, sf_dir)
+    allowed = emb.filter(F.col("label") % 3 == 0).select("vec_id")
+    return ann.ann_ivf_topk(
+        emb, QUERY_VEC, k=50, round_to=6, assign=assign, subset=allowed
+    )
 
 
 _RECALL_K = 50
@@ -529,15 +639,15 @@ def _pq_sub(expr: str, i: int) -> str:
     return f"{expr}[{i * _PQ_DSUB + 1}:{(i + 1) * _PQ_DSUB}]"
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(stride: int = _PQ_STRIDE) -> str:
     """CTE chain: train → per-sub-space codebooks → per-sub-space
     argmin encodes → wide code table → per-sub-space query LUTs —
     mirroring ann.pq_codebook / pq_encode / ann_pq_adc_topk."""
     parts = [
         f"""train AS (
-      SELECT CAST(vec_id // {_PQ_STRIDE} AS INT) AS code, {_V} AS v
+      SELECT CAST(vec_id // {stride} AS INT) AS code, {_V} AS v
       FROM embeddings
-      WHERE vec_id % {_PQ_STRIDE} = 0 AND vec_id < {_PQ_KS * _PQ_STRIDE}
+      WHERE vec_id % {stride} = 0 AND vec_id < {_PQ_KS * stride}
     )"""
     ]
     for i in range(_PQ_M):
@@ -694,6 +804,53 @@ def ann_pq_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in _PQ_GRID_R[1:]:
         out = out.union(cfg_row(r))
     return out.orderBy("r")
+
+
+_PQ_MIX_SQL = " + ".join(f"{2 * i + 1} * c{i}" for i in range(1, _PQ_M))
+# incremental-parity stride: training ids {0,16,...,240} must sit
+# inside the 60% base slice of the 500-row driver corpus (the guard in
+# index_store.pq_codes_incremental enforces exactly this precondition)
+_PQ_INC_STRIDE = 16
+
+
+@query(
+    "index_incremental_pq_parity",
+    oracle=f"""
+    WITH {_pq_ctes(stride=_PQ_INC_STRIDE)}
+    SELECT c0, count(*) AS n_vecs,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+           CAST(SUM({_PQ_MIX_SQL}) AS BIGINT) AS code_checksum
+    FROM codes GROUP BY c0 ORDER BY c0
+    """,
+)
+def index_incremental_pq_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ maintenance proof (FAISS IndexPQ train/add as a
+    bucketed append): codes built from the base corpus slice under the
+    FROZEN stride codebook, delta slices APPENDED
+    (index_store.pq_codes_incremental), then aggregated per leading
+    code with a position-weighted code checksum (weights 3,5,7,… catch
+    column swaps integer-exactly). The oracle re-derives the codebook
+    and encodes EVERY vector from scratch — a hash match proves
+    append ≡ rebuild for the code table and that the frozen codebook
+    is bit-stable. Completes the incremental family for the PQ path
+    next to LSH bands, IVF lists, and delta dedup."""
+    base_f, (d1, d2) = index_store.incremental_split_filters(spark, sf_dir)
+    t = index_store.pq_codes_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})", stride=_PQ_INC_STRIDE
+    )
+    mix = None
+    for i in range(1, _PQ_M):
+        term = F.lit(2 * i + 1) * F.col(f"c{i}")
+        mix = term if mix is None else mix + term
+    return (
+        t.groupBy("c0")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+            F.sum(mix).cast("bigint").alias("code_checksum"),
+        )
+        .orderBy("c0")
+    )
 
 
 _PQF_SELS = (("mod03", 3), ("mod10", 10))
@@ -1677,3 +1834,209 @@ def ann_pq_batch_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, codes, qdf, k=_BATCH_ADC_K, round_to=6,
         codebook=ann.pq_codebook(emb), literal_lut=True,
     )
+
+
+# --- SQ8 incremental maintenance + filtered IVF recall governance ----------
+
+_SQ8_INC_WEIGHTS = "i -> (2*i + 1) * cd[CAST(i AS INT)]"
+
+
+@query(
+    "index_incremental_sq8_parity",
+    oracle=f"""
+    WITH {KEM_CTE},
+    t1 AS (SELECT CAST(floor(max(vec_id) * 0.6) AS BIGINT) AS v FROM embeddings),
+    bnd AS (
+      SELECT CAST(t.i AS INT) AS i,
+             min(e.v[CAST(t.i AS INT)]) AS vmin,
+             max(e.v[CAST(t.i AS INT)]) AS vmax
+      FROM kem e, t1, unnest(range(1, {EMB_DIM + 1})) AS t(i)
+      WHERE e.vec_id < t1.v
+      GROUP BY 1
+    ),
+    barr AS (
+      SELECT list(vmin ORDER BY i) AS lo,
+             list(CASE WHEN vmax > vmin THEN 255.0 / (vmax - vmin) ELSE 0.0 END
+                  ORDER BY i) AS sc
+      FROM bnd
+    ),
+    codes AS MATERIALIZED (
+      SELECT e.vec_id,
+             list_transform(range(1, {EMB_DIM + 1}),
+               i -> GREATEST(0, LEAST(255,
+                      CAST(FLOOR((e.v[CAST(i AS INT)] - b.lo[CAST(i AS INT)])
+                                 * b.sc[CAST(i AS INT)] + 0.5) AS INT)))) AS cd
+      FROM kem e CROSS JOIN barr b
+    )
+    SELECT CAST(vec_id % 16 AS BIGINT) AS g, count(*) AS n_vecs,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+           CAST(SUM(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                {_SQ8_INC_WEIGHTS}))) AS BIGINT) AS code_checksum
+    FROM codes GROUP BY 1 ORDER BY g
+    """,
+)
+def index_incremental_sq8_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SQ8 maintenance proof (index_store.sq8_codes_incremental):
+    byte codes built from the base slice under FROZEN base-trained
+    per-dimension bounds, delta slices APPENDED (clamping where they
+    exceed the trained range), then aggregated with a position-weighted
+    code checksum (weights 3,5,…,2d+1 catch dimension swaps
+    integer-exactly). The oracle re-derives the SAME base-slice bounds
+    (threshold = floor(max(vec_id)·0.6), the exact
+    incremental_split_filters arithmetic) and encodes EVERY vector
+    from scratch — a hash match proves append ≡ rebuild and bounds
+    bit-stability. Completes the incremental family across all four
+    quantization paths: LSH bands, IVF lists, PQ codes, SQ8 codes."""
+    base_f, (d1, d2) = index_store.incremental_split_filters(spark, sf_dir)
+    t = index_store.sq8_codes_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})"
+    )
+    wsum = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda c, i: (F.lit(2) * i + F.lit(1)).cast("bigint") * c.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        t.select("vec_id", wsum.alias("__w"))
+        .groupBy((F.col("vec_id") % 16).cast("bigint").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+            F.sum("__w").cast("bigint").alias("code_checksum"),
+        )
+        .orderBy("g")
+    )
+
+
+_IVFF_SELS = (("mod03", 3), ("mod10", 10))
+_IVFF_NPROBE = (1, 2, 4)
+
+
+def _ivff_grid_cfg_sql(sel: str, mod: int, nprobe: int) -> str:
+    probed = (
+        f"(SELECT cid FROM cent ORDER BY {_l2_sql('cv', sql_vec(QUERY_VEC))}, cid "
+        f"LIMIT {nprobe})"
+    )
+    return f"""
+    SELECT '{sel}' AS sel, {nprobe} AS nprobe, {_RECALL_K} AS k,
+           (SELECT count(*) FROM assign a
+            JOIN {probed} p USING (cid)
+            JOIN alw_{sel} w ON w.vec_id = a.vec_id) AS candidates,
+           (SELECT count(*) FROM (
+              SELECT vec_id FROM (
+                SELECT e.vec_id, {sql_det_round(_cos_sql(_V, sql_vec(QUERY_VEC)))} AS score
+                FROM embeddings e
+                JOIN (SELECT a.vec_id FROM assign a
+                      JOIN {probed} p USING (cid)
+                      JOIN alw_{sel} w ON w.vec_id = a.vec_id) c USING (vec_id)
+                ORDER BY score DESC, e.vec_id LIMIT {_RECALL_K}) t
+              JOIN fex_{sel} USING (vec_id)) h) AS hits"""
+
+
+@query(
+    "ann_ivf_filtered_recall_grid",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, {_V} AS cv FROM embeddings WHERE vec_id % {_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_l2_sql('c.cv', 'CAST(e.embedding AS DOUBLE[])')}, c.cid
+               ) AS rn
+        FROM embeddings e, cent c
+      ) WHERE rn = 1
+    ),
+    {",".join(
+        f'''
+    alw_{s} AS (SELECT vec_id FROM embeddings WHERE label % {m} = 0),
+    fex_{s} AS MATERIALIZED (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, {sql_det_round(_cos_sql(_V, sql_vec(QUERY_VEC)))} AS score
+        FROM embeddings e JOIN alw_{s} w ON w.vec_id = e.vec_id
+        ORDER BY score DESC, e.vec_id LIMIT {_RECALL_K})
+    )'''
+        for s, m in _IVFF_SELS
+    )},
+    grid AS (
+      {" UNION ALL ".join(
+        _ivff_grid_cfg_sql(s, m, p) for s, m in _IVFF_SELS for p in _IVFF_NPROBE
+      )}
+    )
+    SELECT sel, nprobe, k, candidates, hits,
+           CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall
+    FROM grid ORDER BY sel, nprobe
+    """,
+)
+def ann_ivf_filtered_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall governance for FILTERED IVF search — the selectivity ×
+    nprobe grid ann_ivf_filtered_topk lacks (the IVF sibling of
+    ann_pq_filtered_recall_grid): for each metadata predicate
+    (label % 3 / % 10) and nprobe, the surviving candidate volume
+    inside the probed cells AND how many of the exact FILTERED top-k
+    the filtered cell union recovers. This is where filtered IVF
+    quietly starves at scale — a selective predicate empties exactly
+    the probed cells while the answers sit one cell further out — so
+    the rollout gate must measure the interaction, not the unfiltered
+    sweep. Same plan shape per cell as ann_ivf_filtered_topk: semi-join
+    AFTER the cell prune, BEFORE the rank."""
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+    from multi_search_retrival_big_data_spark.operators import dense
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    assign = index_store.ivf_assignments(spark, sf_dir)
+    out = None
+    for sel, mod in _IVFF_SELS:
+        allowed = emb.filter(F.col("label") % mod == 0).select("vec_id")
+        exact = (
+            dense.topk_cosine(
+                emb.join(allowed, "vec_id", "left_semi"),
+                QUERY_VEC,
+                k=_RECALL_K,
+                round_to=6,
+            ).select("vec_id")
+        )
+        for nprobe in _IVFF_NPROBE:
+            probed = (
+                ann.centroids(emb, stride=_STRIDE)
+                .select("cid", l2_dist("__cv", lit_vec(QUERY_VEC)).alias("__d"))
+                .orderBy(F.asc("__d"), F.asc("cid"))
+                .limit(nprobe)
+                .select("cid")
+            )
+            cand = assign.join(F.broadcast(probed), "cid").join(
+                allowed, "vec_id", "left_semi"
+            )
+            n_cand = cand.agg(F.count("*").alias("candidates"))
+            topk = ann.ann_ivf_topk(
+                emb,
+                QUERY_VEC,
+                k=_RECALL_K,
+                nprobe=nprobe,
+                round_to=6,
+                assign=assign,
+                subset=allowed,
+            )
+            n_hits = (
+                topk.select("vec_id")
+                .join(exact, "vec_id", "left_semi")
+                .agg(F.count("*").alias("hits"))
+            )
+            row = n_cand.crossJoin(n_hits).select(
+                F.lit(sel).alias("sel"),
+                F.lit(nprobe).alias("nprobe"),
+                F.lit(_RECALL_K).alias("k"),
+                F.col("candidates"),
+                F.col("hits"),
+                (F.col("hits").cast("double") / F.lit(float(_RECALL_K))).alias(
+                    "recall"
+                ),
+            )
+            out = row if out is None else out.union(row)
+    return out.orderBy("sel", "nprobe")

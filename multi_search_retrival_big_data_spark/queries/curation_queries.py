@@ -596,3 +596,124 @@ def curation_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, "documents", sf_dir)
     out = curation.mixture_interleave(docs, "lang", MIX_STRIDES, "doc_id", MIX_N)
     return out.select("doc_id", "lang", "class_rank", "vt")
+
+
+KEEP_FRAC = 0.3
+
+
+@query(
+    "curation_quality_quantile_filter",
+    oracle=None,  # set below — needs QUALITY_SQL from text_queries
+)
+def curation_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile cut (curation.quality_quantile_filter):
+    keep the top {KEEP_FRAC:.0%} of each language's documents by the
+    composite quality score — elected on a quantized-score HISTOGRAM
+    (floor(q·1e4+0.5) integer bins), never a corpus-wide rank window,
+    so a ~100%-hot language key costs one histogram cell, not one
+    serialized shuffle partition. The oracle recomputes the identical
+    bins, cumulative election, and boundary-tie-keeping semantics in
+    SQL (shared QUALITY_SQL expression with text_quality_scores, so
+    scorer and filter cannot drift apart)."""
+    from multi_search_retrival_big_data_spark.operators import textanalysis as ta
+
+    docs = tables.load(spark, "documents", sf_dir)
+    scored = ta.quality_features(docs, "doc_id", "text", keep_cols=("lang",))
+    out = curation.quality_quantile_filter(
+        scored, "doc_id", "quality", "lang", KEEP_FRAC
+    )
+    return out.select("doc_id", "lang", "qbin", "min_qbin").orderBy("doc_id")
+
+
+def _quality_quantile_oracle() -> str:
+    from multi_search_retrival_big_data_spark.queries.text_queries import QUALITY_SQL
+
+    return f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR(({QUALITY_SQL}) * {curation.QUALITY_BIN_SCALE} + 0.5) AS BIGINT) AS qbin
+      FROM documents
+    ),
+    hist AS (SELECT lang, qbin, count(*) AS c FROM q GROUP BY lang, qbin),
+    cum AS (
+      SELECT lang, qbin,
+             sum(c) OVER (PARTITION BY lang ORDER BY qbin DESC) AS cum,
+             sum(c) OVER (PARTITION BY lang) AS n
+      FROM hist
+    ),
+    thr AS (
+      SELECT lang, max(qbin) AS min_qbin
+      FROM cum WHERE cum >= CAST(ceil({KEEP_FRAC} * n) AS BIGINT)
+      GROUP BY lang
+    )
+    SELECT q.doc_id, q.lang, q.qbin, t.min_qbin
+    FROM q JOIN thr t USING (lang)
+    WHERE q.qbin >= t.min_qbin
+    ORDER BY q.doc_id
+    """
+
+
+@query(
+    "curation_shard_manifest",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, n_chars,
+             ({_sql_v("concat('shard|', CAST(doc_id AS VARCHAR))")}) AS h
+      FROM documents
+    ),
+    s AS (SELECT doc_id, n_chars, h % {{n_shards}} AS shard, h AS sort_key FROM a),
+    ranked AS (
+      SELECT shard, doc_id, sort_key,
+             row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS rn
+      FROM s
+    )
+    SELECT s.shard,
+           count(*) AS n_docs,
+           CAST(SUM(s.n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(s.sort_key) AS BIGINT) AS content_checksum,
+           min(r.doc_id) AS head_doc_id
+    FROM s JOIN (SELECT shard, doc_id FROM ranked WHERE rn = 1) r USING (shard)
+    GROUP BY s.shard
+    ORDER BY s.shard
+    """.replace("{n_shards}", str(curation.N_SHARDS)),
+)
+def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest (curation.assign_shards): each
+    document lands in shard = md5-uint32(doc_id) mod {curation.N_SHARDS}
+    with a reproducible within-shard order key; the manifest row per
+    shard carries doc count, byte volume, a content checksum (sum of
+    the md5 order keys — order-insensitive, append-detecting), and the
+    head document under the shard's sort order (pins the ORDER, not
+    just the set). Production writes `repartition(n, shard)
+    .sortWithinPartitions(sort_key).write.partitionBy(shard)` — one
+    shuffle — and publishes exactly this table; a training run is
+    reproducible from the manifest alone because every column is a
+    pure function of the ids."""
+    docs = tables.load(spark, "documents", sf_dir)
+    s = curation.assign_shards(docs.select("doc_id", "n_chars"), "doc_id")
+    heads = (
+        s.groupBy("shard")
+        .agg(F.min(F.struct(F.col("sort_key"), F.col("doc_id"))).alias("m"))
+        .select("shard", F.col("m.doc_id").alias("head_doc_id"))
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum("sort_key").cast("bigint").alias("content_checksum"),
+        )
+        .join(F.broadcast(heads), "shard")
+        .select(
+            "shard", "n_docs", "sum_chars", "content_checksum", "head_doc_id"
+        )
+        .orderBy("shard")
+    )
+
+
+# late-bind the quantile-filter oracle (QUALITY_SQL lives in
+# text_queries; importing it at module top would be circular-prone and
+# the registry reads oracles lazily)
+from multi_search_retrival_big_data_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_REG["curation_quality_quantile_filter"].oracle = _quality_quantile_oracle()

@@ -377,6 +377,69 @@ def dedup_cluster_components_capped(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _keep_canonical_oracle() -> str:
+    """Components closure + canonical-winner election: within a
+    cluster keep the member with the most characters (ties → smallest
+    doc_id); unclustered documents keep themselves. The window CTE is
+    MATERIALIZED (the WITH RECURSIVE inliner hazard, see
+    _minhash_cand_ctes)."""
+    return f"""
+    WITH RECURSIVE {_minhash_cand_ctes()},
+    {_verified_pairs_cte(JACCARD_THRESHOLD)},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach AS (
+      SELECT n, n AS m FROM nodes
+      UNION
+      SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+    ranked AS MATERIALIZED (
+      SELECT c.doc_id, c.cluster_id,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, c.doc_id ASC
+             ) AS rn
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT d.doc_id,
+           COALESCE(r.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(r.rn = 1, TRUE) AS keep
+    FROM documents d LEFT JOIN ranked r USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@query("dedup_keep_canonical", oracle=_keep_canonical_oracle())
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's PRODUCT table: per-document keep/drop
+    decisions (dedup.keep_canonical) over the MinHash-LSH verified
+    duplicate clusters — each cluster keeps its highest-n_chars member
+    (ties → smallest doc_id), every unclustered document survives.
+    This is the table the corpus-filter stage semi-joins against; the
+    oracle re-derives clusters via the recursive closure and elects
+    winners with an explicit row_number window. Winner election runs
+    on the membership table only (≪ corpus); the corpus pays one left
+    equi-join on the unique id — no corpus-wide window, no skew."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    docs = tables.load(spark, "documents", sf_dir)
+    pairs = dedup.minhash_near_duplicates(
+        docs,
+        "doc_id",
+        "text",
+        JACCARD_THRESHOLD,
+        shingles=index_store.doc_shingles(spark, sf_dir),
+        signatures=index_store.minhash_sigs(spark, sf_dir),
+    )
+    comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
+    return dedup.keep_canonical(docs, comp, "doc_id", "n_chars").orderBy("doc_id")
+
+
 @query(
     "dedup_lsh_bucket_stats",
     oracle=f"""

@@ -438,6 +438,82 @@ def endpoint_panel_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SearchEngine(spark, sf_dir).panel_search(_PANEL_REQUEST, k=50, group=True)
 
 
+@query(
+    "endpoint_image_search",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 42)
+    SELECT e.vec_id, {sql_det_round(
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.v) /"
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *"
+        " sqrt(list_dot_product(q.v, q.v)))"
+    )} AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 50
+    """,
+)
+def endpoint_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /imgsearch endpoint through the facade
+    (api.SearchEngine.image_search → Q2 knn_by_id; reference
+    app.py:409-427: reconstruct stored vector + search): the anchor
+    vector stays in-plan as a 1-row broadcast."""
+    from multi_search_retrival_big_data_spark.api import SearchEngine
+
+    return SearchEngine(spark, sf_dir).image_search(42, k=50)
+
+
+@query(
+    "endpoint_recommend",
+    oracle=f"""
+    SELECT vec_id, {sql_det_round(
+        f"list_distance(CAST(embedding AS DOUBLE[]), {sql_vec(_ENDPOINT_QV)})"
+    )} AS dist
+    FROM embeddings
+    ORDER BY dist ASC, vec_id
+    LIMIT 50
+    """,
+)
+def endpoint_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /getrec endpoint through the facade
+    (api.SearchEngine.recommend → Q17 vocab L2 KNN; reference
+    app.py:443-466 tag recommendation over the vocab embedding
+    table), with the deterministic encoder's query vector embedded in
+    the oracle like endpoint_textsearch_grouped."""
+    from multi_search_retrival_big_data_spark.api import SearchEngine
+
+    return SearchEngine(spark, sf_dir).recommend(_ENDPOINT_TEXT, k=50)
+
+
+@query(
+    "endpoint_related_browse",
+    oracle="""
+    WITH seq AS (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS seq
+      FROM documents
+    ),
+    anchor AS (SELECT source AS a_src, seq AS a_seq FROM seq WHERE doc_id = 77)
+    SELECT s.doc_id, s.source, s.lang, s.n_chars, s.seq
+    FROM seq s JOIN anchor a
+      ON s.source = a.a_src AND s.seq BETWEEN a.a_seq - 5 AND a.a_seq + 5
+    ORDER BY s.seq
+    """,
+)
+def endpoint_related_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /relatedimg–/getvideoshot endpoint through the facade
+    (api.SearchEngine.related → Q19 ±5 neighborhood; reference
+    app.py:499-541): the anchor row is resolved IN-PLAN by id (1-row
+    broadcast join), no driver round-trip."""
+    from multi_search_retrival_big_data_spark.api import SearchEngine
+
+    return (
+        SearchEngine(spark, sf_dir)
+        .related(77, radius=5)
+        .select("doc_id", "source", "lang", "n_chars", "seq")
+        .orderBy("seq")
+    )
+
+
 _FEEDBACK_VOTES = ([3, 7], [11])  # (positive ids, negative ids)
 
 

@@ -190,6 +190,18 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EN_LIST = ", ".join(f"'{w}'" for w in ta.STOPWORDS["en"])
 
+# The composite-quality expression (mirrors textanalysis.quality_features'
+# rational-arithmetic score exactly) — shared with the curation
+# quantile-filter oracle so the two cannot drift apart.
+QUALITY_SQL = rf"""(len(list_filter(regexp_extract_all(lower(text), '\w+'),
+                x -> list_contains([{_EN_LIST}], x)))
+              / CAST(CASE WHEN len(regexp_extract_all(lower(text), '\w+')) > 0
+                          THEN len(regexp_extract_all(lower(text), '\w+')) ELSE 1 END AS DOUBLE)
+            + (1.0 - length(regexp_replace(text, '[\w\s]', '', 'g'))
+                 / CAST(CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END AS DOUBLE))
+            + CAST(least(len(regexp_extract_all(lower(text), '\w+')), 100) AS DOUBLE) / 100.0
+           ) / 3.0"""
+
 
 @query(
     "text_quality_scores",
@@ -211,14 +223,7 @@ _EN_LIST = ", ".join(f"'{w}'" for w in ta.STOPWORDS["en"])
              / CAST(CASE WHEN len(regexp_extract_all(lower(text), '\w+')) > 0
                          THEN len(regexp_extract_all(lower(text), '\w+')) ELSE 1 END AS DOUBLE)
              AS stopword_ratio,
-           (len(list_filter(regexp_extract_all(lower(text), '\w+'),
-                x -> list_contains([{_EN_LIST}], x)))
-              / CAST(CASE WHEN len(regexp_extract_all(lower(text), '\w+')) > 0
-                          THEN len(regexp_extract_all(lower(text), '\w+')) ELSE 1 END AS DOUBLE)
-            + (1.0 - length(regexp_replace(text, '[\w\s]', '', 'g'))
-                 / CAST(CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END AS DOUBLE))
-            + CAST(least(len(regexp_extract_all(lower(text), '\w+')), 100) AS DOUBLE) / 100.0
-           ) / 3.0 AS quality
+           {QUALITY_SQL} AS quality
     FROM documents
     ORDER BY doc_id
     """,

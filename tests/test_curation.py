@@ -288,3 +288,44 @@ def test_chunk_documents_reconstruction_property(spark):
         chunks = [c for _, c in sorted(by_id[i])]
         rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
         assert rebuilt == text
+
+
+def test_quality_quantile_filter_histogram_election(spark):
+    from multi_search_retrival_big_data_spark.operators import curation
+
+    # keep_frac 0.5 (exactly representable — a fraction like 0.4 makes
+    # ceil(0.4·5) engine-identical but human-surprising: 0.4·5 is
+    # 2.0000000000000004 in IEEE, so k=3, which is why the oracle and
+    # the operator share the SAME double arithmetic rather than a
+    # "mathematical" k).
+    # group A: scores .9 .8 .7 .6 .5 -> k=ceil(2.5)=3 -> threshold bin
+    # 7000 (cum: 1, 2, 3>=3) -> keep {1,2,3}
+    # group B: boundary tie — scores .9 .5 .5 .1, k=2; cum at bin 5000
+    # = 3 >= 2 -> threshold 5000, boundary-bin ties are KEPT -> {6,7,8}
+    rows = [
+        (1, "A", 0.9), (2, "A", 0.8), (3, "A", 0.7), (4, "A", 0.6), (5, "A", 0.5),
+        (6, "B", 0.9), (7, "B", 0.5), (8, "B", 0.5), (9, "B", 0.1),
+    ]
+    docs = spark.createDataFrame(rows, "id BIGINT, grp STRING, q DOUBLE")
+    out = curation.quality_quantile_filter(docs, "id", "q", "grp", 0.5)
+    kept = sorted(r["id"] for r in out.collect())
+    assert kept == [1, 2, 3, 6, 7, 8]
+    thr = {r["grp"]: r["min_qbin"] for r in out.select("grp", "min_qbin").distinct().collect()}
+    assert thr == {"A": 7000, "B": 5000}
+
+
+def test_assign_shards_deterministic_and_balanced(spark):
+    from multi_search_retrival_big_data_spark.operators import curation
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id BIGINT")
+    a = curation.assign_shards(docs, "doc_id", 8).collect()
+    b = curation.assign_shards(docs, "doc_id", 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # pure function of id
+    by_shard = {}
+    for r in a:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], 0)
+        by_shard[r["shard"]] += 1
+    # md5 equidistributes sequential ids: every shard populated, no
+    # shard grabs more than half the corpus
+    assert len(by_shard) == 8 and max(by_shard.values()) < 100

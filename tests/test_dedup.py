@@ -301,3 +301,30 @@ def test_lsh_delta_candidate_pairs_equals_restricted_full(spark):
     expected = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
     assert got == expected
     assert got  # non-vacuous: the 4-way near-dup corpus must collide
+
+
+def test_keep_canonical_winner_and_singletons(spark):
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id BIGINT, n_chars BIGINT",
+    )
+    # cluster 1 = {1,2,3}; doc 4 in its own cluster via self pair; 9 unclustered
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "node BIGINT, cluster_id BIGINT"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup.keep_canonical(docs, clusters, "doc_id", "n_chars").collect()
+    }
+    # winner = max n_chars, tie -> min doc_id: docs 2 and 3 tie at 30 -> 2
+    assert out[2] == (1, True)
+    assert out[1] == (1, False) and out[3] == (1, False)
+    # single-member cluster keeps itself
+    assert out[4] == (4, True)
+    # unclustered doc survives as its own singleton
+    assert out[9] == (9, True)
+    # exactly one keeper per cluster id
+    keepers = [d for d, (_, k) in out.items() if k]
+    assert sorted(keepers) == [2, 4, 9]

@@ -139,6 +139,36 @@ def test_lsh_stream_incremental_matches_rebuild(spark, sf_dir):
     assert sorted(map(key, t.collect())) == sorted(map(key, full.collect()))
 
 
+def test_pq_incremental_append_matches_rebuild(spark, sf_dir):
+    from multi_search_retrival_big_data_spark.operators import ann
+
+    base_f, (d1, d2) = index_store.incremental_split_filters(spark, sf_dir)
+    # stride 16 keeps the training ids inside the 60% base slice
+    t = index_store.pq_codes_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})", stride=16
+    )
+    emb = tables.load(spark, "embeddings", sf_dir)
+    full = ann.pq_encode(emb, stride=16)
+    key = lambda r: tuple(r[c] for c in full.columns)  # noqa: E731
+    assert sorted(map(key, t.select(*full.columns).collect())) == sorted(
+        map(key, full.collect())
+    )
+
+
+def test_pq_incremental_rejects_split_outside_training_ids(spark, sf_dir):
+    import pytest as _pytest
+
+    from multi_search_retrival_big_data_spark.operators import ann
+
+    # a base slice missing some stride-training ids cannot reproduce
+    # the full-corpus codebook -> the guard must fail loudly
+    bad_base = f"vec_id > {ann.PQ_STRIDE}"
+    with _pytest.raises(ValueError, match="training ids"):
+        index_store.pq_codes_incremental(
+            spark, sf_dir, bad_base, f"vec_id <= {ann.PQ_STRIDE}"
+        )
+
+
 def test_incremental_split_filters_nonempty(spark, sf_dir):
     from multi_search_retrival_big_data_spark import index_store, tables
 
@@ -199,3 +229,15 @@ def test_gc_retires_stale_generations(spark, sf_dir, tmp_path):
     assert not spark.catalog.tableExists(stale_name)
     assert spark.catalog.tableExists(live_name)
     del stale
+
+
+def test_sq8_incremental_append_matches_rebuild(spark, sf_dir):
+    from multi_search_retrival_big_data_spark.operators import ann
+
+    base_f, (d1, d2) = index_store.incremental_split_filters(spark, sf_dir)
+    t = index_store.sq8_codes_incremental(spark, sf_dir, base_f, f"({d1}) OR ({d2})")
+    emb = tables.load(spark, "embeddings", sf_dir)
+    bounds = ann.sq8_train(emb.filter(base_f))  # FROZEN base-trained model
+    full = ann.sq8_encode(emb, bounds)
+    key = lambda r: (r["vec_id"], tuple(r["codes"]))  # noqa: E731
+    assert sorted(map(key, t.collect())) == sorted(map(key, full.collect()))

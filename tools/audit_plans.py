@@ -34,6 +34,7 @@ SCALAR_BROADCAST_OK = {
     "sparse_tfidf_char_fallback",
     "sparse_multichannel_context",
     "dense_knn_by_id",       # 1-row reconstructed query vector
+    "endpoint_image_search",  # same knn_by_id 1-row anchor, behind the facade
     "dense_rocchio_rerank",  # tiny vote set cross candidates
     "endpoint_feedback_rerank",  # same rocchio vote-set cross, behind the facade
     "group_hits_by_source",  # sparse scorer's 1-row qnorm broadcast
@@ -43,6 +44,7 @@ SCALAR_BROADCAST_OK = {
     "ann_lsh_recall_grid",   # 1-row candidates × 1-row hits scalar combine per config
     "ann_ivf_recall_grid",   # same 1-row scalar combine per nprobe config
     "ann_ivf_trained_recall_grid",  # same 1-row scalar combine, trained centroids
+    "ann_ivf_filtered_recall_grid",  # same 1-row candidates × hits combine per (sel, nprobe)
     "ann_ivfpq_adc_topk",     # nprobe-row probe x M.KS-row codebook LUT build
     "ann_ivfpq_recall_grid",  # same tiny LUT cross + 1-row scalar combines
     "ann_pq_batch_adc_topk",  # request-sized query batch fanout + LUT cross
