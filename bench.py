@@ -185,6 +185,15 @@ OPTIONAL_QUERIES = [
     "ann_ivf_filtered_topk",
     "emb_near_dup_delta",
     "endpoint_panel_search",
+    # round-5 wave 2: dedup product table, per-lang quantile cut,
+    # shard-export manifest, multi-probe LSH, batched IVF, minhash
+    # decontamination probe
+    "dedup_keep_canonical",
+    "curation_quality_quantile_filter",
+    "curation_shard_manifest",
+    "ann_lsh_multiprobe_topk",
+    "ann_ivf_batch_topk",
+    "decontamination_minhash_overlap",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

@@ -29,10 +29,12 @@ an all-pairs cross join.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from multi_search_retrival_big_data_spark.functions.rounding import det_round
 from multi_search_retrival_big_data_spark.functions.vector import (
@@ -168,6 +170,78 @@ def ann_lsh_topk(
     cond = None
     for b, qband in query_bands(qsig, bands, rows):
         c = F.substring(F.col("__sig"), b * rows + 1, rows) == F.lit(qband)
+        cond = c if cond is None else cond | c
+    return (
+        emb.withColumn("__sig", sig)
+        .filter(cond)
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def multiprobe_values(qband: str) -> list[str]:
+    """The query band value plus its Hamming-1 neighbors (one bit
+    flipped per position) — the standard multi-probe LSH perturbation
+    set: sign bits nearest the hyperplane are the likeliest to differ
+    for a true neighbor, so probing the 1-flip buckets recovers most
+    of the recall an extra table would buy, for zero extra index."""
+    flips = [
+        qband[:i] + ("0" if qband[i] == "1" else "1") + qband[i + 1 :]
+        for i in range(len(qband))
+    ]
+    return [qband] + flips
+
+
+def ann_lsh_multiprobe_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+    bands: int = ANN_BANDS,
+    round_to: int | None = None,
+    banded: DataFrame | None = None,
+) -> DataFrame:
+    """MULTI-PROBE LSH top-k: candidates share ≥1 band with the query
+    at Hamming distance ≤ 1 (the band's own bucket plus each 1-bit
+    flip — `multiprobe_values`), ranked by exact cosine. Lv Qin et
+    al.'s multi-probe trade: recall comparable to several extra hash
+    tables at the cost of probing bands·(rows+1) buckets of the SAME
+    index — at 100 TB that is the difference between widening the
+    at-rest banding table (rows × corpus) and touching a few more
+    partitions per query. Against the persisted (band, bval)-
+    partitioned table the probe list is still a static partition-
+    pruning predicate: `bands·(rows+1)` of the `bands·2^rows`
+    partitions are read, never the corpus."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, num_planes)
+    rows = num_planes // bands
+    qsig = signature_of(query_vec, planes)
+    score = cosine_sim(vec_col, lit_vec(query_vec))
+    if round_to is not None:
+        score = det_round(score, round_to)
+    probes = [
+        (b, multiprobe_values(qband)) for b, qband in query_bands(qsig, bands, rows)
+    ]
+    if banded is not None:
+        cond = None
+        for b, vals in probes:
+            c = (F.col("band") == b) & F.col("bval").isin(vals)
+            cond = c if cond is None else cond | c
+        cand = banded.filter(cond).select(id_col).distinct()
+        return (
+            emb.join(cand, id_col, "left_semi")
+            .select(F.col(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+    emb = ensure_min_partitions(emb)
+    sig = signature_bits(vec_col, planes)
+    cond = None
+    for b, vals in probes:
+        c = F.substring(F.col("__sig"), b * rows + 1, rows).isin(vals)
         cond = c if cond is None else cond | c
     return (
         emb.withColumn("__sig", sig)
@@ -468,6 +542,80 @@ PQ_STRIDE = 31    # training vectors: vec_id ∈ {0, 31, ..., 31·(KS-1)}
 PQT_M = 16
 PQT_KS = 32
 PQT_STRIDE = 15   # 32 seeds need ks·stride = 480 ≤ |corpus|
+
+
+def _l2_py(a: Sequence[float], b: Sequence[float]) -> float:
+    """Driver-side L2 mirroring functions/vector.l2_dist's exact op
+    order (left fold of (x−y)², then sqrt) — required for probe
+    rankings computed on the driver to agree bit-for-bit with
+    engine-side rankings (same signature_of precedent)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        s += d * d
+    return math.sqrt(s)
+
+
+def batch_ivf_topk(
+    emb: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = IVF_CENTROID_STRIDE,
+    nprobe: int = IVF_NPROBE,
+    round_to: int | None = None,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """Batched multi-query IVF top-k — the serving-amortization shape
+    (dense/sparse/PQ batch paths) applied to the inverted lists:
+    `queries` is the request batch [(query_id, qvec), ...]
+    (driver-sized, like FAISS's query matrix). Each query's nprobe
+    cells are elected on the DRIVER against the collected centroid
+    model (model state × request — both tiny; `_l2_py` keeps the
+    election bit-identical to the engine), the UNION of probed cids
+    becomes ONE static `cid IN (...)` pruning predicate over the
+    cid-partitioned assignment table, the (query_id, cid) probe pairs
+    restrict each query to its own cells, the request-sized query-
+    vector table broadcasts onto the candidates for exact-cosine
+    scoring, and per-query top-k is a window partial sort
+    (WindowGroupLimit pushes the limit map-side). Net: the whole batch
+    pays ONE pruned scan of |union of cells|, not |batch| scans.
+
+    Returns (query_id, id, score), k rows per query, descending."""
+    spark = emb.sparkSession
+    cent = [
+        (int(r["cid"]), [float(x) for x in r["__cv"]])
+        for r in centroids(emb, id_col, vec_col, stride).collect()
+    ]
+    probe_pairs = []
+    for qid, qv in queries:
+        ranked = sorted(cent, key=lambda c: (_l2_py(c[1], qv), c[0]))
+        probe_pairs.extend((qid, cid) for cid, _ in ranked[:nprobe])
+    all_cids = sorted({cid for _, cid in probe_pairs})
+    probe_df = spark.createDataFrame(probe_pairs, "query_id INT, cid BIGINT")
+    qdf = spark.createDataFrame(
+        [(qid, [float(x) for x in qv]) for qid, qv in queries],
+        "query_id INT, __qv ARRAY<DOUBLE>",
+    )
+    if assign is None:
+        _, assign = ivf_assign(emb, id_col, vec_col, stride)
+    pruned = assign.filter(F.col("cid").isin([int(c) for c in all_cids]))
+    cand = pruned.join(F.broadcast(probe_df), "cid")
+    if vec_col not in cand.columns:
+        cand = cand.join(emb.select(id_col, vec_col), id_col)
+    score = cosine_sim(vec_col, "__qv")
+    if round_to is not None:
+        score = det_round(score, round_to)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        cand.join(F.broadcast(qdf), "query_id")
+        .select("query_id", F.col(id_col), score.alias("score"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("score"), F.asc(id_col))
+    )
 
 
 def pq_codebook(

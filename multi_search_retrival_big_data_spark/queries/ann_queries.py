@@ -2040,3 +2040,186 @@ def ann_ivf_filtered_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = row if out is None else out.union(row)
     return out.orderBy("sel", "nprobe")
+
+
+# --- multi-probe LSH + batched IVF serving ---------------------------------
+
+
+def _multiprobe_filter_sql() -> str:
+    """Hamming-≤1 probe predicate per band, values computed statically
+    from the query signature (same driver-side placement as
+    _band_filter_sql)."""
+    return " OR ".join(
+        "substring(s, {off}, {n}) IN ({vals})".format(
+            off=b * _ROWS + 1,
+            n=_ROWS,
+            vals=", ".join(f"'{v}'" for v in ann.multiprobe_values(qband)),
+        )
+        for b, qband in ann.query_bands(_QSIG)
+    )
+
+
+@query(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, {_V} AS v, {_sig_sql(_V)} AS s FROM embeddings
+    )
+    SELECT vec_id, {sql_det_round(_cos_sql("v", sql_vec(QUERY_VEC)))} AS score
+    FROM sig
+    WHERE {_multiprobe_filter_sql()}
+    ORDER BY score DESC, vec_id
+    LIMIT 50
+    """,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (ann.ann_lsh_multiprobe_topk): each band
+    probes its own bucket PLUS the `rows` Hamming-1 flip buckets —
+    recall comparable to extra hash tables for zero extra index, the
+    multi-probe trade (Lv et al., VLDB'07). Against the persisted
+    (band, bval)-partitioned banding the probe list is still a static
+    partition-pruning predicate: bands·(rows+1) partitions read."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    banded = index_store.emb_lsh_bands(spark, sf_dir)
+    return ann.ann_lsh_multiprobe_topk(
+        emb, QUERY_VEC, k=50, round_to=6, banded=banded
+    )
+
+
+def _probe_grid_cfg_sql(level: int, flt: str) -> str:
+    return f"""
+    SELECT {level} AS probe_level, {_RECALL_K} AS k,
+           (SELECT count(*) FROM sig WHERE {flt}) AS candidates,
+           (SELECT count(*) FROM (
+              SELECT vec_id FROM (
+                SELECT vec_id, {sql_det_round(_cos_sql("v", sql_vec(QUERY_VEC)))} AS score
+                FROM sig WHERE {flt}
+                ORDER BY score DESC, vec_id LIMIT {_RECALL_K}) t
+              JOIN exact USING (vec_id)) h) AS hits"""
+
+
+@query(
+    "ann_lsh_multiprobe_recall_grid",
+    oracle=f"""
+    WITH sig AS MATERIALIZED (
+      SELECT vec_id, {_V} AS v, {_sig_sql(_V)} AS s FROM embeddings
+    ),
+    exact AS MATERIALIZED (
+      SELECT vec_id FROM (
+        SELECT vec_id, {sql_det_round(_cos_sql("v", sql_vec(QUERY_VEC)))} AS score
+        FROM sig ORDER BY score DESC, vec_id LIMIT {_RECALL_K})
+    ),
+    grid AS (
+      {_probe_grid_cfg_sql(0, _band_filter_sql())}
+      UNION ALL
+      {_probe_grid_cfg_sql(1, _multiprobe_filter_sql())}
+    )
+    SELECT probe_level, k, candidates, hits,
+           CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall
+    FROM grid ORDER BY probe_level
+    """,
+)
+def ann_lsh_multiprobe_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-probe decision row: recall@k AND candidate volume at
+    probe level 0 (plain banding) vs level 1 (Hamming-1 multi-probe)
+    on the SAME persisted index — what the extra probed partitions buy
+    and what they cost, so widening the probe set is a measured trade
+    exactly like the bands sweep (ann_lsh_recall_grid) and the cap
+    (dedup_lsh_bucket_stats)."""
+    from multi_search_retrival_big_data_spark.operators import dense
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    banded = index_store.emb_lsh_bands(spark, sf_dir)
+    exact = dense.topk_cosine(emb, QUERY_VEC, k=_RECALL_K, round_to=6).select(
+        "vec_id"
+    )
+    rows = ann.NUM_PLANES // ann.ANN_BANDS
+
+    def cfg_row(level: int) -> DataFrame:
+        probes = [
+            (b, ann.multiprobe_values(qb)[: 1 + level * rows])
+            for b, qb in ann.query_bands(_QSIG)
+        ]
+        cond = None
+        for b, vals in probes:
+            c = (F.col("band") == b) & F.col("bval").isin(vals)
+            cond = c if cond is None else cond | c
+        cand = banded.filter(cond).select("vec_id").distinct()
+        n_cand = cand.agg(F.count("*").alias("candidates"))
+        fn = ann.ann_lsh_multiprobe_topk if level else ann.ann_lsh_topk
+        topk = fn(emb, QUERY_VEC, k=_RECALL_K, round_to=6, banded=banded)
+        n_hits = (
+            topk.select("vec_id")
+            .join(exact, "vec_id", "left_semi")
+            .agg(F.count("*").alias("hits"))
+        )
+        return n_cand.crossJoin(n_hits).select(
+            F.lit(level).alias("probe_level"),
+            F.lit(_RECALL_K).alias("k"),
+            F.col("candidates"),
+            F.col("hits"),
+            (F.col("hits").cast("double") / F.lit(float(_RECALL_K))).alias("recall"),
+        )
+
+    return cfg_row(0).union(cfg_row(1)).orderBy("probe_level")
+
+
+_BATCH_IVF_K = 50
+
+
+def _batch_ivf_cfg_sql(qid: int, qvec_sql: str) -> str:
+    probed = (
+        f"(SELECT cid FROM cent ORDER BY {_l2_sql('cv', qvec_sql)}, cid "
+        f"LIMIT {_NPROBE})"
+    )
+    return f"""
+    SELECT {qid} AS query_id, vec_id, score FROM (
+      SELECT e.vec_id, {sql_det_round(_cos_sql(_V, qvec_sql))} AS score,
+             row_number() OVER (
+               ORDER BY {sql_det_round(_cos_sql(_V, qvec_sql))} DESC, e.vec_id
+             ) AS rn
+      FROM embeddings e
+      JOIN (SELECT a.vec_id FROM assign a JOIN {probed} p USING (cid)) c
+        USING (vec_id)
+    ) WHERE rn <= {_BATCH_IVF_K}"""
+
+
+@query(
+    "ann_ivf_batch_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, {_V} AS cv FROM embeddings WHERE vec_id % {_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_l2_sql('c.cv', 'CAST(e.embedding AS DOUBLE[])')}, c.cid
+               ) AS rn
+        FROM embeddings e, cent c
+      ) WHERE rn = 1
+    )
+    {_batch_ivf_cfg_sql(0, sql_vec(QUERY_VEC))}
+    UNION ALL
+    {_batch_ivf_cfg_sql(1, sql_vec(QUERY_VEC_B))}
+    ORDER BY query_id, score DESC, vec_id
+    """,
+)
+def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query IVF top-k (ann.batch_ivf_topk): both
+    queries' nprobe cells elected driver-side against the centroid
+    model, ONE `cid IN (union)` pruned scan of the persisted inverted
+    lists serves the whole batch, per-query membership via a
+    request-sized broadcast, per-query top-{k} via a window partial
+    sort — completing the batched-serving family across all four
+    paths (dense, sparse, PQ/ADC, and now IVF)."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    assign = index_store.ivf_assignments(spark, sf_dir)
+    return ann.batch_ivf_topk(
+        emb,
+        [(0, QUERY_VEC), (1, QUERY_VEC_B)],
+        k=_BATCH_IVF_K,
+        round_to=6,
+        assign=assign,
+    )

@@ -1141,3 +1141,79 @@ def dedup_lsh_capped_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("recall"),
         )
     )
+
+
+# --- MinHash decontamination (eval split probes the corpus index) ----------
+
+from multi_search_retrival_big_data_spark.queries.sampling_queries import (  # noqa: E402
+    SAMPLE_THRESHOLD_HEX as _EVAL_THR,
+)
+
+
+def _minhash_decon_oracle() -> str:
+    """Full-banding candidate set restricted to pairs that CROSS the
+    md5 eval/corpus split (same split as decontamination_eval_overlap),
+    exact-Jaccard verified — by the same-buckets⇒same-collisions
+    argument as _delta_pairs_oracle, identical to the Spark side's
+    probe of the persisted bucket table."""
+    j = sql_det_round("i.i / CAST(sa.n + sb.n - i.i AS DOUBLE)")
+    ev = "md5(CAST({id} AS VARCHAR)) < '{thr}'"
+    ev_a = ev.format(id="i.id_a", thr=_EVAL_THR)
+    return f"""
+    WITH {_minhash_cand_ctes()},
+    cand_x AS (
+      SELECT id_a, id_b FROM cand
+      WHERE ({ev.format(id="id_a", thr=_EVAL_THR)})
+         <> ({ev.format(id="id_b", thr=_EVAL_THR)})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand_x c
+      JOIN shingles x ON x.doc_id = c.id_a
+      JOIN shingles y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT CASE WHEN {ev_a} THEN i.id_b ELSE i.id_a END AS corpus_id,
+           CASE WHEN {ev_a} THEN i.id_a ELSE i.id_b END AS eval_id,
+           {j} AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.i / CAST(sa.n + sb.n - i.i AS DOUBLE) >= {JACCARD_THRESHOLD}
+    ORDER BY jaccard DESC, corpus_id, eval_id
+    """
+
+
+@query("decontamination_minhash_overlap", oracle=_minhash_decon_oracle())
+def decontamination_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination at MinHash scale: the eval split (the
+    same md5(doc_id) < threshold ~10% slice decontamination_eval_overlap
+    uses) PROBES the persisted corpus bucket table
+    (dedup.lsh_delta_candidate_pairs — the eval set plays the delta),
+    candidate pairs are kept only when they CROSS the split, and
+    survivors are exact-Jaccard verified. Where the exact n-gram
+    overlap join scans every gram of both sides, this path costs
+    O(|eval| × bucket collision rate) probes against the index the
+    dedup pipeline already maintains — the shape that lets a 100 TB
+    corpus be re-screened against every new benchmark release without
+    a corpus-wide pass. Output: (corpus_id, eval_id, jaccard) — the
+    training docs to quarantine."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    docs = tables.load(spark, "documents", sf_dir)
+    is_eval = lambda c: F.md5(F.col(c).cast("string")) < F.lit(_EVAL_THR)  # noqa: E731
+    eval_ids = docs.filter(is_eval("doc_id")).select("doc_id")
+    buckets = dedup.lsh_buckets(index_store.minhash_sigs(spark, sf_dir), "doc_id")
+    cand = dedup.lsh_delta_candidate_pairs(buckets, eval_ids, "doc_id").filter(
+        is_eval("id_a") != is_eval("id_b")
+    )
+    verified = dedup.jaccard_for_pairs(
+        index_store.doc_shingles(spark, sf_dir), cand, "doc_id"
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    a_is_eval = F.md5(F.col("id_a").cast("string")) < F.lit(_EVAL_THR)
+    return verified.select(
+        F.when(a_is_eval, F.col("id_b")).otherwise(F.col("id_a")).alias("corpus_id"),
+        F.when(a_is_eval, F.col("id_a")).otherwise(F.col("id_b")).alias("eval_id"),
+        det_round(F.col("jaccard")).alias("jaccard"),
+    ).orderBy(F.desc("jaccard"), "corpus_id", "eval_id")

@@ -381,3 +381,44 @@ def test_batch_literal_lut_matches_join_path(spark, sf_dir):
     assert [key(r) for r in lits] == [key(r) for r in joins]
     plan = lits_df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_multiprobe_values_hamming1():
+    from multi_search_retrival_big_data_spark.operators import ann
+
+    vals = ann.multiprobe_values("0110")
+    assert vals[0] == "0110"
+    assert sorted(vals[1:]) == sorted(["1110", "0010", "0100", "0111"])
+    assert len(set(vals)) == 5
+
+
+def test_multiprobe_candidates_superset_of_plain(spark, sf_dir):
+    from multi_search_retrival_big_data_spark import tables
+    from multi_search_retrival_big_data_spark.operators import ann
+    from multi_search_retrival_big_data_spark.queries.common import QUERY_VEC
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    plain = ann.ann_lsh_topk(emb, QUERY_VEC, k=1000, round_to=6)
+    multi = ann.ann_lsh_multiprobe_topk(emb, QUERY_VEC, k=1000, round_to=6)
+    p = {r["vec_id"] for r in plain.collect()}
+    m = {r["vec_id"] for r in multi.collect()}
+    assert p <= m  # Hamming-0 buckets are in the Hamming-<=1 probe set
+
+
+def test_batch_ivf_matches_per_query_path(spark, sf_dir):
+    from multi_search_retrival_big_data_spark import tables
+    from multi_search_retrival_big_data_spark.operators import ann
+    from multi_search_retrival_big_data_spark.queries.common import (
+        QUERY_VEC,
+        QUERY_VEC_B,
+    )
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    batch = ann.batch_ivf_topk(
+        emb, [(0, QUERY_VEC), (1, QUERY_VEC_B)], k=20, round_to=6
+    ).collect()
+    for qid, qv in [(0, QUERY_VEC), (1, QUERY_VEC_B)]:
+        single = ann.ann_ivf_topk(emb, qv, k=20, round_to=6).collect()
+        got = [(r["vec_id"], r["score"]) for r in batch if r["query_id"] == qid]
+        want = [(r["vec_id"], r["score"]) for r in single]
+        assert got == want

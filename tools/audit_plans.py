@@ -42,6 +42,7 @@ SCALAR_BROADCAST_OK = {
     # (ann_ivf_topk_cosine / ann_recall_at_k no longer need an entry:
     # the quantizer assignment is precomputed — index_store.ivf_assignments)
     "ann_lsh_recall_grid",   # 1-row candidates × 1-row hits scalar combine per config
+    "ann_lsh_multiprobe_recall_grid",  # same 1-row scalar combine per probe level
     "ann_ivf_recall_grid",   # same 1-row scalar combine per nprobe config
     "ann_ivf_trained_recall_grid",  # same 1-row scalar combine, trained centroids
     "ann_ivf_filtered_recall_grid",  # same 1-row candidates × hits combine per (sel, nprobe)
