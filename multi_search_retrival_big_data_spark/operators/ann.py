@@ -134,6 +134,7 @@ def ann_lsh_topk(
     bands: int = ANN_BANDS,
     round_to: int | None = None,
     banded: DataFrame | None = None,
+    subset: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: keep rows sharing ≥1 signature band with the query,
     rank candidates by exact cosine. Returns (id, score) — a strict
@@ -145,7 +146,12 @@ def ann_lsh_topk(
     partition-pruned read of the query's `bands` buckets + a semi-join
     — the per-query 16-hyperplane signature pass over the corpus
     disappears from the plan. Without it the signature is computed
-    inline (self-contained mode)."""
+    inline (self-contained mode).
+
+    `subset` (an allowed-id DataFrame) makes this the FILTERED LSH
+    search: the semi-join applies AFTER the bucket probe and BEFORE
+    the exact-cosine rank — pre-filter semantics inside the probed
+    buckets, same placement as every other filtered serving path."""
     dim = len(query_vec)
     planes = hyperplanes(dim, num_planes)
     rows = num_planes // bands
@@ -153,12 +159,19 @@ def ann_lsh_topk(
     score = cosine_sim(vec_col, lit_vec(query_vec))
     if round_to is not None:
         score = det_round(score, round_to)
+
+    def _restrict(df: DataFrame) -> DataFrame:
+        if subset is None:
+            return df
+        allowed = subset.select(F.col(subset.columns[0]).alias(id_col))
+        return df.join(allowed, id_col, "left_semi")
+
     if banded is not None:
         cond = None
         for b, qband in query_bands(qsig, bands, rows):
             c = (F.col("band") == b) & (F.col("bval") == F.lit(qband))
             cond = c if cond is None else cond | c
-        cand = banded.filter(cond).select(id_col).distinct()
+        cand = _restrict(banded.filter(cond).select(id_col).distinct())
         return (
             emb.join(cand, id_col, "left_semi")
             .select(F.col(id_col), score.alias("score"))
@@ -171,13 +184,11 @@ def ann_lsh_topk(
     for b, qband in query_bands(qsig, bands, rows):
         c = F.substring(F.col("__sig"), b * rows + 1, rows) == F.lit(qband)
         cond = c if cond is None else cond | c
-    return (
-        emb.withColumn("__sig", sig)
-        .filter(cond)
-        .select(F.col(id_col), score.alias("score"))
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
-    )
+    return _restrict(
+        emb.withColumn("__sig", sig).filter(cond)
+    ).select(F.col(id_col), score.alias("score")).orderBy(
+        F.desc("score"), F.asc(id_col)
+    ).limit(k)
 
 
 def multiprobe_values(qband: str) -> list[str]:
@@ -252,6 +263,56 @@ def ann_lsh_multiprobe_topk(
     )
 
 
+def score_pairs_arrow(
+    emb: DataFrame,
+    id_pairs: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Vectorized exact-cosine verify of a candidate (id_a, id_b)
+    list: vectors joined once per side, then ONE NumPy pass per Arrow
+    batch (`mapInPandas`) — the designated Arrow scoring strategy
+    (measured ~1.6× the per-row expression fold at sf0.1, the pair
+    list being candidate-volume bound). Rounding is floor(x·10^r+0.5)
+    /10^r inside the UDF — det_round semantics, oracle-parity proven
+    by emb_near_dup_lsh/_delta. Shared by the full LSH mining path
+    and the delta-probe verify so both pay the same (cheapest)
+    per-pair cost."""
+    import numpy as np
+    import pandas as pd
+
+    pairs_v = id_pairs.join(
+        emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
+        "id_a",
+    ).join(
+        emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")),
+        "id_b",
+    )
+    scale = None if round_to is None else float(10**round_to)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.stack(pdf["__va"].to_numpy()).astype(np.float64)
+            vb = np.stack(pdf["__vb"].to_numpy()).astype(np.float64)
+            c = (va * vb).sum(axis=1) / (
+                np.sqrt((va * va).sum(axis=1)) * np.sqrt((vb * vb).sum(axis=1))
+            )
+            if scale is not None:
+                c = np.floor(c * scale + 0.5) / scale
+            out = pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": c}
+            )
+            yield out[out["cosine"] >= threshold]
+
+    return pairs_v.mapInPandas(
+        score_batches, "id_a long, id_b long, cosine double"
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float,
@@ -297,34 +358,8 @@ def embedding_near_dup_pairs(
             .distinct()
         )
         if strategy == "arrow":
-            import numpy as np
-            import pandas as pd
-
-            pairs_v = id_pairs.join(
-                emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
-                "id_a",
-            ).join(
-                emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")),
-                "id_b",
-            )
-            scale = None if round_to is None else float(10**round_to)
-
-            def score_batches(batches):
-                for pdf in batches:
-                    va = np.stack(pdf["__va"].to_numpy()).astype(np.float64)
-                    vb = np.stack(pdf["__vb"].to_numpy()).astype(np.float64)
-                    c = (va * vb).sum(axis=1) / (
-                        np.sqrt((va * va).sum(axis=1)) * np.sqrt((vb * vb).sum(axis=1))
-                    )
-                    if scale is not None:
-                        c = np.floor(c * scale + 0.5) / scale
-                    out = pd.DataFrame(
-                        {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": c}
-                    )
-                    yield out[out["cosine"] >= threshold]
-
-            return pairs_v.mapInPandas(
-                score_batches, "id_a long, id_b long, cosine double"
+            return score_pairs_arrow(
+                emb, id_pairs, threshold, id_col, vec_col, round_to
             )
         # per-id norms computed ONCE and joined — the pair scoring then
         # folds each pair's arrays once (dot) instead of three times
@@ -944,6 +979,7 @@ def ann_ivfpq_adc_topk(
     m: int = PQ_M,
     round_to: int | None = None,
     literal_lut: bool = False,
+    subset: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ QUERY path: probe the nprobe nearest centroids (a scan of
     the k-row centroid table), prune the code table to those cells
@@ -962,10 +998,21 @@ def ann_ivfpq_adc_topk(
     STATIC `cid IN (probes)` filter (static partition pruning on the
     cid-partitioned code table — the planner prunes before launch,
     no runtime subquery) plus per-cell when-chained `element_at`
-    literal lookups: one narrow scan, zero joins."""
+    literal lookups: one narrow scan, zero joins.
+
+    `subset` (an allowed-id DataFrame) makes this the FILTERED IVFPQ
+    search: the semi-join applies AFTER the cell prune and BEFORE the
+    ADC score, same placement as ann_pq_filtered_topk / the IVF
+    subset — every quantized serving path has a filtered mode."""
     import math
 
     from multi_search_retrival_big_data_spark.functions.vector import l2_dist
+
+    def _restrict(df: DataFrame) -> DataFrame:
+        if subset is None:
+            return df
+        allowed = subset.select(F.col(subset.columns[0]).alias(id_col))
+        return df.join(allowed, id_col, "left_semi")
 
     q = lit_vec(query_vec)
     dim = len(query_vec)
@@ -998,7 +1045,7 @@ def ann_ivfpq_adc_topk(
                     vals.append(d * d)
                 arrs.append(vals)
             cell_luts.append((cid, arrs))
-        out = codes.filter(F.col("cid").isin(probe_cids))
+        out = _restrict(codes.filter(F.col("cid").isin(probe_cids)))
         score = None
         for i in range(m):
             chain = None
@@ -1025,7 +1072,7 @@ def ann_ivfpq_adc_topk(
         "cid", F.zip_with(q, F.col("cv").cast("array<double>"), lambda a, b: a - b).alias("__qr")
     )
     luts = qres.join(F.broadcast(codebook), F.lit(True))
-    out = codes.join(F.broadcast(probed.select("cid")), "cid")
+    out = _restrict(codes.join(F.broadcast(probed.select("cid")), "cid"))
     for i in range(m):
         d = l2_dist(F.slice("__qr", i * dsub + 1, dsub), "cv")
         lut_i = (
@@ -1113,14 +1160,24 @@ def ann_sq8_topk(
     k: int,
     id_col: str = "vec_id",
     round_to: int | None = None,
+    subset: DataFrame | None = None,
 ) -> DataFrame:
     """SQ8 QUERY path: dequantize each code row in-plan (x̂_j = vmin_j
     + code_j · (vmax_j − vmin_j)/255) and rank by exact L2 to the
     query over the RECONSTRUCTIONS — a scan of the byte table plus a
     projection; no float vector is read. Returns (id, approx_dist)
-    ascending (FAISS IndexScalarQuantizer.search)."""
+    ascending (FAISS IndexScalarQuantizer.search).
+
+    `subset` (an allowed-id DataFrame) makes this the FILTERED SQ8
+    search: the semi-join applies BEFORE the dequantize-and-rank
+    projection, so only allowed byte rows are ever reconstructed —
+    with the code table bucketed by id (index_store.sq8 layout) the
+    semi-join is shuffle-free."""
     from multi_search_retrival_big_data_spark.functions.vector import l2_dist
 
+    if subset is not None:
+        allowed = subset.select(F.col(subset.columns[0]).alias(id_col))
+        codes = codes.join(allowed, id_col, "left_semi")
     b = sorted(
         ((int(r["dim"]), float(r["vmin"]), float(r["vmax"])) for r in bounds.collect())
     )

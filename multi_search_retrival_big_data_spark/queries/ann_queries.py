@@ -184,11 +184,12 @@ def emb_near_dup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus band self-join — the embedding sibling of
     dedup_delta_batch_pairs. Cost is O(|delta| × band collision
     rate) reads at the delta's partition keys; candidates with ≥1
-    delta member are then exact-cosine verified. The oracle derives
-    the SAME delta-touching pair set from a full banding, proving the
+    delta member are then exact-cosine verified through the shared
+    Arrow pair scorer (ann.score_pairs_arrow — the same vectorized
+    pass the full mining path uses, so the probe is never slower per
+    pair than the path it replaces). The oracle derives the SAME
+    delta-touching pair set from a full banding, proving the
     probe ≡ full-self-join-restricted equivalence."""
-    from multi_search_retrival_big_data_spark.functions.rounding import det_round
-    from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
     from multi_search_retrival_big_data_spark.operators import dedup as _dedup
 
     emb = tables.load(spark, "embeddings", sf_dir)
@@ -197,16 +198,9 @@ def emb_near_dup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delta_ids = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
     cand = _dedup.lsh_delta_candidate_pairs(banded, delta_ids, "vec_id")
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
-    cos = det_round(cosine_sim("__va", "__vb"), 6)
-    return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= F.lit(COSINE_DUP_THRESHOLD))
-        .orderBy(F.desc("cosine"), "id_a", "id_b")
-    )
+    return ann.score_pairs_arrow(
+        emb, cand, COSINE_DUP_THRESHOLD, round_to=6
+    ).orderBy(F.desc("cosine"), "id_a", "id_b")
 
 
 _STRIDE = ann.IVF_CENTROID_STRIDE
@@ -2222,4 +2216,85 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_BATCH_IVF_K,
         round_to=6,
         assign=assign,
+    )
+
+
+@query(
+    "ann_ivfpq_filtered_topk",
+    oracle=f"""
+    WITH {_ivfpq_base_ctes()},
+    {_ivfpq_adc_cte(_IVFPQ_NPROBE, "f")}
+    SELECT vec_id, approx_dist FROM fadc
+    WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)
+    ORDER BY approx_dist ASC, vec_id ASC LIMIT {_IVFPQ_K}
+    """,
+)
+def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search through the IVFPQ index: top-k among
+    only the vectors passing a metadata predicate (label % 3 = 0),
+    with the allowed-id semi-join applied AFTER the trained-cell prune
+    and BEFORE the per-cell ADC score — completing the filtered mode
+    across every quantized serving path (PQ, IVF, and now IVFPQ),
+    because a vector store that post-filters its top-k starves under
+    selective predicates regardless of which index served it."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    cents_t, book_t, codes_t = index_store.ivfpq(spark, sf_dir, iters=_KM_ITERS)
+    allowed = emb.filter(F.col("label") % 3 == 0).select("vec_id")
+    return ann.ann_ivfpq_adc_topk(
+        codes_t, cents_t, book_t, QUERY_VEC, k=_IVFPQ_K,
+        nprobe=_IVFPQ_NPROBE, round_to=6, literal_lut=True, subset=allowed,
+    )
+
+
+@query(
+    "ann_sq8_filtered_topk",
+    oracle=f"""
+    WITH {_SQ8_CTES}
+    SELECT vec_id,
+           {sql_det_round(f"list_distance(rv, {sql_vec(QUERY_VEC)})")} AS approx_dist
+    FROM recon
+    WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)
+    ORDER BY approx_dist ASC, vec_id ASC LIMIT {_SQ8_K}
+    """,
+)
+def ann_sq8_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search through the SQ8 index: allowed-id
+    semi-join BEFORE the dequantize-and-rank projection (only allowed
+    byte rows are reconstructed; bucketed-by-id code table makes the
+    semi-join shuffle-free at rest)."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    bounds, codes = index_store.sq8(spark, sf_dir)
+    allowed = emb.filter(F.col("label") % 3 == 0).select("vec_id")
+    return ann.ann_sq8_topk(
+        codes, bounds, QUERY_VEC, k=_SQ8_K, round_to=6, subset=allowed
+    )
+
+
+@query(
+    "ann_lsh_filtered_topk",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, {_V} AS v, {_sig_sql(_V)} AS s FROM embeddings
+    )
+    SELECT vec_id, {sql_det_round(_cos_sql("v", sql_vec(QUERY_VEC)))} AS score
+    FROM sig
+    WHERE ({_band_filter_sql()})
+      AND vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)
+    ORDER BY score DESC, vec_id
+    LIMIT 50
+    """,
+)
+def ann_lsh_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search through the LSH index: allowed-id
+    semi-join AFTER the partition-pruned bucket probe, BEFORE the
+    exact-cosine rank. With SQ8 and IVFPQ this closes the claim:
+    EVERY ANN serving path (LSH, IVF, PQ, IVFPQ, SQ8) has a filtered
+    mode with pre-filter semantics inside its pruned candidate set —
+    post-filtering a top-k starves under selective predicates no
+    matter which index served it."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    banded = index_store.emb_lsh_bands(spark, sf_dir)
+    allowed = emb.filter(F.col("label") % 3 == 0).select("vec_id")
+    return ann.ann_lsh_topk(
+        emb, QUERY_VEC, k=50, round_to=6, banded=banded, subset=allowed
     )

@@ -422,3 +422,27 @@ def test_batch_ivf_matches_per_query_path(spark, sf_dir):
         got = [(r["vec_id"], r["score"]) for r in batch if r["query_id"] == qid]
         want = [(r["vec_id"], r["score"]) for r in single]
         assert got == want
+
+
+def test_filtered_lsh_subset_and_prefix(spark, sf_dir):
+    from multi_search_retrival_big_data_spark import index_store, tables
+    from multi_search_retrival_big_data_spark.operators import ann
+    from multi_search_retrival_big_data_spark.queries.common import QUERY_VEC
+    from pyspark.sql import functions as F
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    banded = index_store.emb_lsh_bands(spark, sf_dir)
+    allowed = emb.filter(F.col("label") % 3 == 0).select("vec_id")
+    out = ann.ann_lsh_topk(
+        emb, QUERY_VEC, k=50, round_to=6, banded=banded, subset=allowed
+    ).collect()
+    allow = {r["vec_id"] for r in allowed.collect()}
+    assert out and all(r["vec_id"] in allow for r in out)
+    # filtered result = unfiltered candidates ∩ allowed, re-ranked
+    full = ann.ann_lsh_topk(
+        emb, QUERY_VEC, k=10**6, round_to=6, banded=banded
+    ).collect()
+    want = [
+        (r["vec_id"], r["score"]) for r in full if r["vec_id"] in allow
+    ][:50]
+    assert [(r["vec_id"], r["score"]) for r in out] == want
