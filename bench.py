@@ -91,6 +91,12 @@ STRESS_QUERIES = [
     "curation_pack_bins",
     "curation_weighted_sample_per_lang",
     "pipeline_curation_end_to_end",
+    # r5 wave 2: the dedup PRODUCT table (closure + winner election on
+    # the membership table) and the eval-probe decontamination — both
+    # ride the same banded candidate machinery, so their x10 ratios
+    # show the product stages add no super-linear step on top of it
+    "dedup_keep_canonical",
+    "decontamination_minhash_overlap",
 ]
 
 # queries timed on BOTH 10× corpora (uniform vs skewed) — each carries
@@ -109,6 +115,12 @@ SKEW_QUERIES = [
     "curation_weighted_sample_per_lang",
     "pipeline_curation_end_to_end",
 ]
+# NOTE: dedup_keep_canonical deliberately does NOT join the skew tier:
+# it rides the UNCAPPED candidate path (its oracle is the uncapped
+# recursive closure), so under the planted viral-boilerplate cluster
+# it would re-measure the documented uncapped explosion, not the
+# winner election. The capped twin's skew behavior is already pinned
+# by dedup_minhash_lsh_capped + dedup_cluster_components_capped.
 
 # byte-identical boilerplate planted on ~2% of skew-tier rows — the
 # viral-page shape: every copy lands in the SAME LSH buckets

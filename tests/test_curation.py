@@ -329,3 +329,41 @@ def test_assign_shards_deterministic_and_balanced(spark):
     # md5 equidistributes sequential ids: every shard populated, no
     # shard grabs more than half the corpus
     assert len(by_shard) == 8 and max(by_shard.values()) < 100
+
+
+def test_quality_quantile_filter_keeps_at_least_k_per_group(spark):
+    from math import ceil
+
+    from multi_search_retrival_big_data_spark.operators import curation
+
+    # 40 docs over 3 skewed groups with distinct scores
+    rows = []
+    i = 0
+    for grp, n in [("en", 25), ("fr", 10), ("zh", 5)]:
+        for j in range(n):
+            rows.append((i, grp, (j + 1) / (n + 1)))
+            i += 1
+    docs = spark.createDataFrame(rows, "id BIGINT, grp STRING, q DOUBLE")
+    out = curation.quality_quantile_filter(docs, "id", "q", "grp", 0.25)
+    kept = {}
+    for r in out.collect():
+        kept.setdefault(r["grp"], 0)
+        kept[r["grp"]] += 1
+    for grp, n in [("en", 25), ("fr", 10), ("zh", 5)]:
+        k = ceil(0.25 * n)
+        # histogram election keeps at least the target, and boundary
+        # ties can only ADD rows
+        assert kept[grp] >= k, (grp, kept[grp], k)
+
+
+def test_shard_manifest_partitions_the_corpus(spark):
+    from multi_search_retrival_big_data_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, 10 + i) for i in range(123)], "doc_id BIGINT, n_chars BIGINT"
+    )
+    s = curation.assign_shards(docs, "doc_id", 8)
+    agg = s.groupBy("shard").count().collect()
+    assert sum(r["count"] for r in agg) == 123  # partition: no loss, no dup
+    total = s.agg({"n_chars": "sum"}).collect()[0][0]
+    assert total == sum(10 + i for i in range(123))

@@ -328,3 +328,25 @@ def test_keep_canonical_winner_and_singletons(spark):
     # exactly one keeper per cluster id
     keepers = [d for d, (_, k) in out.items() if k]
     assert sorted(keepers) == [2, 4, 9]
+
+
+def test_keep_canonical_survivor_set_is_duplicate_free(spark):
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    # two clusters + singletons; survivors must contain exactly one
+    # member per cluster_id and every doc appears exactly once
+    docs = spark.createDataFrame(
+        [(i, 100 - i) for i in range(10)], "doc_id BIGINT, n_chars BIGINT"
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (5, 5), (6, 5)], "node BIGINT, cluster_id BIGINT"
+    )
+    out = dedup.keep_canonical(docs, clusters, "doc_id", "n_chars").collect()
+    assert len(out) == 10 and len({r["doc_id"] for r in out}) == 10
+    by_cluster = {}
+    for r in out:
+        if r["keep"]:
+            by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    # one keeper per cluster, and the keeper is the max-quality member
+    assert by_cluster[0] == [0] and by_cluster[5] == [5]  # n_chars = 100 - id
+    assert all(len(v) == 1 for v in by_cluster.values())
