@@ -206,6 +206,8 @@ OPTIONAL_QUERIES = [
     "ann_lsh_multiprobe_topk",
     "ann_ivf_batch_topk",
     "decontamination_minhash_overlap",
+    # round-5 wave 4: the continuous-curation flagship
+    "stream_curation_ingest_parity",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

@@ -250,3 +250,58 @@ def stream_upsert_latest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- streaming curation ingest ---------------------------------------------
+
+_CURATE_QMIN = 0.5
+
+
+def _stream_curation_oracle() -> str:
+    from multi_search_retrival_big_data_spark.operators import curation
+    from multi_search_retrival_big_data_spark.queries.curation_queries import _AUG_SQL
+    from multi_search_retrival_big_data_spark.queries.text_queries import QUALITY_SQL
+
+    email, ipv4, phone = (p for _, p, _ in curation.PII_PATTERNS)
+    return rf"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t0 FROM documents),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(t0,
+                 '{email}', '<EMAIL>', 'g'),
+                 '{ipv4}', '<IP>', 'g'),
+                 '{phone}', '<PHONE>', 'g') AS text
+      FROM aug
+    ),
+    q AS (SELECT doc_id, text, {QUALITY_SQL} AS quality FROM red),
+    ok AS (
+      SELECT doc_id, quality,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+      FROM q WHERE quality >= {_CURATE_QMIN}
+    )
+    SELECT content_hash, min(doc_id) AS doc_id, min(quality) AS quality
+    FROM ok GROUP BY content_hash
+    ORDER BY content_hash
+    """
+
+
+@query("stream_curation_ingest_parity", oracle=_stream_curation_oracle())
+def stream_curation_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING curation ingest proof: the continuous pipeline —
+    plant PII (harness) → redact → quality score → ≥{_CURATE_QMIN}
+    gate → content-hash dedup → first-writer-per-hash merge — run as a
+    REAL Structured Streaming job (ingest.run_stream_curation_ingest)
+    over a DOUBLE-DELIVERED document feed with one file per
+    micro-batch, must equal the one-shot batch pipeline over the clean
+    feed (this oracle). Every stage is order-independent (row-local
+    transforms + a commuting min-merge), which is the design rule that
+    makes streaming curation replay-proof; the maintained state IS the
+    accepted-corpus table, one row per content hash."""
+    from multi_search_retrival_big_data_spark.queries.curation_queries import (
+        _aug_spark,
+    )
+
+    out = ingest.run_stream_curation_ingest(
+        spark, sf_dir, lambda df: _aug_spark(), _CURATE_QMIN, copies=2
+    )
+    return out.select("content_hash", "doc_id", "quality").orderBy("content_hash")

@@ -150,3 +150,93 @@ def run_stream_upsert_latest(
     out = state["table"]
     assert out is not None, "stream delivered no micro-batches"
     return out
+
+
+_DOCS_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def read_document_stream(
+    spark: SparkSession, sf_dir: str, copies: int = 1
+) -> DataFrame:
+    """File stream over the documents corpus — the crawl-landing
+    directory shape. `copies > 1` stages the same parquet N times AND
+    pins maxFilesPerTrigger=1, so every document is redelivered in a
+    DIFFERENT micro-batch: the at-least-once worst case a streaming
+    curation stage must absorb."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    landing = tempfile.mkdtemp(prefix="docs_stream_")
+    for i in range(copies):
+        os.symlink(src, os.path.join(landing, f"documents_{i}.parquet"))
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+
+def run_stream_curation_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    augment,
+    quality_min: float,
+    copies: int = 2,
+) -> DataFrame:
+    """STREAMING curation ingest — the continuous form of the batch
+    curation pipeline, chained per micro-batch inside foreachBatch:
+
+        plant PII (test harness) → redact → quality score → threshold
+        gate → content-hash exact dedup → first-writer-per-hash merge
+        into the maintained accepted-corpus table.
+
+    Every stage is ORDER-INDEPENDENT by construction: redaction and
+    scoring are row-local; the dedup winner rule is min(doc_id) per
+    content hash, which commutes across micro-batch boundaries and is
+    idempotent under redelivery (`copies=2` delivers every document
+    twice in different micro-batches to prove it). That is the design
+    rule for streaming curation at 100 TB: any stage whose output
+    depends on arrival order cannot be replay-proof. State is one row
+    per accepted content hash (the accepted-corpus table itself),
+    maintained exactly like run_stream_upsert_latest — per-batch
+    reduce, merge with the same rule, localCheckpoint to cut lineage.
+    `stream_curation_ingest_parity` proves the final table equals the
+    one-shot batch pipeline over the clean feed."""
+    from multi_search_retrival_big_data_spark.operators import curation, dedup
+    from multi_search_retrival_big_data_spark.operators import textanalysis as ta
+
+    stream = read_document_stream(spark, sf_dir, copies=copies)
+    state: dict[str, DataFrame | None] = {"table": None}
+
+    def _reduce(df: DataFrame) -> DataFrame:
+        return df.groupBy("content_hash").agg(
+            F.min("doc_id").alias("doc_id"), F.min("quality").alias("quality")
+        )
+
+    def _curate(batch_df: DataFrame, _batch_id: int) -> None:
+        red = batch_df.select(
+            "doc_id", curation.redact_pii(augment(batch_df)).alias("__red")
+        )
+        scored = ta.quality_features(red, "doc_id", "__red", keep_cols=("__red",))
+        ok = scored.filter(F.col("quality") >= quality_min).select(
+            "doc_id",
+            "quality",
+            dedup.content_hash(F.col("__red")).alias("content_hash"),
+        )
+        batch_win = _reduce(ok)
+        cur = state["table"]
+        merged = batch_win if cur is None else _reduce(cur.unionByName(batch_win))
+        state["table"] = merged.localCheckpoint()
+
+    ckpt = tempfile.mkdtemp(prefix="curate_stream_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(_curate)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = state["table"]
+    assert out is not None, "stream delivered no micro-batches"
+    return out

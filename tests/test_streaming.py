@@ -240,3 +240,33 @@ def test_stream_upsert_latest_matches_batch_even_with_triplicate_delivery(spark,
         .collect()
     }
     assert got == expected
+
+
+def test_stream_curation_ingest_absorbs_triplicate_delivery(spark, sf_dir):
+    from multi_search_retrival_big_data_spark.operators import curation, dedup
+    from multi_search_retrival_big_data_spark.operators import textanalysis as ta
+    from multi_search_retrival_big_data_spark.queries.curation_queries import (
+        _aug_spark,
+    )
+
+    qmin = 0.5
+    out3 = ingest.run_stream_curation_ingest(
+        spark, sf_dir, lambda df: _aug_spark(), qmin, copies=3
+    )
+    got = {r["content_hash"]: r["doc_id"] for r in out3.collect()}
+    # batch recompute of the same pipeline over the clean feed
+    docs = tables.load(spark, "documents", sf_dir)
+    red = docs.select(
+        "doc_id", curation.redact_pii(_aug_spark()).alias("__red")
+    )
+    scored = ta.quality_features(red, "doc_id", "__red", keep_cols=("__red",))
+    ok = scored.filter(F.col("quality") >= qmin).select(
+        "doc_id", dedup.content_hash(F.col("__red")).alias("content_hash")
+    )
+    expected = {
+        r["content_hash"]: r["doc_id"]
+        for r in ok.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id")).collect()
+    }
+    assert got == expected
+    # the gate actually drops something and dedup actually merges
+    assert 0 < len(got) < docs.count()
