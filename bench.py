@@ -206,8 +206,10 @@ OPTIONAL_QUERIES = [
     "ann_lsh_multiprobe_topk",
     "ann_ivf_batch_topk",
     "decontamination_minhash_overlap",
-    # round-5 wave 4: the continuous-curation flagship
+    # round-5 wave 4: the continuous-curation flagship + batched LSH
     "stream_curation_ingest_parity",
+    "ann_lsh_batch_topk",
+    "index_incremental_tfidf_parity",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

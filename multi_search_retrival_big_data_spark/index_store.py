@@ -423,36 +423,44 @@ def pq_trained(
 
 
 def incremental_split_filters(
-    spark: SparkSession, sf_dir: str, fracs: tuple[float, float] = (0.6, 0.8)
+    spark: SparkSession,
+    sf_dir: str,
+    fracs: tuple[float, float] = (0.6, 0.8),
+    table: str = "embeddings",
+    id_col: str = "vec_id",
 ) -> tuple[str, tuple[str, str]]:
     """(base_filter, (delta1_filter, delta2_filter)) — corpus split
-    points DERIVED from the actual max vec_id (60%/20%/20% by default)
+    points DERIVED from the actual max id (60%/20%/20% by default)
     instead of hardcoded ids, so the parity proofs exercise real
     non-empty deltas at every sf (a fixed `vec_id < 400` on a 300-row
     corpus silently degenerates the proof to rebuild ≡ rebuild).
     Raises if any slice would be empty — a degenerate parity query
-    must fail loudly, not pass vacuously."""
+    must fail loudly, not pass vacuously. `table`/`id_col` pick the
+    corpus (embeddings/vec_id for the ANN families, documents/doc_id
+    for the text-index family); the threshold arithmetic
+    (int(max·frac), trunc-toward-zero == floor for positive doubles)
+    is replicated in each parity oracle's SQL."""
     from pyspark.sql import functions as F
 
-    emb = tables.load(spark, "embeddings", sf_dir)
-    hi = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    src = tables.load(spark, table, sf_dir)
+    hi = src.agg(F.max(id_col).alias("m")).collect()[0]["m"]
     if hi is None:
-        raise ValueError(f"no embeddings at {sf_dir}")
+        raise ValueError(f"no {table} at {sf_dir}")
     t1, t2 = int(hi * fracs[0]), int(hi * fracs[1])
     if not 0 < t1 < t2 < hi:
-        raise ValueError(f"corpus too small to split: max vec_id = {hi}")
-    counts = emb.agg(
-        F.sum(F.when(F.col("vec_id") < t1, 1).otherwise(0)).alias("base"),
+        raise ValueError(f"corpus too small to split: max {id_col} = {hi}")
+    counts = src.agg(
+        F.sum(F.when(F.col(id_col) < t1, 1).otherwise(0)).alias("base"),
         F.sum(
-            F.when((F.col("vec_id") >= t1) & (F.col("vec_id") < t2), 1).otherwise(0)
+            F.when((F.col(id_col) >= t1) & (F.col(id_col) < t2), 1).otherwise(0)
         ).alias("d1"),
-        F.sum(F.when(F.col("vec_id") >= t2, 1).otherwise(0)).alias("d2"),
+        F.sum(F.when(F.col(id_col) >= t2, 1).otherwise(0)).alias("d2"),
     ).collect()[0]
     if not (counts["base"] and counts["d1"] and counts["d2"]):
         raise ValueError(f"empty split slice at {sf_dir}: {counts}")
     return (
-        f"vec_id < {t1}",
-        (f"vec_id >= {t1} AND vec_id < {t2}", f"vec_id >= {t2}"),
+        f"{id_col} < {t1}",
+        (f"{id_col} >= {t1} AND {id_col} < {t2}", f"{id_col} >= {t2}"),
     )
 
 
@@ -591,6 +599,49 @@ def pq_codes_incremental(
         delta_codes.write.mode("append")
         .bucketBy(32, delta_codes.columns[0])
         .sortBy(delta_codes.columns[0])
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+def tfidf_postings_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    base_filter: str,
+    delta_filter: str,
+) -> DataFrame:
+    """Incremental TEXT-INDEX maintenance under a FROZEN fitted model —
+    sklearn's fit/transform split as a bucketed append: the posting
+    table is FIT from the BASE corpus slice (vocabulary + idf are the
+    model), then the DELTA slice's postings are APPENDED via
+    sparse.transform_tfidf (delta-only tf pass + join against the
+    distinct (term, idf) model; out-of-vocabulary terms drop, exactly
+    TfidfVectorizer.transform). Appends land in the SAME term buckets
+    (bucketBy term), so scoring joins stay exchange-free after any
+    number of appends. What appends do NOT refresh: idf and the
+    vocabulary — corpus statistics, the text-side train/add boundary;
+    after drift the index is refit offline and swapped
+    (gc_stale_index_tables drops the stale generation). Rebuilt every
+    call — the function exists to PROVE the append path
+    (index_incremental_tfidf_parity)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    name = _table_name("tfidfinc", sf_dir, "11", "documents")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _drop_stale_location(spark, name)
+    sparse.write_postings_bucketed(
+        sparse.fit_tfidf(docs.filter(base_filter)), name
+    )
+    # materialize the (term, idf) model OUT of the table before the
+    # append — a lazy read of the same table the append writes into is
+    # a self-referential plan (and the model is vocabulary-sized, the
+    # same state sklearn keeps on the vectorizer object)
+    model = spark.table(name).select("term", "idf").distinct().localCheckpoint()
+    delta_post = sparse.transform_tfidf(docs.filter(delta_filter), model)
+    (
+        delta_post.write.mode("append")
+        .bucketBy(POSTINGS_BUCKETS, "term")
+        .sortBy("term")
         .format("parquet")
         .saveAsTable(name)
     )

@@ -579,6 +579,73 @@ PQT_KS = 32
 PQT_STRIDE = 15   # 32 seeds need ks·stride = 480 ≤ |corpus|
 
 
+def batch_lsh_topk(
+    emb: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+    bands: int = ANN_BANDS,
+    round_to: int | None = None,
+    banded: DataFrame | None = None,
+) -> DataFrame:
+    """Batched multi-query LSH top-k — the serving-amortization shape
+    applied to the banding table: every query's band signature is
+    computed on the driver (pure Python, `signature_of`), the UNION of
+    all probed (band, bval) keys becomes ONE partition-pruning
+    predicate over the persisted banding, a request-sized
+    (query_id, band, bval) probe table tags which candidates belong to
+    which query, vectors join back once for the whole batch, and
+    per-query top-k is a window partial sort. The banding is read
+    ONCE for the batch — |union of buckets| partitions, not
+    |batch| × |buckets|.
+
+    Returns (query_id, id, score), k rows per query, descending."""
+    spark = emb.sparkSession
+    dim = len(queries[0][1])
+    planes = hyperplanes(dim, num_planes)
+    rows = num_planes // bands
+    probe_pairs = []
+    for qid, qv in queries:
+        qsig = signature_of(qv, planes)
+        probe_pairs.extend(
+            (qid, b, qband) for b, qband in query_bands(qsig, bands, rows)
+        )
+    probe_df = spark.createDataFrame(
+        probe_pairs, "query_id INT, band INT, bval STRING"
+    )
+    if banded is None:
+        banded = banded_signatures(emb, id_col, vec_col, dim, num_planes, bands)
+    cond = None
+    for _qid, b, v in probe_pairs:
+        c = (F.col("band") == b) & (F.col("bval") == F.lit(v))
+        cond = c if cond is None else cond | c
+    cand = (
+        banded.filter(cond)
+        .join(F.broadcast(probe_df), ["band", "bval"])
+        .select("query_id", id_col)
+        .distinct()
+    )
+    qdf = spark.createDataFrame(
+        [(qid, [float(x) for x in qv]) for qid, qv in queries],
+        "query_id INT, __qv ARRAY<DOUBLE>",
+    )
+    score = cosine_sim(vec_col, "__qv")
+    if round_to is not None:
+        score = det_round(score, round_to)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        cand.join(emb.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", F.col(id_col), score.alias("score"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("score"), F.asc(id_col))
+    )
+
+
 def _l2_py(a: Sequence[float], b: Sequence[float]) -> float:
     """Driver-side L2 mirroring functions/vector.l2_dist's exact op
     order (left fold of (x−y)², then sqrt) — required for probe

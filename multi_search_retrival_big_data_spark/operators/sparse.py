@@ -522,3 +522,44 @@ def batch_tfidf_score(
         .drop("__rn")
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )
+
+
+def transform_tfidf(
+    docs: DataFrame,
+    model_postings: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_range: tuple[int, int] = (1, 1),
+    analyzer: str = "word",
+) -> DataFrame:
+    """sklearn's fit/transform SPLIT for the TF-IDF index: weight NEW
+    documents under the FROZEN model carried by an existing posting
+    table — (term, idf) pairs are the model (vocabulary + idf), terms
+    outside the fitted vocabulary are DROPPED (exactly
+    TfidfVectorizer.transform), and each new doc L2-normalizes over
+    its surviving terms. Returns rows in the posting schema
+    (term, doc_id, weight, idf), ready to APPEND to the persisted
+    index.
+
+    This is how a text search index grows at 100 TB: appends are a
+    pass over the DELTA only (tf explode + one broadcast-sized join
+    against the distinct (term, idf) model + a per-doc norm agg —
+    never a corpus refit). What appends do NOT refresh: idf itself —
+    document frequencies are corpus statistics, exactly FAISS's
+    train/add boundary transplanted to text; after heavy drift the
+    index is refit offline and swapped (index_store generations +
+    gc_stale_index_tables)."""
+    tf = term_counts(docs, id_col, text_col, ngram_range, analyzer)
+    model = model_postings.select("term", "idf").distinct()
+    raw = tf.join(model, "term").withColumn(
+        "w_raw", F.col("tf") * F.col("idf")
+    )
+    norms = raw.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("__norm")
+    )
+    return raw.join(norms, id_col).select(
+        "term",
+        id_col,
+        (F.col("w_raw") / F.col("__norm")).alias("weight"),
+        "idf",
+    )

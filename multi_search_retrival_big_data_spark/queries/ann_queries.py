@@ -2298,3 +2298,52 @@ def ann_lsh_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_lsh_topk(
         emb, QUERY_VEC, k=50, round_to=6, banded=banded, subset=allowed
     )
+
+
+def _batch_lsh_cfg_sql(qid: int, qvec: list, qsig: str) -> str:
+    flt = " OR ".join(
+        f"substring(s, {b * _ROWS + 1}, {_ROWS}) = '{qband}'"
+        for b, qband in ann.query_bands(qsig)
+    )
+    return f"""
+    SELECT {qid} AS query_id, vec_id, score FROM (
+      SELECT vec_id, {sql_det_round(_cos_sql("v", sql_vec(qvec)))} AS score,
+             row_number() OVER (
+               ORDER BY {sql_det_round(_cos_sql("v", sql_vec(qvec)))} DESC, vec_id
+             ) AS rn
+      FROM sig WHERE {flt}
+    ) WHERE rn <= {_BATCH_IVF_K}"""
+
+
+_QSIG_B = ann.signature_of(QUERY_VEC_B, _PLANES)
+
+
+@query(
+    "ann_lsh_batch_topk",
+    oracle=f"""
+    WITH sig AS MATERIALIZED (
+      SELECT vec_id, {_V} AS v, {_sig_sql(_V)} AS s FROM embeddings
+    )
+    {_batch_lsh_cfg_sql(0, QUERY_VEC, _QSIG)}
+    UNION ALL
+    {_batch_lsh_cfg_sql(1, QUERY_VEC_B, _QSIG_B)}
+    ORDER BY query_id, score DESC, vec_id
+    """,
+)
+def ann_lsh_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query LSH top-k (ann.batch_lsh_topk): both
+    queries' band signatures computed driver-side, the union of their
+    buckets read from the persisted banding in ONE partition-pruned
+    pass, per-query candidate membership via a request-sized probe
+    broadcast, per-query top-{k} via a window partial sort — the
+    batched-serving family now covers all five paths (dense, sparse,
+    PQ, IVF, LSH)."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    banded = index_store.emb_lsh_bands(spark, sf_dir)
+    return ann.batch_lsh_topk(
+        emb,
+        [(0, QUERY_VEC), (1, QUERY_VEC_B)],
+        k=_BATCH_IVF_K,
+        round_to=6,
+        banded=banded,
+    )

@@ -323,3 +323,87 @@ def sparse_tfidf_char_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ngram_range=(3, 5), analyzer="char"
     )
     return sparse.tfidf_score(postings, _QC, k=50, round_to=6)
+
+
+# --- incremental text-index maintenance ------------------------------------
+
+from multi_search_retrival_big_data_spark.queries.common import (  # noqa: E402
+    dsum,
+    sql_dsum,
+)
+
+
+@query(
+    "index_incremental_tfidf_parity",
+    oracle=rf"""
+    WITH t1 AS (SELECT CAST(floor(max(doc_id) * 0.6) AS BIGINT) AS v FROM documents),
+    btok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+      FROM documents, t1 WHERE doc_id < t1.v
+    ),
+    btf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM btok GROUP BY 1, 2),
+    bdf AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
+    bn AS (SELECT COUNT(*) AS n FROM documents, t1 WHERE doc_id < t1.v),
+    model AS (
+      SELECT term, ln((1.0 + n.n) / (1.0 + d.df)) + 1.0 AS idf
+      FROM bdf d CROSS JOIN bn n
+    ),
+    braw AS (
+      SELECT f.doc_id, f.term, f.tf * m.idf AS w_raw, m.idf AS idf
+      FROM btf f JOIN model m USING (term)
+    ),
+    bnorm AS (SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS nrm FROM braw GROUP BY 1),
+    bpost AS (
+      SELECT r.term, r.doc_id, r.w_raw / s.nrm AS weight, r.idf
+      FROM braw r JOIN bnorm s USING (doc_id)
+    ),
+    dtok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+      FROM documents, t1 WHERE doc_id >= t1.v
+    ),
+    dtf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM dtok GROUP BY 1, 2),
+    draw AS (
+      SELECT f.doc_id, f.term, f.tf * m.idf AS w_raw, m.idf AS idf
+      FROM dtf f JOIN model m USING (term)
+    ),
+    dnorm AS (SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS nrm FROM draw GROUP BY 1),
+    dpost AS (
+      SELECT r.term, r.doc_id, r.w_raw / s.nrm AS weight, r.idf
+      FROM draw r JOIN dnorm s USING (doc_id)
+    ),
+    allp AS (SELECT * FROM bpost UNION ALL SELECT * FROM dpost)
+    SELECT CAST(doc_id % 16 AS BIGINT) AS g, count(*) AS n_postings,
+           {sql_dsum('weight', 6)} AS w_sum,
+           {sql_dsum('idf', 6)} AS idf_sum
+    FROM allp GROUP BY 1 ORDER BY g
+    """,
+)
+def index_incremental_tfidf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental text-index maintenance proof
+    (index_store.tfidf_postings_incremental — sklearn's fit/transform
+    split as a bucketed append): postings FIT from the base corpus
+    slice (vocabulary + idf = the frozen model), delta documents
+    APPENDED via sparse.transform_tfidf (delta-only tf pass,
+    out-of-vocabulary terms dropped, per-doc L2 norm over surviving
+    terms). The oracle re-derives the base-slice model (threshold =
+    floor(max(doc_id)·0.6), the incremental_split_filters arithmetic)
+    and both posting sets from raw text; quantized per-group sums of
+    weight and idf prove append ≡ fit+transform. Extends the
+    incremental family from the four ANN paths to the text index —
+    the most common production append: new documents into a search
+    index without a corpus refit."""
+    base_f, (d1, d2) = index_store.incremental_split_filters(
+        spark, sf_dir, table="documents", id_col="doc_id"
+    )
+    t = index_store.tfidf_postings_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})"
+    )
+    return (
+        t.groupBy((F.col("doc_id") % 16).cast("bigint").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            dsum(F.col("weight"), 6).alias("w_sum"),
+            dsum(F.col("idf"), 6).alias("idf_sum"),
+        )
+        .orderBy("g")
+    )

@@ -446,3 +446,23 @@ def test_filtered_lsh_subset_and_prefix(spark, sf_dir):
         (r["vec_id"], r["score"]) for r in full if r["vec_id"] in allow
     ][:50]
     assert [(r["vec_id"], r["score"]) for r in out] == want
+
+
+def test_batch_lsh_matches_per_query_path(spark, sf_dir):
+    from multi_search_retrival_big_data_spark import index_store, tables
+    from multi_search_retrival_big_data_spark.operators import ann
+    from multi_search_retrival_big_data_spark.queries.common import (
+        QUERY_VEC,
+        QUERY_VEC_B,
+    )
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    banded = index_store.emb_lsh_bands(spark, sf_dir)
+    batch = ann.batch_lsh_topk(
+        emb, [(0, QUERY_VEC), (1, QUERY_VEC_B)], k=20, round_to=6, banded=banded
+    ).collect()
+    for qid, qv in [(0, QUERY_VEC), (1, QUERY_VEC_B)]:
+        single = ann.ann_lsh_topk(emb, qv, k=20, round_to=6, banded=banded).collect()
+        got = [(r["vec_id"], r["score"]) for r in batch if r["query_id"] == qid]
+        want = [(r["vec_id"], r["score"]) for r in single]
+        assert got == want

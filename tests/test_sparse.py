@@ -81,3 +81,44 @@ def test_ngram_postings_contain_bigrams(spark, sf_dir):
     sample = postings.filter("term LIKE '% %'").limit(5).collect()
     assert len(sample) == 5
     assert all(" " in r.term for r in sample)
+
+
+def test_transform_tfidf_drops_oov_and_normalizes(spark):
+    from multi_search_retrival_big_data_spark.operators import sparse
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "alpha gamma")], ["doc_id", "text"]
+    )
+    model = sparse.fit_tfidf(base)
+    delta = spark.createDataFrame(
+        [(10, "beta beta NOVELWORD"), (11, "onlynovel tokens here")],
+        ["doc_id", "text"],
+    )
+    out = sparse.transform_tfidf(delta, model).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["term"]] = r["weight"]
+    # OOV terms vanish (sklearn transform semantics)
+    assert set(by_doc[10]) == {"beta"}
+    # a single surviving term L2-normalizes to weight 1.0
+    assert abs(by_doc[10]["beta"] - 1.0) < 1e-12
+    # a fully-OOV document contributes no postings at all
+    assert 11 not in by_doc
+
+
+def test_tfidf_incremental_append_matches_fit_plus_transform(spark, sf_dir):
+    from multi_search_retrival_big_data_spark import index_store, tables
+    from multi_search_retrival_big_data_spark.operators import sparse
+
+    base_f, (d1, d2) = index_store.incremental_split_filters(
+        spark, sf_dir, table="documents", id_col="doc_id"
+    )
+    t = index_store.tfidf_postings_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})"
+    )
+    docs = tables.load(spark, "documents", sf_dir)
+    want = sparse.fit_tfidf(docs.filter(base_f), cache=True)
+    delta = sparse.transform_tfidf(docs.filter(f"({d1}) OR ({d2})"), want)
+    key = lambda r: (r["term"], r["doc_id"], round(r["weight"], 9))  # noqa: E731
+    expected = sorted(map(key, want.collect() + delta.collect()))
+    assert sorted(map(key, t.collect())) == expected
