@@ -210,6 +210,7 @@ OPTIONAL_QUERIES = [
     "stream_curation_ingest_parity",
     "ann_lsh_batch_topk",
     "index_incremental_tfidf_parity",
+    "index_incremental_bm25_parity",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

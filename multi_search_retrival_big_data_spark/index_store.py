@@ -648,6 +648,39 @@ def tfidf_postings_incremental(
     return spark.table(name)
 
 
+def bm25_postings_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    base_filter: str,
+    delta_filter: str,
+) -> DataFrame:
+    """Incremental BM25 maintenance under a FROZEN model — the BM25
+    sibling of tfidf_postings_incremental: the (term, idf) table
+    (floored Okapi idf) and avgdl are fit from the BASE slice and
+    frozen, the DELTA slice's postings are computed by
+    sparse.transform_bm25 (delta-only tf + per-doc dl; corpus stats
+    stay frozen) and appended into the same term buckets. After drift,
+    refit offline and swap generations. Rebuilt every call — exists to
+    PROVE the append path (index_incremental_bm25_parity)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    base = docs.filter(base_filter)
+    name = _table_name("bm25inc", sf_dir, "11", "documents")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _drop_stale_location(spark, name)
+    sparse.write_postings_bucketed(sparse.fit_bm25(base), name)
+    tf_base = sparse.term_counts(base)
+    idf, avgdl = sparse.bm25_model(tf_base, base)
+    delta_post = sparse.transform_bm25(docs.filter(delta_filter), idf, avgdl)
+    (
+        delta_post.write.mode("append")
+        .bucketBy(POSTINGS_BUCKETS, "term")
+        .sortBy("term")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
 def sq8_codes_incremental(
     spark: SparkSession,
     sf_dir: str,

@@ -240,24 +240,8 @@ def fit_bm25(
     negative idf (common terms, df > N/2) to epsilon · avg(idf) —
     replicated here as a conditional against the vocabulary average."""
     tf = term_counts(docs, id_col, text_col, ngram_range)
-    dfreq = doc_frequencies(tf)
-    n = _corpus_size(docs, id_col)
+    idf, avgdl = bm25_model(tf, docs, id_col, epsilon)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
-    idf = (
-        dfreq.crossJoin(F.broadcast(n))
-        .withColumn(
-            "idf_raw",
-            F.log((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))),
-        )
-    )
-    avg_idf = idf.agg(F.avg("idf_raw").alias("avg_idf"))
-    idf = idf.crossJoin(F.broadcast(avg_idf)).select(
-        "term",
-        F.when(F.col("idf_raw") < 0, F.lit(epsilon) * F.col("avg_idf"))
-        .otherwise(F.col("idf_raw"))
-        .alias("idf"),
-    )
     out = (
         tf.join(idf, "term")
         .join(dl, "doc_id")
@@ -276,6 +260,73 @@ def fit_bm25(
         )
     )
     return out.cache() if cache else out
+
+
+def bm25_model(
+    tf: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    epsilon: float = BM25_EPSILON,
+) -> tuple[DataFrame, DataFrame]:
+    """The BM25 MODEL — (idf(term, idf), avgdl 1-row) — factored out
+    of fit_bm25 so the incremental append path can freeze it: Okapi
+    idf with rank_bm25's epsilon·avg(idf) floor for common terms, and
+    the corpus average document length. Both are corpus statistics —
+    the text-side train/add boundary (see transform_bm25)."""
+    dfreq = doc_frequencies(tf)
+    n = _corpus_size(docs, id_col)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    idf = dfreq.crossJoin(F.broadcast(n)).withColumn(
+        "idf_raw",
+        F.log((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))),
+    )
+    avg_idf = idf.agg(F.avg("idf_raw").alias("avg_idf"))
+    idf = idf.crossJoin(F.broadcast(avg_idf)).select(
+        "term",
+        F.when(F.col("idf_raw") < 0, F.lit(epsilon) * F.col("avg_idf"))
+        .otherwise(F.col("idf_raw"))
+        .alias("idf"),
+    )
+    return idf, avgdl
+
+
+def transform_bm25(
+    docs: DataFrame,
+    idf_model: DataFrame,
+    avgdl: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_range: tuple[int, int] = (1, 1),
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25's transform half: weight NEW documents under a FROZEN
+    model — the (term, idf) table (vocabulary + floored Okapi idf) and
+    the 1-row avgdl. Out-of-vocabulary terms drop; each delta doc's
+    own length enters the saturation denominator but the corpus
+    statistics stay frozen (dl is per-row state, avgdl/idf are model
+    state — the same split transform_tfidf makes). Returns rows in the
+    (term, doc_id, score_w) posting schema, ready to append."""
+    tf = term_counts(docs, id_col, text_col, ngram_range)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return (
+        tf.join(idf_model, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "term",
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1) * (1 - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score_w"),
+        )
+    )
 
 
 def bm25_score(

@@ -407,3 +407,78 @@ def index_incremental_tfidf_parity(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("g")
     )
+
+
+@query(
+    "index_incremental_bm25_parity",
+    oracle=rf"""
+    WITH t1 AS (SELECT CAST(floor(max(doc_id) * 0.6) AS BIGINT) AS v FROM documents),
+    btok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+      FROM documents, t1 WHERE doc_id < t1.v
+    ),
+    btf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM btok GROUP BY 1, 2),
+    bdf AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
+    bn AS (SELECT COUNT(*) AS n FROM documents, t1 WHERE doc_id < t1.v),
+    bdl AS (SELECT doc_id, SUM(tf) AS dl FROM btf GROUP BY 1),
+    bavgdl AS (SELECT AVG(dl) AS avgdl FROM bdl),
+    idf0 AS (
+      SELECT term, ln((n.n - d.df + 0.5) / (d.df + 0.5)) AS idf_raw
+      FROM bdf d CROSS JOIN bn n
+    ),
+    avgidf AS (SELECT AVG(idf_raw) AS avg_idf FROM idf0),
+    model AS (
+      SELECT term,
+             CASE WHEN idf_raw < 0 THEN 0.25 * a.avg_idf ELSE idf_raw END AS idf
+      FROM idf0 CROSS JOIN avgidf a
+    ),
+    bpost AS (
+      SELECT f.term, f.doc_id,
+             m.idf * (f.tf * 2.5)
+               / (f.tf + 1.5 * (1 - 0.75 + 0.75 * l.dl / a.avgdl)) AS score_w
+      FROM btf f JOIN model m USING (term) JOIN bdl l USING (doc_id)
+      CROSS JOIN bavgdl a
+    ),
+    dtok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+      FROM documents, t1 WHERE doc_id >= t1.v
+    ),
+    dtf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM dtok GROUP BY 1, 2),
+    ddl AS (SELECT doc_id, SUM(tf) AS dl FROM dtf GROUP BY 1),
+    dpost AS (
+      SELECT f.term, f.doc_id,
+             m.idf * (f.tf * 2.5)
+               / (f.tf + 1.5 * (1 - 0.75 + 0.75 * l.dl / a.avgdl)) AS score_w
+      FROM dtf f JOIN model m USING (term) JOIN ddl l USING (doc_id)
+      CROSS JOIN bavgdl a
+    ),
+    allp AS (SELECT * FROM bpost UNION ALL SELECT * FROM dpost)
+    SELECT CAST(doc_id % 16 AS BIGINT) AS g, count(*) AS n_postings,
+           {sql_dsum('score_w', 6)} AS w_sum
+    FROM allp GROUP BY 1 ORDER BY g
+    """,
+)
+def index_incremental_bm25_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 maintenance proof
+    (index_store.bm25_postings_incremental): postings fit from the
+    base slice under the frozen (idf, avgdl) model, delta documents
+    appended via sparse.transform_bm25 (delta-only tf + per-doc
+    length; corpus statistics frozen, OOV terms drop). The oracle
+    re-derives the base model (Okapi idf with rank_bm25's
+    epsilon·avg(idf) floor, base avgdl) and both posting sets from raw
+    text — both text scorers (TF-IDF and BM25) now have proven
+    append-without-refit paths."""
+    base_f, (d1, d2) = index_store.incremental_split_filters(
+        spark, sf_dir, table="documents", id_col="doc_id"
+    )
+    t = index_store.bm25_postings_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})"
+    )
+    return (
+        t.groupBy((F.col("doc_id") % 16).cast("bigint").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            dsum(F.col("score_w"), 6).alias("w_sum"),
+        )
+        .orderBy("g")
+    )

@@ -122,3 +122,24 @@ def test_tfidf_incremental_append_matches_fit_plus_transform(spark, sf_dir):
     key = lambda r: (r["term"], r["doc_id"], round(r["weight"], 9))  # noqa: E731
     expected = sorted(map(key, want.collect() + delta.collect()))
     assert sorted(map(key, t.collect())) == expected
+
+
+def test_bm25_incremental_append_matches_fit_plus_transform(spark, sf_dir):
+    from multi_search_retrival_big_data_spark import index_store, tables
+    from multi_search_retrival_big_data_spark.operators import sparse
+
+    base_f, (d1, d2) = index_store.incremental_split_filters(
+        spark, sf_dir, table="documents", id_col="doc_id"
+    )
+    t = index_store.bm25_postings_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})"
+    )
+    docs = tables.load(spark, "documents", sf_dir)
+    base = docs.filter(base_f)
+    want_base = sparse.fit_bm25(base).collect()
+    idf, avgdl = sparse.bm25_model(sparse.term_counts(base), base)
+    want_delta = sparse.transform_bm25(
+        docs.filter(f"({d1}) OR ({d2})"), idf, avgdl
+    ).collect()
+    key = lambda r: (r["term"], r["doc_id"], round(r["score_w"], 9))  # noqa: E731
+    assert sorted(map(key, t.collect())) == sorted(map(key, want_base + want_delta))
