@@ -801,6 +801,84 @@ def lsh_bands_stream_incremental(
     return spark.table(name)
 
 
+def tfidf_postings_stream_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """STREAMING incremental TEXT-INDEX maintenance — the text sibling
+    of lsh_bands_stream_incremental: postings FIT from the base corpus
+    slice batch-side (vocabulary + idf frozen), then the delta slices
+    land as separate files in a watched directory and a real
+    Structured Streaming query (maxFilesPerTrigger=1 → one micro-batch
+    per file) appends each micro-batch's postings through a
+    foreachBatch sparse.transform_tfidf under the frozen model —
+    out-of-vocabulary terms drop per batch exactly as in the batch
+    transform, so the foreachBatch body IS the batch append body and
+    the result is micro-batch-boundary independent. The checkpoint log
+    gives exactly-once appends across restarts;
+    `index_incremental_tfidf_stream_parity` proves the post-stream
+    table ≡ the batch fit+transform answer."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    base_filter, delta_filters = incremental_split_filters(
+        spark, sf_dir, table="documents", id_col="doc_id"
+    )
+    name = _table_name("tfidfstr", sf_dir, "11", "documents")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _drop_stale_location(spark, name)
+    docs = tables.load(spark, "documents", sf_dir)
+    sparse.write_postings_bucketed(
+        sparse.fit_tfidf(docs.filter(base_filter)), name
+    )
+    model = spark.table(name).select("term", "idf").distinct().localCheckpoint()
+
+    landing = _tempfile.mkdtemp(prefix="tfidf_delta_landing_")
+    stage = _tempfile.mkdtemp(prefix="tfidf_delta_stage_")
+    for i, f in enumerate(delta_filters):
+        d = _os.path.join(stage, f"d{i}")
+        docs.filter(f).write.mode("overwrite").parquet(d)
+        for j, part in enumerate(sorted(_os.listdir(d))):
+            if part.endswith(".parquet"):
+                _shutil.copy(
+                    _os.path.join(d, part),
+                    _os.path.join(landing, f"delta_{i}_{j}.parquet"),
+                )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def _append_postings(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            sparse.transform_tfidf(batch_df, model)
+            .write.mode("append")
+            .bucketBy(POSTINGS_BUCKETS, "term")
+            .sortBy("term")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+
+    ckpt = _tempfile.mkdtemp(prefix="tfidf_stream_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(_append_postings)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    for d in (landing, stage, ckpt):
+        _shutil.rmtree(d, ignore_errors=True)
+    # the model read above cached this session's file listing for the
+    # table BEFORE the micro-batch sessions appended to it — refresh,
+    # or the final read silently serves the base-only snapshot
+    spark.catalog.refreshTable(name)
+    return spark.table(name)
+
+
 def lsh_bands_stream_latedata(
     spark: SparkSession,
     sf_dir: str,

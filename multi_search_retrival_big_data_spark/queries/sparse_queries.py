@@ -482,3 +482,71 @@ def index_incremental_bm25_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("g")
     )
+
+
+@query(
+    "index_incremental_tfidf_stream_parity",
+    oracle=rf"""
+    WITH t1 AS (SELECT CAST(floor(max(doc_id) * 0.6) AS BIGINT) AS v FROM documents),
+    btok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+      FROM documents, t1 WHERE doc_id < t1.v
+    ),
+    btf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM btok GROUP BY 1, 2),
+    bdf AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
+    bn AS (SELECT COUNT(*) AS n FROM documents, t1 WHERE doc_id < t1.v),
+    model AS (
+      SELECT term, ln((1.0 + n.n) / (1.0 + d.df)) + 1.0 AS idf
+      FROM bdf d CROSS JOIN bn n
+    ),
+    braw AS (
+      SELECT f.doc_id, f.term, f.tf * m.idf AS w_raw, m.idf AS idf
+      FROM btf f JOIN model m USING (term)
+    ),
+    bnorm AS (SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS nrm FROM braw GROUP BY 1),
+    bpost AS (
+      SELECT r.term, r.doc_id, r.w_raw / s.nrm AS weight, r.idf
+      FROM braw r JOIN bnorm s USING (doc_id)
+    ),
+    dtok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+      FROM documents, t1 WHERE doc_id >= t1.v
+    ),
+    dtf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM dtok GROUP BY 1, 2),
+    draw AS (
+      SELECT f.doc_id, f.term, f.tf * m.idf AS w_raw, m.idf AS idf
+      FROM dtf f JOIN model m USING (term)
+    ),
+    dnorm AS (SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS nrm FROM draw GROUP BY 1),
+    dpost AS (
+      SELECT r.term, r.doc_id, r.w_raw / s.nrm AS weight, r.idf
+      FROM draw r JOIN dnorm s USING (doc_id)
+    ),
+    allp AS (SELECT * FROM bpost UNION ALL SELECT * FROM dpost)
+    SELECT CAST(doc_id % 16 AS BIGINT) AS g, count(*) AS n_postings,
+           {sql_dsum('weight', 6)} AS w_sum,
+           {sql_dsum('idf', 6)} AS idf_sum
+    FROM allp GROUP BY 1 ORDER BY g
+    """,
+)
+def index_incremental_tfidf_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING text-index maintenance proof: the delta corpus lands
+    one file per micro-batch and a real Structured Streaming query
+    appends each batch's postings through a foreachBatch
+    transform-under-frozen-model
+    (index_store.tfidf_postings_stream_incremental). Per-doc weights
+    depend only on that doc's surviving terms and the frozen model, so
+    the result is micro-batch-boundary independent and the post-stream
+    table must equal the batch fit+transform answer (the SAME oracle
+    as index_incremental_tfidf_parity — batch append and streaming
+    append are interchangeable, which is the point)."""
+    t = index_store.tfidf_postings_stream_incremental(spark, sf_dir)
+    return (
+        t.groupBy((F.col("doc_id") % 16).cast("bigint").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            dsum(F.col("weight"), 6).alias("w_sum"),
+            dsum(F.col("idf"), 6).alias("idf_sum"),
+        )
+        .orderBy("g")
+    )

@@ -241,3 +241,17 @@ def test_sq8_incremental_append_matches_rebuild(spark, sf_dir):
     full = ann.sq8_encode(emb, bounds)
     key = lambda r: (r["vec_id"], tuple(r["codes"]))  # noqa: E731
     assert sorted(map(key, t.collect())) == sorted(map(key, full.collect()))
+
+
+def test_tfidf_stream_incremental_matches_batch_append(spark, sf_dir):
+    from multi_search_retrival_big_data_spark.operators import sparse
+
+    t = index_store.tfidf_postings_stream_incremental(spark, sf_dir)
+    base_f, (d1, d2) = index_store.incremental_split_filters(
+        spark, sf_dir, table="documents", id_col="doc_id"
+    )
+    batch = index_store.tfidf_postings_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})"
+    )
+    key = lambda r: (r["term"], r["doc_id"], round(r["weight"], 9))  # noqa: E731
+    assert sorted(map(key, t.collect())) == sorted(map(key, batch.collect()))
