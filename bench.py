@@ -211,6 +211,7 @@ OPTIONAL_QUERIES = [
     "ann_lsh_batch_topk",
     "index_incremental_tfidf_parity",
     "index_incremental_bm25_parity",
+    "monitor_text_oov_rate",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

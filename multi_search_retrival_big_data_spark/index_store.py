@@ -648,6 +648,33 @@ def tfidf_postings_incremental(
     return spark.table(name)
 
 
+def compact_postings_table(spark: SparkSession, src_name: str) -> DataFrame:
+    """Compaction for an append-grown bucketed postings table — the
+    repair step every streaming/batch append path eventually needs:
+    each append (batch or foreachBatch micro-batch) adds one file SET
+    per bucket, so after N appends a bucket holds N small files and
+    scan/listing cost creeps (the same pathology
+    sources.compact_parquet fixes for plain directories, here for
+    bucketed tables). Rewrites the table into a fresh `<name>_cmp`
+    generation with the SAME bucketBy/sortBy layout — one file set per
+    bucket, zero-Exchange reads preserved — leaving the source intact
+    for atomic swap-then-GC (gc_stale_index_tables drops the old
+    generation once nothing references it).
+    `index_compacted_tfidf_parity` proves the rewrite lossless."""
+    name = f"{src_name}_cmp"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _drop_stale_location(spark, name)
+    src = spark.table(src_name)
+    (
+        src.write.mode("overwrite")
+        .bucketBy(POSTINGS_BUCKETS, "term")
+        .sortBy("term")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
 def bm25_postings_incremental(
     spark: SparkSession,
     sf_dir: str,

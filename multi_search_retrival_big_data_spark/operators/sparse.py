@@ -614,3 +614,46 @@ def transform_tfidf(
         (F.col("w_raw") / F.col("__norm")).alias("weight"),
         "idf",
     )
+
+
+def oov_stats(
+    docs: DataFrame,
+    model_postings: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_range: tuple[int, int] = (1, 1),
+    analyzer: str = "word",
+) -> DataFrame:
+    """The retrain gauge for the frozen text model: per document, how
+    many term OCCURRENCES the frozen vocabulary would drop
+    (transform_tfidf/-bm25 silently discard out-of-vocabulary terms —
+    correct sklearn semantics, but at some drift level the model must
+    be refit; this is the number that says when). Returns
+    (id, total_occurrences, oov_occurrences, oov_rate). One delta-side
+    tf pass + a left join against the vocabulary — the same cost shape
+    as the transform itself, so a pipeline can emit the gauge for free
+    alongside every append. Aggregate per batch and alert on a
+    threshold; the drift sibling of monitor_token_drift."""
+    tf = term_counts(docs, id_col, text_col, ngram_range, analyzer)
+    vocab = model_postings.select("term").distinct().withColumn(
+        "__known", F.lit(1)
+    )
+    per_doc = (
+        tf.join(vocab, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("total_occurrences"),
+            F.sum(F.when(F.col("__known").isNull(), F.col("tf")).otherwise(F.lit(0.0)))
+            .cast("bigint")
+            .alias("oov_occurrences"),
+        )
+    )
+    return per_doc.select(
+        F.col("doc_id").alias(id_col) if id_col != "doc_id" else F.col("doc_id"),
+        "total_occurrences",
+        "oov_occurrences",
+        (
+            F.col("oov_occurrences").cast("double")
+            / F.col("total_occurrences").cast("double")
+        ).alias("oov_rate"),
+    )

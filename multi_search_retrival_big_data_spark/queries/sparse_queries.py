@@ -550,3 +550,142 @@ def index_incremental_tfidf_stream_parity(spark: SparkSession, sf_dir: str) -> D
         )
         .orderBy("g")
     )
+
+
+_TFIDF_INC_AGG_ORACLE = rf"""
+    WITH t1 AS (SELECT CAST(floor(max(doc_id) * 0.6) AS BIGINT) AS v FROM documents),
+    btok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+      FROM documents, t1 WHERE doc_id < t1.v
+    ),
+    btf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM btok GROUP BY 1, 2),
+    bdf AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
+    bn AS (SELECT COUNT(*) AS n FROM documents, t1 WHERE doc_id < t1.v),
+    model AS (
+      SELECT term, ln((1.0 + n.n) / (1.0 + d.df)) + 1.0 AS idf
+      FROM bdf d CROSS JOIN bn n
+    ),
+    braw AS (
+      SELECT f.doc_id, f.term, f.tf * m.idf AS w_raw, m.idf AS idf
+      FROM btf f JOIN model m USING (term)
+    ),
+    bnorm AS (SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS nrm FROM braw GROUP BY 1),
+    bpost AS (
+      SELECT r.term, r.doc_id, r.w_raw / s.nrm AS weight, r.idf
+      FROM braw r JOIN bnorm s USING (doc_id)
+    ),
+    dtok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+      FROM documents, t1 WHERE doc_id >= t1.v
+    ),
+    dtf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM dtok GROUP BY 1, 2),
+    draw AS (
+      SELECT f.doc_id, f.term, f.tf * m.idf AS w_raw, m.idf AS idf
+      FROM dtf f JOIN model m USING (term)
+    ),
+    dnorm AS (SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS nrm FROM draw GROUP BY 1),
+    dpost AS (
+      SELECT r.term, r.doc_id, r.w_raw / s.nrm AS weight, r.idf
+      FROM draw r JOIN dnorm s USING (doc_id)
+    ),
+    allp AS (SELECT * FROM bpost UNION ALL SELECT * FROM dpost)
+    SELECT CAST(doc_id % 16 AS BIGINT) AS g, count(*) AS n_postings,
+           {sql_dsum('weight', 6)} AS w_sum,
+           {sql_dsum('idf', 6)} AS idf_sum
+    FROM allp GROUP BY 1 ORDER BY g
+    """
+
+
+@query("index_compacted_tfidf_parity", oracle=_TFIDF_INC_AGG_ORACLE)
+def index_compacted_tfidf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings-table COMPACTION proof: the append-grown incremental
+    index (base fit + delta append = two file sets per bucket) is
+    rewritten into a fresh single-file-set-per-bucket generation
+    (index_store.compact_postings_table) and aggregated with the SAME
+    oracle as index_incremental_tfidf_parity — the rewrite is lossless
+    and the bucketed layout (zero-Exchange scoring joins) survives.
+    This is the repair step streaming appends eventually need: without
+    periodic compaction a foreachBatch-maintained index accretes one
+    small file set per micro-batch (the pathology
+    sink_compacted_parquet demonstrates for plain directories)."""
+    base_f, (d1, d2) = index_store.incremental_split_filters(
+        spark, sf_dir, table="documents", id_col="doc_id"
+    )
+    inc = index_store.tfidf_postings_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})"
+    )
+    name = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("msrbd_tfidfinc")
+    ][0]
+    t = index_store.compact_postings_table(spark, name)
+    return (
+        t.groupBy((F.col("doc_id") % 16).cast("bigint").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            dsum(F.col("weight"), 6).alias("w_sum"),
+            dsum(F.col("idf"), 6).alias("idf_sum"),
+        )
+        .orderBy("g")
+    )
+
+
+@query(
+    "monitor_text_oov_rate",
+    oracle=r"""
+    WITH t1 AS (SELECT CAST(floor(max(doc_id) * 0.6) AS BIGINT) AS v FROM documents),
+    t2 AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS v FROM documents),
+    btok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+      FROM documents, t1 WHERE doc_id < t1.v
+    ),
+    vocab AS (SELECT DISTINCT term FROM btok),
+    dtok AS (
+      SELECT CASE WHEN d.doc_id < t2.v THEN 'delta1' ELSE 'delta2' END AS batch,
+             unnest(regexp_extract_all(lower(d.text), '\w+')) AS term
+      FROM documents d, t1, t2 WHERE d.doc_id >= t1.v
+    ),
+    j AS (
+      SELECT d.batch, d.term, v.term AS known
+      FROM dtok d LEFT JOIN vocab v USING (term)
+    )
+    SELECT batch,
+           count(*) AS total_occurrences,
+           CAST(SUM(CASE WHEN known IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_occurrences,
+           SUM(CASE WHEN known IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM j GROUP BY batch ORDER BY batch
+    """,
+)
+def monitor_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen-model RETRAIN GAUGE (sparse.oov_stats): for each
+    incoming delta batch, the fraction of term occurrences the frozen
+    vocabulary drops. transform_tfidf/-bm25 discard OOV terms by
+    design (sklearn transform semantics); this query is the monitoring
+    row a pipeline publishes with every append so 'refit the text
+    model' is a measured decision, not a guess — the text sibling of
+    ann recall grids (vector retrain trigger) and monitor_token_drift
+    (corpus drift)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    base_f, (d1, d2) = index_store.incremental_split_filters(
+        spark, sf_dir, table="documents", id_col="doc_id"
+    )
+    model = sparse.fit_tfidf(docs.filter(base_f), cache=True)
+    out = None
+    for label, flt in (("delta1", d1), ("delta2", d2)):
+        st = sparse.oov_stats(docs.filter(flt), model)
+        row = st.agg(
+            F.sum("total_occurrences").cast("bigint").alias("total_occurrences"),
+            F.sum("oov_occurrences").cast("bigint").alias("oov_occurrences"),
+        ).select(
+            F.lit(label).alias("batch"),
+            "total_occurrences",
+            "oov_occurrences",
+            (
+                F.col("oov_occurrences").cast("double")
+                / F.col("total_occurrences").cast("double")
+            ).alias("oov_rate"),
+        )
+        out = row if out is None else out.union(row)
+    return out.orderBy("batch")

@@ -255,3 +255,34 @@ def test_tfidf_stream_incremental_matches_batch_append(spark, sf_dir):
     )
     key = lambda r: (r["term"], r["doc_id"], round(r["weight"], 9))  # noqa: E731
     assert sorted(map(key, t.collect())) == sorted(map(key, batch.collect()))
+
+
+def test_compact_postings_collapses_file_sets(spark, sf_dir):
+    import glob as _glob
+    import os as _os
+
+    base_f, (d1, d2) = index_store.incremental_split_filters(
+        spark, sf_dir, table="documents", id_col="doc_id"
+    )
+    inc = index_store.tfidf_postings_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})"
+    )
+    name = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("msrbd_tfidfinc")
+    ][0]
+    cmp_t = index_store.compact_postings_table(spark, name)
+    key = lambda r: (r["term"], r["doc_id"], round(r["weight"], 9))  # noqa: E731
+    assert sorted(map(key, cmp_t.collect())) == sorted(map(key, inc.collect()))
+
+    def n_files(tbl: str) -> int:
+        loc = (
+            spark.sql(f"DESCRIBE FORMATTED {tbl}")
+            .filter("col_name = 'Location'")
+            .collect()[0]["data_type"]
+        ).replace("file:", "")
+        return len(_glob.glob(_os.path.join(loc, "part-*")))
+
+    # base write + delta append = two file sets; compaction = one
+    assert n_files(f"{name}_cmp") < n_files(name)

@@ -35,6 +35,7 @@ SCALAR_BROADCAST_OK = {
     "sparse_multichannel_context",
     "dense_knn_by_id",       # 1-row reconstructed query vector
     "endpoint_image_search",  # same knn_by_id 1-row anchor, behind the facade
+    "monitor_text_oov_rate",  # fit_tfidf's 1-row corpus-size broadcast in the model branch
     "dense_rocchio_rerank",  # tiny vote set cross candidates
     "endpoint_feedback_rerank",  # same rocchio vote-set cross, behind the facade
     "group_hits_by_source",  # sparse scorer's 1-row qnorm broadcast
