@@ -648,6 +648,47 @@ def tfidf_postings_incremental(
     return spark.table(name)
 
 
+def multichannel_postings_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    base_filter: str,
+    delta_filter: str,
+    channels: dict[str, tuple[int, int]],
+) -> DataFrame:
+    """Incremental MULTICHANNEL text-index maintenance under frozen
+    per-channel models — the multichannel sibling of
+    tfidf_postings_incremental: all C channels are FIT from the base
+    slice in one pass (fit_tfidf_multichannel), then the delta slice's
+    postings for every channel are computed in ONE pass
+    (sparse.transform_tfidf_multichannel, frozen per-channel
+    vocab+idf) and appended into the same term buckets. Rebuilt every
+    call — exists to PROVE the append path
+    (index_incremental_multichannel_parity)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    variant = "_".join(f"{ch}{a}{b}" for ch, (a, b) in sorted(channels.items()))
+    name = _table_name("mcinc", sf_dir, variant, "documents")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _drop_stale_location(spark, name)
+    sparse.write_postings_bucketed(
+        sparse.fit_tfidf_multichannel(docs.filter(base_filter), channels), name
+    )
+    model = (
+        spark.table(name).select("channel", "term", "idf").distinct().localCheckpoint()
+    )
+    delta_post = sparse.transform_tfidf_multichannel(
+        docs.filter(delta_filter), model, channels
+    )
+    (
+        delta_post.write.mode("append")
+        .bucketBy(POSTINGS_BUCKETS, "term")
+        .sortBy("term")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    spark.catalog.refreshTable(name)
+    return spark.table(name)
+
+
 def compact_postings_table(spark: SparkSession, src_name: str) -> DataFrame:
     """Compaction for an append-grown bucketed postings table — the
     repair step every streaming/batch append path eventually needs:

@@ -657,3 +657,54 @@ def oov_stats(
             / F.col("total_occurrences").cast("double")
         ).alias("oov_rate"),
     )
+
+
+def transform_tfidf_multichannel(
+    docs: DataFrame,
+    model_postings: DataFrame,
+    channels: dict[str, tuple[int, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The multichannel transform half: weight NEW documents for ALL
+    channels in ONE pass under the FROZEN per-channel models carried
+    by an existing multichannel posting table — (channel, term, idf)
+    is the model, out-of-channel-vocabulary terms drop, and each
+    (channel, doc) pair L2-normalizes over its surviving terms. Same
+    single-plan shape as fit_tfidf_multichannel (one scan, one
+    explode, channel tag in the aggregation keys), so appending C
+    channels costs one delta pass, not C."""
+    toks = tokenize(F.col(text_col))
+
+    def _tag(name: str):
+        return lambda t: F.struct(F.lit(name).alias("channel"), t.alias("term"))
+
+    tagged = []
+    for name, ngr in channels.items():
+        terms = toks if ngr == (1, 1) else word_ngrams_range(toks, ngr[0], ngr[1])
+        tagged.append(F.transform(terms, _tag(name)))
+    exploded = (
+        ensure_min_partitions(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.flatten(F.array(*tagged))).alias("e"),
+        )
+        .select("doc_id", "e.channel", "e.term")
+    )
+    tf = exploded.groupBy("channel", "doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    model = model_postings.select("channel", "term", "idf").distinct()
+    raw = tf.join(model, ["channel", "term"]).withColumn(
+        "w_raw", F.col("tf") * F.col("idf")
+    )
+    norms = raw.groupBy("channel", "doc_id").agg(
+        F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("__norm")
+    )
+    return raw.join(norms, ["channel", "doc_id"]).select(
+        "channel",
+        "term",
+        "doc_id",
+        (F.col("w_raw") / F.col("__norm")).alias("weight"),
+        "idf",
+    )

@@ -689,3 +689,105 @@ def monitor_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.union(row)
     return out.orderBy("batch")
+
+
+_MC_INC_CHANNELS = {"w": (1, 1), "b": (2, 2), "t": (3, 3)}
+
+
+def _mc_inc_channel_ctes(c: str, g: int) -> str:
+    """Base-model + base/delta posting CTEs for one channel (gram
+    length g), namespaced `{c}`; expects t1 and the shared btoks/dtoks
+    token-array CTEs."""
+    return f"""
+    {c}btok AS (
+      SELECT doc_id, array_to_string(t[s:s+{g - 1}], ' ') AS term
+      FROM btoks, pos WHERE s <= len(t) - {g} + 1
+    ),
+    {c}btf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM {c}btok GROUP BY 1, 2),
+    {c}bdf AS (SELECT term, COUNT(*) AS df FROM {c}btf GROUP BY 1),
+    {c}model AS (
+      SELECT term, ln((1.0 + n.n) / (1.0 + d.df)) + 1.0 AS idf
+      FROM {c}bdf d CROSS JOIN bn n
+    ),
+    {c}braw AS (
+      SELECT f.doc_id, f.term, f.tf * m.idf AS w_raw, m.idf AS idf
+      FROM {c}btf f JOIN {c}model m USING (term)
+    ),
+    {c}bnorm AS (SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS nrm FROM {c}braw GROUP BY 1),
+    {c}bpost AS (
+      SELECT '{c}' AS channel, r.term, r.doc_id, r.w_raw / s.nrm AS weight, r.idf
+      FROM {c}braw r JOIN {c}bnorm s USING (doc_id)
+    ),
+    {c}dtok AS (
+      SELECT doc_id, array_to_string(t[s:s+{g - 1}], ' ') AS term
+      FROM dtoks, pos WHERE s <= len(t) - {g} + 1
+    ),
+    {c}dtf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM {c}dtok GROUP BY 1, 2),
+    {c}draw AS (
+      SELECT f.doc_id, f.term, f.tf * m.idf AS w_raw, m.idf AS idf
+      FROM {c}dtf f JOIN {c}model m USING (term)
+    ),
+    {c}dnorm AS (SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS nrm FROM {c}draw GROUP BY 1),
+    {c}dpost AS (
+      SELECT '{c}' AS channel, r.term, r.doc_id, r.w_raw / s.nrm AS weight, r.idf
+      FROM {c}draw r JOIN {c}dnorm s USING (doc_id)
+    )"""
+
+
+@query(
+    "index_incremental_multichannel_parity",
+    oracle=rf"""
+    WITH t1 AS (SELECT CAST(floor(max(doc_id) * 0.6) AS BIGINT) AS v FROM documents),
+    btoks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+      FROM documents, t1 WHERE doc_id < t1.v
+    ),
+    dtoks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+      FROM documents, t1 WHERE doc_id >= t1.v
+    ),
+    pos AS (
+      SELECT CAST(unnest(range(1,
+        (SELECT MAX(len(regexp_extract_all(lower(text), '\w+'))) FROM documents) + 1)) AS INT) AS s
+    ),
+    bn AS (SELECT COUNT(*) AS n FROM documents, t1 WHERE doc_id < t1.v),
+    {",".join(_mc_inc_channel_ctes(c, g[0]) for c, g in _MC_INC_CHANNELS.items())},
+    allp AS (
+      {" UNION ALL ".join(
+        f"SELECT * FROM {c}bpost UNION ALL SELECT * FROM {c}dpost"
+        for c in _MC_INC_CHANNELS
+      )}
+    )
+    SELECT channel, CAST(doc_id % 8 AS BIGINT) AS g, count(*) AS n_postings,
+           {sql_dsum('weight', 6)} AS w_sum,
+           {sql_dsum('idf', 6)} AS idf_sum
+    FROM allp GROUP BY 1, 2 ORDER BY channel, g
+    """,
+)
+def index_incremental_multichannel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MULTICHANNEL index proof
+    (index_store.multichannel_postings_incremental): all three n-gram
+    channels fit from the base slice in one pass, the delta's postings
+    for every channel computed in ONE pass under the frozen
+    per-channel models (sparse.transform_tfidf_multichannel) and
+    appended into the same term buckets. The oracle re-derives each
+    channel's model and both posting sets from raw text — the
+    reference's core 4-channel serving structure
+    (object_retrieval.py:113-145 fits one vectorizer per channel over
+    the whole corpus on every ingest) now grows by a single
+    delta-pass append."""
+    base_f, (d1, d2) = index_store.incremental_split_filters(
+        spark, sf_dir, table="documents", id_col="doc_id"
+    )
+    t = index_store.multichannel_postings_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})", _MC_INC_CHANNELS
+    )
+    return (
+        t.groupBy("channel", (F.col("doc_id") % 8).cast("bigint").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            dsum(F.col("weight"), 6).alias("w_sum"),
+            dsum(F.col("idf"), 6).alias("idf_sum"),
+        )
+        .orderBy("channel", "g")
+    )

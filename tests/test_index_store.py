@@ -286,3 +286,24 @@ def test_compact_postings_collapses_file_sets(spark, sf_dir):
 
     # base write + delta append = two file sets; compaction = one
     assert n_files(f"{name}_cmp") < n_files(name)
+
+
+def test_multichannel_incremental_append_matches_fit_plus_transform(spark, sf_dir):
+    from multi_search_retrival_big_data_spark.operators import sparse
+
+    ch = {"w": (1, 1), "b": (2, 2)}
+    base_f, (d1, d2) = index_store.incremental_split_filters(
+        spark, sf_dir, table="documents", id_col="doc_id"
+    )
+    t = index_store.multichannel_postings_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})", ch
+    )
+    docs = tables.load(spark, "documents", sf_dir)
+    want = sparse.fit_tfidf_multichannel(docs.filter(base_f), ch)
+    want_delta = sparse.transform_tfidf_multichannel(
+        docs.filter(f"({d1}) OR ({d2})"), want, ch
+    )
+    key = lambda r: (r["channel"], r["term"], r["doc_id"], round(r["weight"], 9))  # noqa: E731
+    assert sorted(map(key, t.collect())) == sorted(
+        map(key, want.collect() + want_delta.collect())
+    )
