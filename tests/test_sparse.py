@@ -143,3 +143,34 @@ def test_bm25_incremental_append_matches_fit_plus_transform(spark, sf_dir):
     ).collect()
     key = lambda r: (r["term"], r["doc_id"], round(r["score_w"], 9))  # noqa: E731
     assert sorted(map(key, t.collect())) == sorted(map(key, want_base + want_delta))
+
+
+def test_transform_reproduces_fit_for_in_corpus_docs(spark):
+    # Sharp invariant behind the append-parity proofs: for a document
+    # that was IN the fitted corpus, transform under that corpus's
+    # frozen model reproduces its fit postings bit-for-bit (weights
+    # depend only on the doc's tf vector and the model idf).
+    from multi_search_retrival_big_data_spark.operators import sparse
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma beta") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    fit = sparse.fit_tfidf(docs, cache=True)
+    redone = sparse.transform_tfidf(docs, fit)
+    key = lambda r: (r["term"], r["doc_id"], r["weight"], r["idf"])  # noqa: E731
+    assert sorted(map(key, redone.collect())) == sorted(map(key, fit.collect()))
+
+
+def test_bm25_transform_reproduces_fit_for_in_corpus_docs(spark):
+    from multi_search_retrival_big_data_spark.operators import sparse
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma beta beta") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    fit = sparse.fit_bm25(docs, cache=True)
+    idf, avgdl = sparse.bm25_model(sparse.term_counts(docs), docs)
+    redone = sparse.transform_bm25(docs, idf, avgdl)
+    key = lambda r: (r["term"], r["doc_id"], r["score_w"])  # noqa: E731
+    assert sorted(map(key, redone.collect())) == sorted(map(key, fit.collect()))
