@@ -114,13 +114,12 @@ SKEW_QUERIES = [
     "curation_pack_bins",
     "curation_weighted_sample_per_lang",
     "pipeline_curation_end_to_end",
+    # r5: the dedup PRODUCT table now runs the capped production
+    # config, so the planted viral-boilerplate mega cluster exercises
+    # exactly its guard — the skew ratio shows the winner election on
+    # top of the capped candidates costs ~nothing under a hot cluster
+    "dedup_keep_canonical",
 ]
-# NOTE: dedup_keep_canonical deliberately does NOT join the skew tier:
-# it rides the UNCAPPED candidate path (its oracle is the uncapped
-# recursive closure), so under the planted viral-boilerplate cluster
-# it would re-measure the documented uncapped explosion, not the
-# winner election. The capped twin's skew behavior is already pinned
-# by dedup_minhash_lsh_capped + dedup_cluster_components_capped.
 
 # byte-identical boilerplate planted on ~2% of skew-tier rows — the
 # viral-page shape: every copy lands in the SAME LSH buckets

@@ -424,7 +424,14 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives clusters via the recursive closure and elects
     winners with an explicit row_number window. Winner election runs
     on the membership table only (≪ corpus); the corpus pays one left
-    equi-join on the unique id — no corpus-wide window, no skew."""
+    equi-join on the unique id — no corpus-wide window, no skew.
+
+    Runs the PRODUCTION config: CAPPED candidates (max_bucket — the
+    viral-boilerplate guard) feeding the auto components router. The
+    oracle is the UNCAPPED recursive closure, so this row passing
+    doubles as the cap-soundness proof for the product table (same
+    argument as dedup_cluster_components_capped: a spanning pair set
+    per mega bucket preserves every cluster, hence every winner)."""
     from multi_search_retrival_big_data_spark import index_store
 
     docs = tables.load(spark, "documents", sf_dir)
@@ -435,6 +442,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         JACCARD_THRESHOLD,
         shingles=index_store.doc_shingles(spark, sf_dir),
         signatures=index_store.minhash_sigs(spark, sf_dir),
+        max_bucket=LSH_MAX_BUCKET,
     )
     comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
     return dedup.keep_canonical(docs, comp, "doc_id", "n_chars").orderBy("doc_id")
