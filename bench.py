@@ -369,7 +369,7 @@ def main() -> None:
     timings = _time_queries(spark, qs, names, sf_dir, spreads)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
-        "metric": "total wall-clock over headline queries (each the median of 3 runs)",
+        "metric": "total wall-clock over headline queries (median of 3 runs; 5 for drift_watch entries)",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,

@@ -696,7 +696,10 @@ def compact_postings_table(spark: SparkSession, src_name: str) -> DataFrame:
     per bucket, so after N appends a bucket holds N small files and
     scan/listing cost creeps (the same pathology
     sources.compact_parquet fixes for plain directories, here for
-    bucketed tables). Rewrites the table into a fresh `<name>_cmp`
+    bucketed tables); the reference's analogue is the whole-corpus
+    regenerate-and-swap its skip-if-exists re-ingest implies
+    (/root/reference/data_extraction/clip/clip.ipynb cell 7). Rewrites
+    the table into a fresh `<name>_cmp`
     generation with the SAME bucketBy/sortBy layout — one file set per
     bucket, zero-Exchange reads preserved — leaving the source intact
     for atomic swap-then-GC (gc_stale_index_tables drops the old

@@ -92,6 +92,20 @@ def query_bands(
     return [(b, sig[b * rows : (b + 1) * rows]) for b in range(bands)]
 
 
+def _subset_semi_join(
+    df: DataFrame, subset: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Shared filtered-mode contract for every ANN serving path: when
+    `subset` (an allowed-id DataFrame, first column = the ids) is
+    given, restrict `df` to it with a left-semi join; otherwise
+    pass-through. Centralized so the contract (column-0 convention,
+    semi-join placement) changes in one place."""
+    if subset is None:
+        return df
+    allowed = subset.select(F.col(subset.columns[0]).alias(id_col))
+    return df.join(allowed, id_col, "left_semi")
+
+
 def banded_signatures(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -160,18 +174,14 @@ def ann_lsh_topk(
     if round_to is not None:
         score = det_round(score, round_to)
 
-    def _restrict(df: DataFrame) -> DataFrame:
-        if subset is None:
-            return df
-        allowed = subset.select(F.col(subset.columns[0]).alias(id_col))
-        return df.join(allowed, id_col, "left_semi")
-
     if banded is not None:
         cond = None
         for b, qband in query_bands(qsig, bands, rows):
             c = (F.col("band") == b) & (F.col("bval") == F.lit(qband))
             cond = c if cond is None else cond | c
-        cand = _restrict(banded.filter(cond).select(id_col).distinct())
+        cand = _subset_semi_join(
+            banded.filter(cond).select(id_col).distinct(), subset, id_col
+        )
         return (
             emb.join(cand, id_col, "left_semi")
             .select(F.col(id_col), score.alias("score"))
@@ -184,8 +194,8 @@ def ann_lsh_topk(
     for b, qband in query_bands(qsig, bands, rows):
         c = F.substring(F.col("__sig"), b * rows + 1, rows) == F.lit(qband)
         cond = c if cond is None else cond | c
-    return _restrict(
-        emb.withColumn("__sig", sig).filter(cond)
+    return _subset_semi_join(
+        emb.withColumn("__sig", sig).filter(cond), subset, id_col
     ).select(F.col(id_col), score.alias("score")).orderBy(
         F.desc("score"), F.asc(id_col)
     ).limit(k)
@@ -525,21 +535,19 @@ def ann_ivf_topk(
     score = cosine_sim(vec_col, q)
     if round_to is not None:
         score = det_round(score, round_to)
-    def _restrict(df: DataFrame) -> DataFrame:
-        if subset is None:
-            return df
-        allowed = subset.select(F.col(subset.columns[0]).alias(id_col))
-        return df.join(allowed, id_col, "left_semi")
-
     if vec_col in assign.columns:
         # co-located layout: rank inside the pruned partitions
-        cand = _restrict(assign.join(F.broadcast(probed), "cid"))
+        cand = _subset_semi_join(
+            assign.join(F.broadcast(probed), "cid"), subset, id_col
+        )
         return (
             cand.select(F.col(id_col), score.alias("score"))
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k)
         )
-    cand_ids = _restrict(assign.join(F.broadcast(probed), "cid").select(id_col))
+    cand_ids = _subset_semi_join(
+        assign.join(F.broadcast(probed), "cid").select(id_col), subset, id_col
+    )
     return (
         emb.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), score.alias("score"))
@@ -591,7 +599,9 @@ def batch_lsh_topk(
     banded: DataFrame | None = None,
 ) -> DataFrame:
     """Batched multi-query LSH top-k — the serving-amortization shape
-    applied to the banding table: every query's band signature is
+    (reference batching precedent: faiss_processing.py:307-314, the
+    FAISS query-matrix search) applied to the banding table: every
+    query's band signature is
     computed on the driver (pure Python, `signature_of`), the UNION of
     all probed (band, bval) keys becomes ONE partition-pruning
     predicate over the persisted banding, a request-sized
@@ -670,7 +680,10 @@ def batch_ivf_topk(
     assign: DataFrame | None = None,
 ) -> DataFrame:
     """Batched multi-query IVF top-k — the serving-amortization shape
-    (dense/sparse/PQ batch paths) applied to the inverted lists:
+    (dense/sparse/PQ batch paths; the reference batches its feedback
+    searches through FAISS's query matrix the same way —
+    /root/reference/utils/faiss_processing.py:307-314) applied to the
+    inverted lists:
     `queries` is the request batch [(query_id, qvec), ...]
     (driver-sized, like FAISS's query matrix). Each query's nprobe
     cells are elected on the DRIVER against the collected centroid
@@ -1075,12 +1088,6 @@ def ann_ivfpq_adc_topk(
 
     from multi_search_retrival_big_data_spark.functions.vector import l2_dist
 
-    def _restrict(df: DataFrame) -> DataFrame:
-        if subset is None:
-            return df
-        allowed = subset.select(F.col(subset.columns[0]).alias(id_col))
-        return df.join(allowed, id_col, "left_semi")
-
     q = lit_vec(query_vec)
     dim = len(query_vec)
     dsub = dim // m
@@ -1112,7 +1119,9 @@ def ann_ivfpq_adc_topk(
                     vals.append(d * d)
                 arrs.append(vals)
             cell_luts.append((cid, arrs))
-        out = _restrict(codes.filter(F.col("cid").isin(probe_cids)))
+        out = _subset_semi_join(
+            codes.filter(F.col("cid").isin(probe_cids)), subset, id_col
+        )
         score = None
         for i in range(m):
             chain = None
@@ -1139,7 +1148,9 @@ def ann_ivfpq_adc_topk(
         "cid", F.zip_with(q, F.col("cv").cast("array<double>"), lambda a, b: a - b).alias("__qr")
     )
     luts = qres.join(F.broadcast(codebook), F.lit(True))
-    out = _restrict(codes.join(F.broadcast(probed.select("cid")), "cid"))
+    out = _subset_semi_join(
+        codes.join(F.broadcast(probed.select("cid")), "cid"), subset, id_col
+    )
     for i in range(m):
         d = l2_dist(F.slice("__qr", i * dsub + 1, dsub), "cv")
         lut_i = (
@@ -1242,9 +1253,7 @@ def ann_sq8_topk(
     semi-join is shuffle-free."""
     from multi_search_retrival_big_data_spark.functions.vector import l2_dist
 
-    if subset is not None:
-        allowed = subset.select(F.col(subset.columns[0]).alias(id_col))
-        codes = codes.join(allowed, id_col, "left_semi")
+    codes = _subset_semi_join(codes, subset, id_col)
     b = sorted(
         ((int(r["dim"]), float(r["vmin"]), float(r["vmax"])) for r in bounds.collect())
     )

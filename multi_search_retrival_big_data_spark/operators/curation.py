@@ -356,7 +356,10 @@ def quality_quantile_filter(
 ) -> DataFrame:
     """Per-group quality-threshold filter — 'keep the top `keep_frac`
     of documents per language by quality score' (the FineWeb/Gopher
-    curation step that follows scoring) — computed WITHOUT a
+    curation step that follows scoring; the reference serves an
+    already-curated corpus — /root/reference/data_extraction/clip/
+    clip.ipynb cell 7 ingests whatever survived offline curation —
+    this operator IS that offline step) — computed WITHOUT a
     corpus-wide window, because the group key is a language and
     language keys are maximally skewed (one hot 'en' partition would
     serialize a rank()-based cut).
@@ -403,7 +406,10 @@ N_SHARDS = 8
 def assign_shards(
     docs: DataFrame, id_col: str, n_shards: int = N_SHARDS
 ) -> DataFrame:
-    """Deterministic training-shard assignment — the 'global shuffle +
+    """Deterministic training-shard assignment (the reference's
+    deterministic id→path enumeration —
+    /root/reference/utils/faiss_processing.py:44-57 — scaled from one
+    sorted dict to hashed shards) — the 'global shuffle +
     shard' export step every tokenizer-bound pipeline ends with: shard
     = md5-derived-uint32(id) mod n_shards, and a row-local
     `sort_key` (the same md5 integer) whose within-shard ascending

@@ -702,7 +702,11 @@ def keep_canonical(
     node_col: str = "node",
 ) -> DataFrame:
     """The dedup PRODUCT: per-document keep/drop decisions given a
-    duplicate-cluster table (connected_components* output) — every
+    duplicate-cluster table (connected_components* output). Nearest
+    reference behavior: the idempotent skip-if-exists re-ingest
+    (/root/reference/data_extraction/clip/clip.ipynb cell 7,
+    SKIP_EXISTING — "keep the first copy per id"), generalized to
+    content-level clusters: every
     cluster keeps exactly one canonical representative (highest
     `quality_col`, ties to the smallest id — 'keep the longest/best
     member', the standard crawl-dedup rule), every unclustered

@@ -308,6 +308,7 @@ def transform_bm25(
     statistics stay frozen (dl is per-row state, avgdl/idf are model
     state — the same split transform_tfidf makes). Returns rows in the
     (term, doc_id, score_w) posting schema, ready to append."""
+    # term_counts normalizes the id column to "doc_id"; alias back out
     tf = term_counts(docs, id_col, text_col, ngram_range)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     return (
@@ -316,7 +317,7 @@ def transform_bm25(
         .crossJoin(F.broadcast(avgdl))
         .select(
             "term",
-            "doc_id",
+            F.col("doc_id").alias(id_col),
             (
                 F.col("idf")
                 * (F.col("tf") * F.lit(k1 + 1.0))
@@ -600,17 +601,20 @@ def transform_tfidf(
     train/add boundary transplanted to text; after heavy drift the
     index is refit offline and swapped (index_store generations +
     gc_stale_index_tables)."""
+    # term_counts normalizes the id column to "doc_id" internally —
+    # group/join on that and alias back out, so a non-default id_col
+    # works (the multichannel transform already does this)
     tf = term_counts(docs, id_col, text_col, ngram_range, analyzer)
     model = model_postings.select("term", "idf").distinct()
     raw = tf.join(model, "term").withColumn(
         "w_raw", F.col("tf") * F.col("idf")
     )
-    norms = raw.groupBy(id_col).agg(
+    norms = raw.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("__norm")
     )
-    return raw.join(norms, id_col).select(
+    return raw.join(norms, "doc_id").select(
         "term",
-        id_col,
+        F.col("doc_id").alias(id_col),
         (F.col("w_raw") / F.col("__norm")).alias("weight"),
         "idf",
     )
@@ -649,7 +653,7 @@ def oov_stats(
         )
     )
     return per_doc.select(
-        F.col("doc_id").alias(id_col) if id_col != "doc_id" else F.col("doc_id"),
+        F.col("doc_id").alias(id_col),
         "total_occurrences",
         "oov_occurrences",
         (

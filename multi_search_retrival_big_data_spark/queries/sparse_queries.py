@@ -333,9 +333,7 @@ from multi_search_retrival_big_data_spark.queries.common import (  # noqa: E402
 )
 
 
-@query(
-    "index_incremental_tfidf_parity",
-    oracle=rf"""
+_TFIDF_INC_AGG_ORACLE = rf"""
     WITH t1 AS (SELECT CAST(floor(max(doc_id) * 0.6) AS BIGINT) AS v FROM documents),
     btok AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
@@ -376,7 +374,12 @@ from multi_search_retrival_big_data_spark.queries.common import (  # noqa: E402
            {sql_dsum('weight', 6)} AS w_sum,
            {sql_dsum('idf', 6)} AS idf_sum
     FROM allp GROUP BY 1 ORDER BY g
-    """,
+    """
+
+
+@query(
+    "index_incremental_tfidf_parity",
+    oracle=_TFIDF_INC_AGG_ORACLE,
 )
 def index_incremental_tfidf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental text-index maintenance proof
@@ -486,48 +489,7 @@ def index_incremental_bm25_parity(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "index_incremental_tfidf_stream_parity",
-    oracle=rf"""
-    WITH t1 AS (SELECT CAST(floor(max(doc_id) * 0.6) AS BIGINT) AS v FROM documents),
-    btok AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
-      FROM documents, t1 WHERE doc_id < t1.v
-    ),
-    btf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM btok GROUP BY 1, 2),
-    bdf AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
-    bn AS (SELECT COUNT(*) AS n FROM documents, t1 WHERE doc_id < t1.v),
-    model AS (
-      SELECT term, ln((1.0 + n.n) / (1.0 + d.df)) + 1.0 AS idf
-      FROM bdf d CROSS JOIN bn n
-    ),
-    braw AS (
-      SELECT f.doc_id, f.term, f.tf * m.idf AS w_raw, m.idf AS idf
-      FROM btf f JOIN model m USING (term)
-    ),
-    bnorm AS (SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS nrm FROM braw GROUP BY 1),
-    bpost AS (
-      SELECT r.term, r.doc_id, r.w_raw / s.nrm AS weight, r.idf
-      FROM braw r JOIN bnorm s USING (doc_id)
-    ),
-    dtok AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
-      FROM documents, t1 WHERE doc_id >= t1.v
-    ),
-    dtf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM dtok GROUP BY 1, 2),
-    draw AS (
-      SELECT f.doc_id, f.term, f.tf * m.idf AS w_raw, m.idf AS idf
-      FROM dtf f JOIN model m USING (term)
-    ),
-    dnorm AS (SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS nrm FROM draw GROUP BY 1),
-    dpost AS (
-      SELECT r.term, r.doc_id, r.w_raw / s.nrm AS weight, r.idf
-      FROM draw r JOIN dnorm s USING (doc_id)
-    ),
-    allp AS (SELECT * FROM bpost UNION ALL SELECT * FROM dpost)
-    SELECT CAST(doc_id % 16 AS BIGINT) AS g, count(*) AS n_postings,
-           {sql_dsum('weight', 6)} AS w_sum,
-           {sql_dsum('idf', 6)} AS idf_sum
-    FROM allp GROUP BY 1 ORDER BY g
-    """,
+    oracle=_TFIDF_INC_AGG_ORACLE,
 )
 def index_incremental_tfidf_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING text-index maintenance proof: the delta corpus lands
@@ -552,48 +514,6 @@ def index_incremental_tfidf_stream_parity(spark: SparkSession, sf_dir: str) -> D
     )
 
 
-_TFIDF_INC_AGG_ORACLE = rf"""
-    WITH t1 AS (SELECT CAST(floor(max(doc_id) * 0.6) AS BIGINT) AS v FROM documents),
-    btok AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
-      FROM documents, t1 WHERE doc_id < t1.v
-    ),
-    btf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM btok GROUP BY 1, 2),
-    bdf AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
-    bn AS (SELECT COUNT(*) AS n FROM documents, t1 WHERE doc_id < t1.v),
-    model AS (
-      SELECT term, ln((1.0 + n.n) / (1.0 + d.df)) + 1.0 AS idf
-      FROM bdf d CROSS JOIN bn n
-    ),
-    braw AS (
-      SELECT f.doc_id, f.term, f.tf * m.idf AS w_raw, m.idf AS idf
-      FROM btf f JOIN model m USING (term)
-    ),
-    bnorm AS (SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS nrm FROM braw GROUP BY 1),
-    bpost AS (
-      SELECT r.term, r.doc_id, r.w_raw / s.nrm AS weight, r.idf
-      FROM braw r JOIN bnorm s USING (doc_id)
-    ),
-    dtok AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
-      FROM documents, t1 WHERE doc_id >= t1.v
-    ),
-    dtf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM dtok GROUP BY 1, 2),
-    draw AS (
-      SELECT f.doc_id, f.term, f.tf * m.idf AS w_raw, m.idf AS idf
-      FROM dtf f JOIN model m USING (term)
-    ),
-    dnorm AS (SELECT doc_id, sqrt(SUM(w_raw * w_raw)) AS nrm FROM draw GROUP BY 1),
-    dpost AS (
-      SELECT r.term, r.doc_id, r.w_raw / s.nrm AS weight, r.idf
-      FROM draw r JOIN dnorm s USING (doc_id)
-    ),
-    allp AS (SELECT * FROM bpost UNION ALL SELECT * FROM dpost)
-    SELECT CAST(doc_id % 16 AS BIGINT) AS g, count(*) AS n_postings,
-           {sql_dsum('weight', 6)} AS w_sum,
-           {sql_dsum('idf', 6)} AS idf_sum
-    FROM allp GROUP BY 1 ORDER BY g
-    """
 
 
 @query("index_compacted_tfidf_parity", oracle=_TFIDF_INC_AGG_ORACLE)
@@ -611,14 +531,13 @@ def index_compacted_tfidf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_f, (d1, d2) = index_store.incremental_split_filters(
         spark, sf_dir, table="documents", id_col="doc_id"
     )
-    inc = index_store.tfidf_postings_incremental(
+    index_store.tfidf_postings_incremental(
         spark, sf_dir, base_f, f"({d1}) OR ({d2})"
     )
-    name = [
-        t.name
-        for t in spark.catalog.listTables()
-        if t.name.startswith("msrbd_tfidfinc")
-    ][0]
+    # derive the deterministic per-corpus name — a listTables() prefix
+    # match would grab an arbitrary generation when several corpora
+    # have been exercised in one session
+    name = index_store._table_name("tfidfinc", sf_dir, "11", "documents")
     t = index_store.compact_postings_table(spark, name)
     return (
         t.groupBy((F.col("doc_id") % 16).cast("bigint").alias("g"))

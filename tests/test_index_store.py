@@ -267,11 +267,7 @@ def test_compact_postings_collapses_file_sets(spark, sf_dir):
     inc = index_store.tfidf_postings_incremental(
         spark, sf_dir, base_f, f"({d1}) OR ({d2})"
     )
-    name = [
-        t.name
-        for t in spark.catalog.listTables()
-        if t.name.startswith("msrbd_tfidfinc")
-    ][0]
+    name = index_store._table_name("tfidfinc", sf_dir, "11", "documents")
     cmp_t = index_store.compact_postings_table(spark, name)
     key = lambda r: (r["term"], r["doc_id"], round(r["weight"], 9))  # noqa: E731
     assert sorted(map(key, cmp_t.collect())) == sorted(map(key, inc.collect()))
