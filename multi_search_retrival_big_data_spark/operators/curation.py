@@ -131,9 +131,10 @@ def _aes_priority_quantized(id_col: str, weight_col: str) -> Column:
     """floor(-ln(u)/w · 1e12 + 0.5) as bigint, u = md5-uniform of the
     id — the A-ES key quantized BEFORE ranking so Spark and DuckDB
     order identical integers (no raw libm doubles in the sort key).
-    Range check: w ≥ 1 (the weights here are char counts) gives
-    -ln(u) ≤ 32·ln 2 ≈ 22.2, so the scaled key ≤ ~2.22e13 ≪ 2^53 —
-    the double holds it exactly and floor is deterministic.
+    Range check: w ≥ 1 (the weights here are char counts) and
+    u_min = 0.5/2^32 give -ln(u) ≤ 33·ln 2 ≈ 22.9, so the scaled key
+    ≤ ~2.3e13 ≪ 2^53 — the double holds it exactly and floor is
+    deterministic.
 
     Domain note: A-ES ranking is weight-SCALE-invariant (scaling every
     w by c scales every priority by 1/c, preserving order), so callers

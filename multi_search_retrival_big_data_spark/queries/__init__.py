@@ -79,10 +79,12 @@ _MODULES = [
 
 
 def _last_proof_round() -> dict[str, int]:
-    """name → latest round whose driver row PASSED (rows/schema/hash
-    all true, or the rows-only check for no-oracle entries). Failed or
-    errored rows do not count as proof — they re-prioritize to the
-    front like new queries."""
+    """name → round of the MOST RECENT driver row, if that row passed
+    (rows/schema/hash all true, or the rows-only check for no-oracle
+    entries); 0 if the most recent row failed or errored. A query that
+    passed in r2 but regressed in r5 therefore sorts at the FRONT like
+    a never-proven query — the latest outcome wins, not the latest
+    pass."""
     import glob
     import json
     import os
@@ -90,7 +92,7 @@ def _last_proof_round() -> dict[str, int]:
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    last: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}  # name -> (round, passed)
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             rnd = int(p.rsplit("_r", 1)[-1].split(".")[0])
@@ -99,14 +101,17 @@ def _last_proof_round() -> dict[str, int]:
         except (ValueError, OSError, json.JSONDecodeError):
             continue
         for name, row in data.items():
-            if not isinstance(row, dict) or row.get("err") is not None:
+            if not isinstance(row, dict):
                 continue
-            if not row.get("rows_match"):
-                continue
-            if row.get("hash_match") is False or row.get("schema_match") is False:
-                continue
-            last[name] = max(last.get(name, 0), rnd)
-    return last
+            passed = (
+                row.get("err") is None
+                and bool(row.get("rows_match"))
+                and row.get("hash_match") is not False
+                and row.get("schema_match") is not False
+            )
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, passed)
+    return {name: (rnd if passed else 0) for name, (rnd, passed) in latest.items()}
 
 
 def load_registry() -> dict[str, QueryDef]:

@@ -643,7 +643,7 @@ def _quality_quantile_oracle() -> str:
     ),
     thr AS (
       SELECT lang, max(qbin) AS min_qbin
-      FROM cum WHERE cum >= CAST(ceil({KEEP_FRAC} * n) AS BIGINT)
+      FROM cum WHERE cum >= CAST(ceil(CAST({KEEP_FRAC} AS DOUBLE) * n) AS BIGINT)
       GROUP BY lang
     )
     SELECT q.doc_id, q.lang, q.qbin, t.min_qbin

@@ -167,11 +167,14 @@ def read_document_stream(
     landing = tempfile.mkdtemp(prefix="docs_stream_")
     for i in range(copies):
         os.symlink(src, os.path.join(landing, f"documents_{i}.parquet"))
-    return (
+    stream = (
         spark.readStream.schema(_DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
     )
+    # The caller owns cleanup: symlink staging dirs would otherwise
+    # leak one tempdir per bench/oracle invocation.
+    return stream, landing
 
 
 def run_stream_curation_ingest(
@@ -203,7 +206,7 @@ def run_stream_curation_ingest(
     from multi_search_retrival_big_data_spark.operators import curation, dedup
     from multi_search_retrival_big_data_spark.operators import textanalysis as ta
 
-    stream = read_document_stream(spark, sf_dir, copies=copies)
+    stream, landing = read_document_stream(spark, sf_dir, copies=copies)
     state: dict[str, DataFrame | None] = {"table": None}
 
     def _reduce(df: DataFrame) -> DataFrame:
@@ -237,6 +240,7 @@ def run_stream_curation_ingest(
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(landing, ignore_errors=True)
     out = state["table"]
     assert out is not None, "stream delivered no micro-batches"
     return out

@@ -293,11 +293,13 @@ def test_chunk_documents_reconstruction_property(spark):
 def test_quality_quantile_filter_histogram_election(spark):
     from multi_search_retrival_big_data_spark.operators import curation
 
-    # keep_frac 0.5 (exactly representable — a fraction like 0.4 makes
-    # ceil(0.4·5) engine-identical but human-surprising: 0.4·5 is
-    # 2.0000000000000004 in IEEE, so k=3, which is why the oracle and
-    # the operator share the SAME double arithmetic rather than a
-    # "mathematical" k).
+    # keep_frac 0.5 (exactly representable). The real cross-engine
+    # hazard for other fractions: a bare decimal literal in the DuckDB
+    # oracle is exact DECIMAL arithmetic while Spark computes the
+    # product in IEEE doubles, so k could differ by 1 when the double
+    # product straddles an integer — which is why the oracle casts the
+    # literal to DOUBLE so both engines share the SAME double
+    # arithmetic rather than a "mathematical" k.
     # group A: scores .9 .8 .7 .6 .5 -> k=ceil(2.5)=3 -> threshold bin
     # 7000 (cum: 1, 2, 3>=3) -> keep {1,2,3}
     # group B: boundary tie — scores .9 .5 .5 .1, k=2; cum at bin 5000
