@@ -110,7 +110,12 @@ def _drop_stale_location(spark: SparkSession, name: str) -> None:
 
 
 _INDEX_SOURCES = ("documents", "embeddings")
-_FP_RE = re.compile(r"^msrbd_[a-z0-9_]+_([0-9a-f]{10})$")
+# a compacted generation (compact_postings_table's `<name>_cmp`) carries
+# its source table's fingerprint before the suffix — the janitor must
+# retire it with its corpus, not skip it (a skipped `_cmp` of a dead
+# corpus leaks in the warehouse forever; index_lifecycle_end_to_end
+# pins this)
+_FP_RE = re.compile(r"^msrbd_[a-z0-9_]+_([0-9a-f]{10})(?:_cmp)*$")
 
 
 def gc_stale_index_tables(
@@ -247,6 +252,7 @@ def emb_lsh_bands(
     sf_dir: str,
     bands: int = ann.ANN_BANDS,
     num_planes: int = ann.NUM_PLANES,
+    dim: int = 64,
 ) -> DataFrame:
     """(vec_id, band, bval) — the hyperplane-LSH banding of the
     embedding corpus, built once and persisted PARTITIONED BY
@@ -254,11 +260,14 @@ def emb_lsh_bands(
     bands × 2^rows partitions (partition pruning), and near-dup pair
     mining equi-joins the table against itself — the per-run
     16-hyperplane signature pass over every vector moves to ingest."""
-    name = _table_name("lshband", sf_dir, f"b{bands}p{num_planes}", "embeddings")
+    variant = f"b{bands}p{num_planes}" + (f"d{dim}" if dim != 64 else "")
+    name = _table_name("lshband", sf_dir, variant, "embeddings")
     if not spark.catalog.tableExists(name):
         _drop_stale_location(spark, name)
         emb = tables.load(spark, "embeddings", sf_dir)
-        banded = ann.banded_signatures(emb, bands=bands, num_planes=num_planes)
+        banded = ann.banded_signatures(
+            emb, dim=dim, bands=bands, num_planes=num_planes
+        )
         _save_partitioned(banded, name, ["band", "bval"])
     return spark.table(name)
 
@@ -550,6 +559,68 @@ def ivf_assignments_incremental(
         .saveAsTable(name)
     )
     return spark.table(name)
+
+
+def ivf_assignments_drifted(
+    spark: SparkSession,
+    sf_dir: str,
+    stride: int = 16,
+    offset: float = 0.6,
+) -> tuple[DataFrame, DataFrame]:
+    """The RECALL-DRIFT harness for frozen-model appends: build the
+    cid-partitioned IVF lists from the BASE corpus slice with centroids
+    elected from the base ONLY, then append a deliberately
+    DISTRIBUTION-SHIFTED delta (every component translated by `offset`)
+    under that frozen model — FAISS's add-after-train when the data
+    moves out from under the trained quantizer (the retrain trigger the
+    append parities index_incremental_{ivf,pq,sq8}_parity deliberately
+    exclude: they prove appends are exact GIVEN the model; this
+    measures what happens when the model goes stale). Returns
+    (post-append assignment table, drifted corpus): the
+    `ann_incremental_recall_drift` row compares recall@k, probed-cell
+    candidate volume, and max inverted-list size against a from-scratch
+    retrained twin — at 100 TB those are the gauges a serving tier
+    watches to schedule quantizer retrains (the vector-side analogue of
+    monitor_text_oov_rate). Rebuilt every call: the function exists to
+    PROVE the drift measurement, not to serve."""
+    from pyspark.sql import functions as F
+
+    from multi_search_retrival_big_data_spark.operators import kmeans
+
+    base_f, (d1, d2) = incremental_split_filters(spark, sf_dir)
+    emb = tables.load(spark, "embeddings", sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    drift = emb.select(
+        "vec_id",
+        F.when(F.expr(base_f), v)
+        .otherwise(F.transform(v, lambda x: x + F.lit(float(offset))))
+        .alias("embedding"),
+    )
+    fcent = (
+        drift.filter(F.expr(base_f))
+        .filter(F.col("vec_id") % stride == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("__cv"))
+    )
+    fcents = [(r["cid"], r["__cv"]) for r in fcent.collect()]
+    o_tag = str(float(offset)).replace(".", "p").replace("-", "m")
+    name = _table_name("ivfdrift", sf_dir, f"s{stride}o{o_tag}", "embeddings")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _drop_stale_location(spark, name)
+
+    def assign(df: "DataFrame") -> "DataFrame":
+        return df.select(
+            "vec_id", "embedding", kmeans.assign_cid("embedding", fcents).alias("cid")
+        )
+
+    ann.write_ivf_assignments(assign(drift.filter(F.expr(base_f))), name)
+    (
+        assign(drift.filter(f"({d1}) OR ({d2})"))
+        .write.mode("append")
+        .partitionBy("cid")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return spark.table(name), drift
 
 
 def pq_codes_incremental(

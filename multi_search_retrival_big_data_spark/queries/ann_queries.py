@@ -16,9 +16,12 @@ from multi_search_retrival_big_data_spark.queries.common import (
     EMB_DIM,
     QUERY_VEC,
     dsum,
+    grid_hits,
+    grid_row,
     sql_det_round,
     sql_dsum,
     sql_vec,
+    union_rows,
 )
 
 COSINE_DUP_THRESHOLD = 0.45
@@ -372,17 +375,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dense.topk_cosine(emb, QUERY_VEC, k=_RECALL_K, round_to=6).select("vec_id")
 
     def hits_row(approx: DataFrame, method: str) -> DataFrame:
-        return (
-            approx.select("vec_id")
-            .join(exact, "vec_id", "left_semi")
-            .agg(F.count("*").alias("hits"))
-            .select(
-                F.lit(method).alias("method"),
-                F.lit(_RECALL_K).alias("k"),
-                F.col("hits"),
-                (F.col("hits").cast("double") / F.lit(float(_RECALL_K))).alias("recall"),
-            )
-        )
+        return grid_row(_RECALL_K, grid_hits(approx, exact), method=method)
 
     assign = index_store.ivf_assignments(spark, sf_dir)
     banded = index_store.emb_lsh_bands(spark, sf_dir)
@@ -460,26 +453,9 @@ def ann_lsh_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = sig.filter(cond)
         n_cand = cand.agg(F.count("*").alias("candidates"))
         topk = ann.ann_lsh_topk(emb, QUERY_VEC, k=_RECALL_K, bands=bands, round_to=6)
-        n_hits = (
-            topk.select("vec_id")
-            .join(exact, "vec_id", "left_semi")
-            .agg(F.count("*").alias("hits"))
-        )
-        return (
-            n_cand.crossJoin(n_hits)
-            .select(
-                F.lit(bands).alias("bands"),
-                F.lit(_RECALL_K).alias("k"),
-                F.col("candidates"),
-                F.col("hits"),
-                (F.col("hits").cast("double") / F.lit(float(_RECALL_K))).alias("recall"),
-            )
-        )
+        return grid_row(_RECALL_K, grid_hits(topk, exact), n_cand, bands=bands)
 
-    out = cfg_row(_GRID_BANDS[0])
-    for b in _GRID_BANDS[1:]:
-        out = out.union(cfg_row(b))
-    return out.orderBy("bands")
+    return union_rows([cfg_row(b) for b in _GRID_BANDS]).orderBy("bands")
 
 
 _IVF_GRID_NPROBE = (1, 2, 4)
@@ -562,23 +538,9 @@ def ann_ivf_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk = ann.ann_ivf_topk(
             emb, QUERY_VEC, k=_RECALL_K, nprobe=nprobe, round_to=6, assign=assign
         )
-        n_hits = (
-            topk.select("vec_id")
-            .join(exact, "vec_id", "left_semi")
-            .agg(F.count("*").alias("hits"))
-        )
-        return n_cand.crossJoin(n_hits).select(
-            F.lit(nprobe).alias("nprobe"),
-            F.lit(_RECALL_K).alias("k"),
-            F.col("candidates"),
-            F.col("hits"),
-            (F.col("hits").cast("double") / F.lit(float(_RECALL_K))).alias("recall"),
-        )
+        return grid_row(_RECALL_K, grid_hits(topk, exact), n_cand, nprobe=nprobe)
 
-    out = cfg_row(_IVF_GRID_NPROBE[0])
-    for p in _IVF_GRID_NPROBE[1:]:
-        out = out.union(cfg_row(p))
-    return out.orderBy("nprobe")
+    return union_rows([cfg_row(p) for p in _IVF_GRID_NPROBE]).orderBy("nprobe")
 
 
 @query(
@@ -786,18 +748,9 @@ def ann_pq_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = ann.ann_pq_adc_topk(emb, codes, QUERY_VEC, k=r, round_to=6).select(
             "vec_id"
         )
-        hits = cand.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
-        return hits.select(
-            F.lit(r).alias("r"),
-            F.lit(_PQ_RECALL_K).alias("k"),
-            F.col("hits"),
-            (F.col("hits").cast("double") / F.lit(float(_PQ_RECALL_K))).alias("recall"),
-        )
+        return grid_row(_PQ_RECALL_K, grid_hits(cand, exact), r=r)
 
-    out = cfg_row(_PQ_GRID_R[0])
-    for r in _PQ_GRID_R[1:]:
-        out = out.union(cfg_row(r))
-    return out.orderBy("r")
+    return union_rows([cfg_row(r) for r in _PQ_GRID_R]).orderBy("r")
 
 
 _PQ_MIX_SQL = " + ".join(f"{2 * i + 1} * c{i}" for i in range(1, _PQ_M))
@@ -896,7 +849,7 @@ def ann_pq_filtered_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load(spark, "embeddings", sf_dir)
     codes = index_store.pq_codes(spark, sf_dir)
-    out = None
+    out = []
     for sel, mod in _PQF_SELS:
         allowed = emb.filter(F.col("label") % mod == 0).select("vec_id")
         exact = (
@@ -911,18 +864,8 @@ def ann_pq_filtered_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand = ann.ann_pq_adc_topk(
                 emb, codes_f, QUERY_VEC, k=r, round_to=6
             ).select("vec_id")
-            hits = cand.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
-            row = hits.select(
-                F.lit(sel).alias("sel"),
-                F.lit(r).alias("r"),
-                F.lit(_PQ_RECALL_K).alias("k"),
-                F.col("hits"),
-                (F.col("hits").cast("double") / F.lit(float(_PQ_RECALL_K))).alias(
-                    "recall"
-                ),
-            )
-            out = row if out is None else out.union(row)
-    return out.orderBy("sel", "r")
+            out.append(grid_row(_PQ_RECALL_K, grid_hits(cand, exact), sel=sel, r=r))
+    return union_rows(out).orderBy("sel", "r")
 
 
 # --- Two-stage PQ: ADC shortlist → exact re-rank ---------------------------
@@ -1009,18 +952,9 @@ def ann_pq_rerank_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, codes, QUERY_VEC, k=_PQ_RERANK_K, shortlist=r,
             round_to=None, shortlist_round_to=6,
         ).select("vec_id")
-        hits = reranked.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
-        return hits.select(
-            F.lit(r).alias("shortlist"),
-            F.lit(_PQ_RERANK_K).alias("k"),
-            F.col("hits"),
-            (F.col("hits").cast("double") / F.lit(float(_PQ_RERANK_K))).alias("recall"),
-        )
+        return grid_row(_PQ_RERANK_K, grid_hits(reranked, exact), shortlist=r)
 
-    out = cfg_row(_PQ_RERANK_GRID_R[0])
-    for r in _PQ_RERANK_GRID_R[1:]:
-        out = out.union(cfg_row(r))
-    return out.orderBy("shortlist")
+    return union_rows([cfg_row(r) for r in _PQ_RERANK_GRID_R]).orderBy("shortlist")
 
 
 # --- Lloyd-trained quantizers (operators/kmeans.py, kmeans_sql.py) ---------
@@ -1123,23 +1057,9 @@ def ann_ivf_trained_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("vec_id"))
             .limit(_RECALL_K)
         )
-        n_hits = (
-            topk.select("vec_id")
-            .join(exact, "vec_id", "left_semi")
-            .agg(F.count(F.lit(1)).alias("hits"))
-        )
-        return n_cand.crossJoin(n_hits).select(
-            F.lit(nprobe).alias("nprobe"),
-            F.lit(_RECALL_K).alias("k"),
-            F.col("candidates"),
-            F.col("hits"),
-            (F.col("hits").cast("double") / F.lit(float(_RECALL_K))).alias("recall"),
-        )
+        return grid_row(_RECALL_K, grid_hits(topk, exact), n_cand, nprobe=nprobe)
 
-    out = cfg_row(_IVF_GRID_NPROBE[0])
-    for p in _IVF_GRID_NPROBE[1:]:
-        out = out.union(cfg_row(p))
-    return out.orderBy("nprobe")
+    return union_rows([cfg_row(p) for p in _IVF_GRID_NPROBE]).orderBy("nprobe")
 
 
 _PQT_M, _PQT_KS, _PQT_STRIDE = ann.PQT_M, ann.PQT_KS, ann.PQT_STRIDE
@@ -1248,18 +1168,9 @@ def ann_pq_trained_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, codes, QUERY_VEC, k=_PQ_RERANK_K, shortlist=r, m=_PQT_M,
             round_to=None, shortlist_round_to=6, codebook=book_df,
         ).select("vec_id")
-        hits = reranked.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
-        return hits.select(
-            F.lit(r).alias("shortlist"),
-            F.lit(_PQ_RERANK_K).alias("k"),
-            F.col("hits"),
-            (F.col("hits").cast("double") / F.lit(float(_PQ_RERANK_K))).alias("recall"),
-        )
+        return grid_row(_PQ_RERANK_K, grid_hits(reranked, exact), shortlist=r)
 
-    out = cfg_row(_PQ_RERANK_GRID_R[0])
-    for r in _PQ_RERANK_GRID_R[1:]:
-        out = out.union(cfg_row(r))
-    return out.orderBy("shortlist")
+    return union_rows([cfg_row(r) for r in _PQ_RERANK_GRID_R]).orderBy("shortlist")
 
 
 # --- incremental index maintenance parity ----------------------------------
@@ -1619,19 +1530,14 @@ def ann_ivfpq_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes_t, cents_t, book_t, QUERY_VEC, k=_IVFPQ_SHORTLIST,
             nprobe=p, round_to=6,
         ).select("vec_id")
-        hits = short.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
-        return hits.select(
-            F.lit(p).alias("nprobe"),
-            F.lit(_IVFPQ_SHORTLIST).alias("shortlist"),
-            F.lit(_PQ_RERANK_K).alias("k"),
-            F.col("hits"),
-            (F.col("hits").cast("double") / F.lit(float(_PQ_RERANK_K))).alias("recall"),
+        return grid_row(
+            _PQ_RERANK_K,
+            grid_hits(short, exact),
+            nprobe=p,
+            shortlist=_IVFPQ_SHORTLIST,
         )
 
-    out = cfg_row(_IVFPQ_GRID_NPROBE[0])
-    for p in _IVFPQ_GRID_NPROBE[1:]:
-        out = out.union(cfg_row(p))
-    return out.orderBy("nprobe")
+    return union_rows([cfg_row(p) for p in _IVFPQ_GRID_NPROBE]).orderBy("nprobe")
 
 
 # --- SQ8 scalar quantization ------------------------------------------------
@@ -1722,12 +1628,7 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = ann.ann_sq8_topk(
         codes, bounds, QUERY_VEC, k=_SQ8_RECALL_K, round_to=None
     ).select("vec_id")
-    hits = sq.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("hits"))
-    return hits.select(
-        F.lit(_SQ8_RECALL_K).alias("k"),
-        F.col("hits"),
-        (F.col("hits").cast("double") / F.lit(float(_SQ8_RECALL_K))).alias("recall"),
-    )
+    return grid_row(_SQ8_RECALL_K, grid_hits(sq, exact))
 
 
 @query(
@@ -1906,6 +1807,170 @@ def index_incremental_sq8_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- recall-drift governance for frozen-model appends -----------------------
+# The append parities prove appends are bit-exact GIVEN the model; this
+# row measures what the parities exclude — the model going stale when
+# appended data shifts distribution (the actual retrain trigger, FAISS
+# train/add convention documented at index_store.py:42-45).
+
+_DRIFT_STRIDE = 16
+_DRIFT_OFFSET = 0.6
+_DRIFT_NPROBE = 2
+_DRIFT_K = 20
+# query from the SHIFTED distribution: driver-side constant, injected
+# as the same literal into both plans (no cross-engine arithmetic)
+_DRIFT_QV = [x + _DRIFT_OFFSET for x in QUERY_VEC]
+
+
+def _drift_arm_sql(model: str, cent: str, assign: str) -> str:
+    probe = (
+        f"(SELECT cid FROM {cent} ORDER BY "
+        f"{_l2_sql('cv', sql_vec(_DRIFT_QV))} ASC, cid ASC LIMIT {_DRIFT_NPROBE})"
+    )
+    return f"""
+    SELECT '{model}' AS model, {_DRIFT_K} AS k,
+      (SELECT count(*) FROM {assign} a JOIN {probe} p USING (cid)) AS candidates,
+      (SELECT count(*) FROM (
+         SELECT a.vec_id FROM {assign} a JOIN {probe} p USING (cid)
+         JOIN drift d ON d.vec_id = a.vec_id
+         ORDER BY {_l2_sql('d.v', sql_vec(_DRIFT_QV))} ASC, a.vec_id ASC
+         LIMIT {_DRIFT_K}) t JOIN exact USING (vec_id)) AS hits,
+      (SELECT max(n) FROM (
+         SELECT count(*) AS n FROM {assign} GROUP BY cid)) AS max_cell_n"""
+
+
+def _drift_assign_sql(name: str, cent: str) -> str:
+    return f"""{name} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT d.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY {_l2_sql('d.v', 'c.cv')} ASC, c.cid ASC
+               ) AS rn
+        FROM drift d CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "ann_incremental_recall_drift",
+    oracle=f"""
+    WITH {KEM_CTE},
+    t1 AS (SELECT CAST(floor(max(vec_id) * 0.6) AS BIGINT) AS v FROM embeddings),
+    drift AS MATERIALIZED (
+      SELECT e.vec_id,
+             CASE WHEN e.vec_id < t1.v THEN e.v
+                  ELSE list_transform(e.v, x -> x + CAST({_DRIFT_OFFSET!r} AS DOUBLE)) END AS v
+      FROM kem e, t1
+    ),
+    fcent AS (
+      SELECT d.vec_id AS cid, d.v AS cv FROM drift d, t1
+      WHERE d.vec_id < t1.v AND d.vec_id % {_DRIFT_STRIDE} = 0
+    ),
+    rcent AS (
+      SELECT vec_id AS cid, v AS cv FROM drift WHERE vec_id % {_DRIFT_STRIDE} = 0
+    ),
+    exact AS MATERIALIZED (
+      SELECT vec_id FROM (
+        SELECT vec_id FROM drift
+        ORDER BY {_l2_sql('v', sql_vec(_DRIFT_QV))} ASC, vec_id ASC
+        LIMIT {_DRIFT_K})
+    ),
+    {_drift_assign_sql("fassign", "fcent")},
+    {_drift_assign_sql("rassign", "rcent")},
+    arms AS ({_drift_arm_sql("frozen", "fcent", "fassign")}
+      UNION ALL
+      {_drift_arm_sql("retrained", "rcent", "rassign")})
+    SELECT model, k, candidates, hits,
+           CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall, max_cell_n
+    FROM arms ORDER BY model
+    """,
+)
+def ann_incremental_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-side RECALL-DRIFT gauge for incremental indexes (the
+    retrain trigger monitor_text_oov_rate provides for text): the delta
+    slice of the corpus is deliberately distribution-shifted (every
+    component + {_DRIFT_OFFSET}) and appended to the cid-partitioned
+    IVF lists under a quantizer FROZEN on the base slice
+    (index_store.ivf_assignments_drifted — FAISS add-after-train with
+    stale training data), then a query from the shifted distribution is
+    answered by the frozen appended index AND by a from-scratch
+    retrained twin. Each arm reports recall@k vs the exact scan, the
+    probed-cell candidate volume, and the max inverted-list size — at
+    this data scale the drift manifests as the frozen model collapsing
+    the shifted mass into mega-cells (candidate volume and max list
+    blow up toward a near-full scan; any recall it keeps is bought by
+    brute-force-sized probes) while the retrained twin restores
+    ~nprobe/nlist probe volume. Those two gauges crossing a threshold
+    is what schedules a quantizer retrain at 100 TB. Frozen-arm
+    assignments come from the PERSISTED post-append table; centroid
+    models are driver-held literals (FAISS-in-RAM convention), so no
+    corpus×centroid recompute ships to the serving plan."""
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+    from multi_search_retrival_big_data_spark.operators import kmeans
+
+    frozen_t, drift = index_store.ivf_assignments_drifted(
+        spark, sf_dir, stride=_DRIFT_STRIDE, offset=_DRIFT_OFFSET
+    )
+    base_f, _deltas = index_store.incremental_split_filters(spark, sf_dir)
+    qv = lit_vec(_DRIFT_QV)
+    exact = (
+        drift.select("vec_id", l2_dist("embedding", qv).alias("__d"))
+        .orderBy(F.asc("__d"), F.asc("vec_id"))
+        .limit(_DRIFT_K)
+        .select("vec_id")
+    )
+    rcent = drift.filter(F.col("vec_id") % _DRIFT_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("__cv")
+    )
+    rcents = [(r["cid"], r["__cv"]) for r in rcent.collect()]
+    retrained = drift.select(
+        "vec_id", "embedding", kmeans.assign_cid("embedding", rcents).alias("cid")
+    )
+    fcent = drift.filter(F.expr(base_f)).filter(
+        F.col("vec_id") % _DRIFT_STRIDE == 0
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("__cv"))
+
+    def arm(model: str, assign_df: DataFrame, cent_df: DataFrame) -> DataFrame:
+        probed = (
+            cent_df.select("cid", l2_dist("__cv", qv).alias("__d"))
+            .orderBy(F.asc("__d"), F.asc("cid"))
+            .limit(_DRIFT_NPROBE)
+            .select("cid")
+        )
+        cand = assign_df.join(F.broadcast(probed), "cid")
+        n_cand = cand.agg(F.count(F.lit(1)).alias("candidates"))
+        topk = (
+            cand.select("vec_id", l2_dist("embedding", qv).alias("__d"))
+            .orderBy(F.asc("__d"), F.asc("vec_id"))
+            .limit(_DRIFT_K)
+            .select("vec_id")
+        )
+        max_cell = (
+            assign_df.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("max_cell_n"))
+        )
+        return (
+            n_cand.crossJoin(grid_hits(topk, exact))
+            .crossJoin(max_cell)
+            .select(
+                F.lit(model).alias("model"),
+                F.lit(_DRIFT_K).alias("k"),
+                F.col("candidates"),
+                F.col("hits"),
+                (F.col("hits").cast("double") / F.lit(float(_DRIFT_K))).alias(
+                    "recall"
+                ),
+                F.col("max_cell_n"),
+            )
+        )
+
+    return union_rows(
+        [arm("frozen", frozen_t, fcent), arm("retrained", retrained, rcent)]
+    ).orderBy("model")
+
+
 _IVFF_SELS = (("mod03", 3), ("mod10", 10))
 _IVFF_NPROBE = (1, 2, 4)
 
@@ -1985,7 +2050,7 @@ def ann_ivf_filtered_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load(spark, "embeddings", sf_dir)
     assign = index_store.ivf_assignments(spark, sf_dir)
-    out = None
+    out = []
     for sel, mod in _IVFF_SELS:
         allowed = emb.filter(F.col("label") % mod == 0).select("vec_id")
         exact = (
@@ -2017,23 +2082,12 @@ def ann_ivf_filtered_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 assign=assign,
                 subset=allowed,
             )
-            n_hits = (
-                topk.select("vec_id")
-                .join(exact, "vec_id", "left_semi")
-                .agg(F.count("*").alias("hits"))
+            out.append(
+                grid_row(
+                    _RECALL_K, grid_hits(topk, exact), n_cand, sel=sel, nprobe=nprobe
+                )
             )
-            row = n_cand.crossJoin(n_hits).select(
-                F.lit(sel).alias("sel"),
-                F.lit(nprobe).alias("nprobe"),
-                F.lit(_RECALL_K).alias("k"),
-                F.col("candidates"),
-                F.col("hits"),
-                (F.col("hits").cast("double") / F.lit(float(_RECALL_K))).alias(
-                    "recall"
-                ),
-            )
-            out = row if out is None else out.union(row)
-    return out.orderBy("sel", "nprobe")
+    return union_rows(out).orderBy("sel", "nprobe")
 
 
 # --- multi-probe LSH + batched IVF serving ---------------------------------
@@ -2142,20 +2196,11 @@ def ann_lsh_multiprobe_recall_grid(spark: SparkSession, sf_dir: str) -> DataFram
         n_cand = cand.agg(F.count("*").alias("candidates"))
         fn = ann.ann_lsh_multiprobe_topk if level else ann.ann_lsh_topk
         topk = fn(emb, QUERY_VEC, k=_RECALL_K, round_to=6, banded=banded)
-        n_hits = (
-            topk.select("vec_id")
-            .join(exact, "vec_id", "left_semi")
-            .agg(F.count("*").alias("hits"))
-        )
-        return n_cand.crossJoin(n_hits).select(
-            F.lit(level).alias("probe_level"),
-            F.lit(_RECALL_K).alias("k"),
-            F.col("candidates"),
-            F.col("hits"),
-            (F.col("hits").cast("double") / F.lit(float(_RECALL_K))).alias("recall"),
+        return grid_row(
+            _RECALL_K, grid_hits(topk, exact), n_cand, probe_level=level
         )
 
-    return cfg_row(0).union(cfg_row(1)).orderBy("probe_level")
+    return union_rows([cfg_row(0), cfg_row(1)]).orderBy("probe_level")
 
 
 _BATCH_IVF_K = 50

@@ -303,3 +303,62 @@ def test_multichannel_incremental_append_matches_fit_plus_transform(spark, sf_di
     assert sorted(map(key, t.collect())) == sorted(
         map(key, want.collect() + want_delta.collect())
     )
+
+
+def test_gc_regex_retires_compacted_generations():
+    """The janitor pattern must treat `<fp>_cmp` (compact_postings_table
+    generations) as fingerprint-bearing: a dead corpus retires its
+    compacted twin too, instead of leaking it in the warehouse forever
+    (the cross-step hazard index_lifecycle_end_to_end pins)."""
+    fp = "0123456789"
+    for name in (
+        f"msrbd_tfidfinc_11_{fp}",
+        f"msrbd_tfidfinc_11_{fp}_cmp",
+        f"msrbd_tfidfinc_11_{fp}_cmp_cmp",
+    ):
+        m = index_store._FP_RE.match(name)
+        assert m is not None and m.group(1) == fp, name
+    # non-index tables and malformed suffixes never match
+    for name in ("other_table", "msrbd_tfidf_11_zzz", f"msrbd_tfidf_11_{fp}x"):
+        assert index_store._FP_RE.match(name) is None, name
+
+
+def test_ivf_drifted_frozen_append_vs_retrained(spark, sf_dir):
+    """The drift harness: the frozen-model appended table holds every
+    corpus row, delta rows are shifted by the offset, and the shifted
+    mass collapses into fewer distinct frozen cells than a retrained
+    assignment spreads it over (the retrain gauge
+    ann_incremental_recall_drift reports)."""
+    from multi_search_retrival_big_data_spark.operators import kmeans
+
+    frozen_t, drift = index_store.ivf_assignments_drifted(
+        spark, sf_dir, stride=16, offset=0.6
+    )
+    emb = tables.load(spark, "embeddings", sf_dir)
+    assert frozen_t.count() == emb.count()
+    base_f, _ = index_store.incremental_split_filters(spark, sf_dir)
+    t1 = int(base_f.split("<")[1])
+    # delta rows carry the shifted vectors (first component moved by +0.6)
+    orig = {r["vec_id"]: r["embedding"][0] for r in emb.collect()}
+    for r in drift.collect():
+        want = orig[r["vec_id"]] + (0.6 if r["vec_id"] >= t1 else 0.0)
+        assert abs(r["embedding"][0] - want) < 1e-12
+    # frozen cells only ever come from the base slice's centroid ids
+    cids = {r["cid"] for r in frozen_t.select("cid").distinct().collect()}
+    assert all(c < t1 and c % 16 == 0 for c in cids)
+    # the shifted delta concentrates: fewer distinct frozen cells than
+    # a retrained model spreads it across
+    rcents = [
+        (r["cid"], r["embedding"])
+        for r in drift.filter(F.col("vec_id") % 16 == 0)
+        .select("vec_id", "embedding")
+        .withColumnRenamed("vec_id", "cid")
+        .collect()
+    ]
+    retr = drift.select(
+        "vec_id", kmeans.assign_cid("embedding", rcents).alias("cid")
+    )
+    delta_f = f"vec_id >= {t1}"
+    frozen_cells = frozen_t.filter(delta_f).select("cid").distinct().count()
+    retr_cells = retr.filter(delta_f).select("cid").distinct().count()
+    assert frozen_cells < retr_cells

@@ -62,6 +62,8 @@ SCALAR_BROADCAST_OK = {
     "dedup_lsh_capped_recall_audit",  # same 1-row scalar combine, capped path
     "monitor_token_drift",         # two 1-row corpus-total scalar broadcasts
     "events_resample_hourly_gapfill",  # hour-grid × type-dim densify: the product space IS the output
+    "ann_incremental_recall_drift",  # 1-row candidates × hits × max-cell scalar combine per arm
+    "index_lifecycle_end_to_end",    # 1-row per-stage gauge scalar combines
 }
 
 
