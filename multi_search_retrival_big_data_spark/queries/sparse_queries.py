@@ -551,6 +551,142 @@ def index_compacted_tfidf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "index_lifecycle_end_to_end",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('append_then_serve', 1),
+      ('compacted_serve_parity', 1),
+      ('compaction_lossless', 1),
+      ('live_compacted_kept', 1),
+      ('live_generation_kept', 1),
+      ('refreshed_generation_kept', 1),
+      ('stale_compacted_dropped', 1),
+      ('stale_generation_dropped', 1)
+    ) t(probe, ok) ORDER BY probe
+    """,
+)
+def index_lifecycle_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED index lifecycle on one corpus: build → serve →
+    append → compact → GC, each transition probed — the piecewise
+    proofs (index_incremental_tfidf_parity, index_compacted_tfidf_
+    parity, index_gc_retention) each cover one step; this row catches
+    CROSS-step regressions, specifically the janitor/compaction
+    interaction: a compacted generation carries `<fp>_cmp`, and a GC
+    that pattern-matches only bare fingerprints either leaks every
+    dead `_cmp` forever or — after a regex 'fix' — drops a LIVE one
+    (the fingerprint-rename hazard the index_store header warns
+    about). Steps: (1) fit+append the incremental postings generation
+    on a throwaway corpus copy (frozen vocab+idf, the sklearn
+    fit/transform split); (2) serve a top-k through it; (3) compact to
+    a fresh single-file-set generation and re-serve — scores must be
+    IDENTICAL (same quantized arithmetic, same bucketed layout);
+    (4) GC with the corpus live — both generations must survive;
+    (5) refresh the corpus (snapshot-stat bump = new fingerprint),
+    rebuild, GC again — the old generation AND its compacted twin must
+    both be retired, catalog and warehouse location, while the rebuilt
+    one serves on. Mirrors the reference's regenerate-and-swap
+    ingest (/root/reference/data_extraction/clip/clip.ipynb cell 7)
+    upgraded to fingerprint-governed generations."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import urllib.parse
+
+    gcd = tempfile.mkdtemp(prefix="msrbd_lcq_")
+    atexit.register(shutil.rmtree, gcd, ignore_errors=True)
+    corpus = os.path.join(gcd, "documents.parquet")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, corpus)
+    else:
+        shutil.copy(src, corpus)
+
+    # (1) build the base fit, append the delta under the frozen model
+    base_f, (d1, d2) = index_store.incremental_split_filters(
+        spark, gcd, table="documents", id_col="doc_id"
+    )
+    index_store.tfidf_postings_incremental(spark, gcd, base_f, f"({d1}) OR ({d2})")
+    gen_a = index_store._table_name("tfidfinc", gcd, "11", "documents")
+
+    # (2) serve through the appended generation
+    qterms = sparse.query_terms(QUERY_TEXT, (1, 1))
+    served = sparse.tfidf_score(
+        spark.table(gen_a), qterms, k=10, round_to=6
+    ).collect()
+
+    # (3) compact, then prove the rewrite lossless and serving-identical
+    def postings_checksum(name: str):
+        q = lambda c: F.sum(  # noqa: E731 — quantized exact sums
+            F.floor(F.col(c) * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+        )
+        return (
+            spark.table(name)
+            .agg(F.count(F.lit(1)).alias("n"), q("weight").alias("w"), q("idf").alias("i"))
+            .collect()[0]
+        )
+
+    index_store.compact_postings_table(spark, gen_a)
+    gen_a_cmp = f"{gen_a}_cmp"
+    served_cmp = sparse.tfidf_score(
+        spark.table(gen_a_cmp), qterms, k=10, round_to=6
+    ).collect()
+    lossless = postings_checksum(gen_a) == postings_checksum(gen_a_cmp)
+    serve_parity = [(r["doc_id"], r["score"]) for r in served] == [
+        (r["doc_id"], r["score"]) for r in served_cmp
+    ]
+
+    # (4) GC with the corpus still live: everything survives
+    live = sorted(set([sf_dir, gcd] + glob.glob("/root/testdata/sf*")))
+    dropped_live = index_store.gc_stale_index_tables(spark, live)
+    live_kept = (
+        gen_a not in dropped_live
+        and spark.catalog.tableExists(gen_a)
+    )
+    live_cmp_kept = (
+        gen_a_cmp not in dropped_live
+        and spark.catalog.tableExists(gen_a_cmp)
+    )
+
+    # (5) corpus refresh (snapshot-stat bump = new fingerprint), rebuild,
+    # GC: the stale generation AND its compacted twin retire together
+    for root, _dirs, files in os.walk(corpus):
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_001))
+    if os.path.isfile(corpus):
+        st = os.stat(corpus)
+        os.utime(corpus, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_001))
+    index_store.tfidf_postings(spark, gcd)
+    gen_b = index_store._table_name("tfidf", gcd, "11", "documents")
+    assert gen_b.rsplit("_", 1)[-1] != gen_a.rsplit("_", 1)[-1], (
+        "refresh did not change the fingerprint"
+    )
+    dropped_stale = index_store.gc_stale_index_tables(spark, live)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    base = urllib.parse.unquote(urllib.parse.urlparse(wh).path) or wh
+    probes = {
+        "append_then_serve": len(served) == 10,
+        "compaction_lossless": bool(lossless),
+        "compacted_serve_parity": bool(serve_parity),
+        "live_generation_kept": live_kept,
+        "live_compacted_kept": live_cmp_kept,
+        "stale_generation_dropped": gen_a in dropped_stale
+        and not spark.catalog.tableExists(gen_a)
+        and not os.path.exists(os.path.join(base, gen_a)),
+        "stale_compacted_dropped": gen_a_cmp in dropped_stale
+        and not spark.catalog.tableExists(gen_a_cmp)
+        and not os.path.exists(os.path.join(base, gen_a_cmp)),
+        "refreshed_generation_kept": gen_b not in dropped_stale
+        and spark.catalog.tableExists(gen_b),
+    }
+    rows = sorted((k, int(v)) for k, v in probes.items())
+    return spark.createDataFrame(rows, "probe STRING, ok INT")
+
+
+@query(
     "monitor_text_oov_rate",
     oracle=r"""
     WITH t1 AS (SELECT CAST(floor(max(doc_id) * 0.6) AS BIGINT) AS v FROM documents),
