@@ -63,6 +63,12 @@ DRIFT_WATCH = [
     "dedup_minhash_lsh",
     "emb_near_dup_lsh",
     "stream_tumbling_event_counts",
+    # r5→r6: simhash measured 4.26 s in-grid vs 1.6-2.2 s isolated
+    # (r4: 1.27 s) and the capped LSH drifted 1.95 → 2.12 s — both get
+    # the 5-run min/med/max treatment so a drifted median reads
+    # against its own floor (session contention vs real shift)
+    "text_simhash_fingerprints",
+    "dedup_minhash_lsh_capped",
 ]
 
 STRESS_REPLICATION = 10
@@ -97,6 +103,17 @@ STRESS_QUERIES = [
     # show the product stages add no super-linear step on top of it
     "dedup_keep_canonical",
     "decontamination_minhash_overlap",
+    # r6: the ANN SERVING paths — the queries most sensitive to corpus
+    # growth — join the 10× tier. Their ratios should track CANDIDATE
+    # volume, not corpus size: LSH reads its probed buckets off the
+    # (band,bval)-partitioned table, IVF reads nprobe/nlist of the
+    # cid-partitioned lists, PQ-rerank scans the M-byte code table and
+    # fetches |shortlist| vectors. (The per-query x10 cost that IS
+    # corpus-bound — the ADC code scan — is the designed floor.)
+    "ann_lsh_topk_cosine",
+    "ann_ivf_topk_cosine",
+    "ann_pq_rerank_trained_topk",
+    "ann_ivf_filtered_topk",
 ]
 
 # queries timed on BOTH 10× corpora (uniform vs skewed) — each carries
@@ -211,6 +228,9 @@ OPTIONAL_QUERIES = [
     "index_incremental_tfidf_parity",
     "index_incremental_bm25_parity",
     "monitor_text_oov_rate",
+    # round-6: the production-width derivation (the ingest job that
+    # feeds the dim_tier) timed as a corpus-bound projection anchor
+    "dense_dim768_derivation",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):
@@ -331,6 +351,246 @@ def _build_skew_dir(spark, sf_dir: str, replication: int) -> str:
     return out
 
 
+DIM_TIER = 768
+DIM_K = 50
+
+
+def _time_thunks(thunks: dict, runs: int = RUNS) -> dict[str, float]:
+    """Median wall-clock per named thunk (each returns a DataFrame to
+    count()); one untimed warm-up run builds any index tables."""
+    out: dict[str, float] = {}
+    for name, fn in thunks.items():
+        fn().count()
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn().count()
+            samples.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(samples), 4)
+    return out
+
+
+def _run_dim_tier(spark, sf_dir: str) -> dict:
+    """PRODUCTION-DIMENSION tier: the reference serves d=768 CLIP
+    vectors (data_extraction/create_bin.ipynb cells 3,8;
+    utils/faiss_processing.py:39-41) while the testdata is d=64 — so
+    every dense/ANN serving path is ALSO measured on a d=768 corpus
+    derived by dense.expand_to_dim (derivation oracle-pinned by the
+    dense_dim768_derivation registry row). Reports per-path timings,
+    recall@50 vs the exact d=768 scan, and the candidate volumes that
+    drive each path's cost at production width."""
+    from pyspark.sql import functions as F
+
+    from multi_search_retrival_big_data_spark import index_store, tables
+    from multi_search_retrival_big_data_spark.encoders import dim_expand_encode
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+    from multi_search_retrival_big_data_spark.operators import ann, dense
+    from multi_search_retrival_big_data_spark.queries.common import QUERY_VEC
+
+    qv = dim_expand_encode(QUERY_VEC, 64, DIM_TIER)
+    dim_dir = tempfile.mkdtemp(prefix="msrbd_dim768_")
+    atexit.register(shutil.rmtree, dim_dir, ignore_errors=True)
+    base = tables.load(spark, "embeddings", sf_dir)
+    dense.expand_to_dim(base, out_dim=DIM_TIER, in_dim=64).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dim_dir, "embeddings.parquet"))
+
+    def emb():
+        return tables.load(spark, "embeddings", dim_dir)
+
+    n_rows = emb().count()
+
+    def pq_pair():
+        return index_store.pq_trained(spark, dim_dir, dim=DIM_TIER, iters=2)
+
+    def lsh():
+        banded = index_store.emb_lsh_bands(spark, dim_dir, dim=DIM_TIER)
+        return ann.ann_lsh_topk(emb(), qv, k=DIM_K, round_to=6, banded=banded)
+
+    def ivf():
+        assign = index_store.ivf_assignments(spark, dim_dir)
+        return ann.ann_ivf_topk(emb(), qv, k=DIM_K, round_to=6, assign=assign)
+
+    def pq_rerank():
+        book, codes = pq_pair()
+        return ann.ann_pq_rerank_topk(
+            emb(), codes, qv, k=DIM_K, m=ann.PQT_M, round_to=6,
+            codebook=book, literal_lut=True,
+        )
+
+    def sq8():
+        bounds, codes = index_store.sq8(spark, dim_dir)
+        return ann.ann_sq8_topk(codes, bounds, qv, k=DIM_K, round_to=6)
+
+    thunks = {
+        "dense_topk_cosine_expr": lambda: dense.topk_cosine(
+            emb(), qv, k=100, round_to=6
+        ),
+        "dense_topk_cosine_arrow": lambda: dense.topk_cosine_arrow(
+            emb(), qv, k=100, round_to=6
+        ),
+        "ann_lsh_topk": lsh,
+        "ann_ivf_topk": ivf,
+        "ann_pq_rerank_trained": pq_rerank,
+        "ann_sq8_topk": sq8,
+    }
+    timings = _time_thunks(thunks)
+
+    # recall@k vs the exact d=768 scan (the ANN paths' quality at
+    # production width — band/cell geometry does NOT transfer from
+    # d=64, so this must be measured, not extrapolated)
+    exact = {
+        r["vec_id"]
+        for r in dense.topk_cosine(emb(), qv, k=DIM_K, round_to=6)
+        .select("vec_id")
+        .collect()
+    }
+
+    def recall(df) -> float:
+        ids = {r["vec_id"] for r in df.select("vec_id").collect()}
+        return round(len(ids & exact) / float(DIM_K), 4)
+
+    recalls = {
+        "ann_lsh_topk": recall(lsh()),
+        "ann_ivf_topk": recall(ivf()),
+        "ann_pq_rerank_trained": recall(pq_rerank()),
+        "ann_sq8_topk": recall(sq8()),
+    }
+
+    # candidate volumes — the scaling variable for each path's cost
+    banded = index_store.emb_lsh_bands(spark, dim_dir, dim=DIM_TIER)
+    planes = ann.hyperplanes(DIM_TIER, ann.NUM_PLANES)
+    qsig = ann.signature_of(qv, planes)
+    cond = None
+    for b, qband in ann.query_bands(qsig):
+        c = (F.col("band") == b) & (F.col("bval") == F.lit(qband))
+        cond = c if cond is None else cond | c
+    lsh_cand = banded.filter(cond).select("vec_id").distinct().count()
+    probed = (
+        ann.centroids(emb())
+        .select("cid", l2_dist("__cv", lit_vec(qv)).alias("__d"))
+        .orderBy(F.asc("__d"), F.asc("cid"))
+        .limit(ann.IVF_NPROBE)
+        .select("cid")
+    )
+    ivf_cand = index_store.ivf_assignments(spark, dim_dir).join(
+        F.broadcast(probed), "cid"
+    ).count()
+    candidates = {
+        "lsh_bucket_union": lsh_cand,
+        "ivf_probed_cells": ivf_cand,
+        "pq_adc_code_rows_scanned": n_rows,
+        "pq_rerank_shortlist": ann.PQ_RERANK_SHORTLIST,
+        "corpus_rows": n_rows,
+    }
+
+    # recall-vs-nprobe grid at production width (the d=64 grid is
+    # ann_ivf_recall_grid; cell geometry does not transfer across
+    # dimension, so the tuning curve is re-measured here)
+    assign = index_store.ivf_assignments(spark, dim_dir)
+    cents = ann.centroids(emb()).select(
+        "cid", l2_dist("__cv", lit_vec(qv)).alias("__d")
+    )
+    ivf_grid = []
+    for nprobe in (1, 2, 4, 8):
+        p = (
+            cents.orderBy(F.asc("__d"), F.asc("cid")).limit(nprobe).select("cid")
+        )
+        cand_n = assign.join(F.broadcast(p), "cid").count()
+        got = recall(
+            ann.ann_ivf_topk(
+                emb(), qv, k=DIM_K, round_to=6, assign=assign, nprobe=nprobe
+            )
+        )
+        ivf_grid.append(
+            {"nprobe": nprobe, "candidates": cand_n, "recall_at_k": got}
+        )
+    shutil.rmtree(dim_dir, ignore_errors=True)
+    return {
+        "dim": DIM_TIER,
+        "rows": n_rows,
+        "queries": timings,
+        "recall_at_k": {"k": DIM_K, **recalls},
+        "ivf_recall_grid": ivf_grid,
+        "candidates": candidates,
+        "d64_anchors": {
+            "dense_topk_cosine_expr": "dense_topk_cosine",
+            "dense_topk_cosine_arrow": "dense_topk_cosine_arrow",
+            "ann_lsh_topk": "ann_lsh_topk_cosine",
+            "ann_ivf_topk": "ann_ivf_topk_cosine",
+            "ann_pq_rerank_trained": "ann_pq_rerank_trained_topk",
+            "ann_sq8_topk": "ann_sq8_topk",
+        },
+    }
+
+
+CONCURRENCY_QUERIES = [
+    "dense_topk_cosine",
+    "sparse_tfidf_topk",
+    "ann_ivf_topk_cosine",
+    "sparse_bm25_topk",
+    "dense_knn_by_id",
+    "ann_lsh_topk_cosine",
+    "fusion_dual_model_ensemble",
+    "dense_rocchio_rerank",
+]
+
+
+def _run_concurrency(spark, qs, sf_dir: str) -> dict:
+    """CONCURRENT-SERVING anchor: the reference is a threaded Flask
+    server (app.py:571 `threaded=True`) — many simultaneous small
+    queries through shared state. Here N distinct dense+sparse serving
+    queries fire concurrently through ONE SparkSession, each thread in
+    its own FAIR scheduler pool (session.py sets
+    spark.scheduler.mode=FAIR), and the anchor reports queries/sec vs
+    the same set run sequentially — the multiplexing win a serving
+    tier gets on top of per-query latency."""
+    import threading
+
+    names = [n for n in CONCURRENCY_QUERIES if n in qs]
+    for n in names:  # warm: plans, index tables, JVM paths
+        qs[n](spark, sf_dir).count()
+
+    def run_one(n: str, pool: str | None) -> None:
+        if pool is not None:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+        try:
+            qs[n](spark, sf_dir).count()
+        finally:
+            if pool is not None:
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    per_query: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        run_one(n, None)
+        per_query[n] = time.perf_counter() - t0
+
+    out: dict = {"queries": names}
+    for width in (4, 8):
+        batch = names[:width]
+        seq = sum(per_query[n] for n in batch)
+        threads = [
+            threading.Thread(target=run_one, args=(n, f"pool{i}"))
+            for i, n in enumerate(batch)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        out[f"n{width}"] = {
+            "sequential_sec": round(seq, 4),
+            "wall_sec": round(wall, 4),
+            "sequential_qps": round(len(batch) / seq, 2),
+            "qps": round(len(batch) / wall, 2),
+            "speedup": round(seq / wall, 2),
+            "n": len(batch),
+        }
+    return out
+
+
 def _time_queries(
     spark, qs, names, sf_dir: str, spreads: dict | None = None
 ) -> dict[str, float]:
@@ -379,6 +639,25 @@ def main() -> None:
 
     stress_flag = os.environ.get("SPARK_GRAFT_STRESS", "")
     run_stress = stress_flag == "1" or (stress_flag == "" and sf == "0.1")
+
+    # production-dimension tier + concurrent-serving anchor: same
+    # default trigger as the stress tiers (sf0.1), with their own
+    # overrides (SPARK_GRAFT_DIM / SPARK_GRAFT_CONC = 0|1)
+    dim_flag = os.environ.get("SPARK_GRAFT_DIM", "")
+    run_dim = dim_flag == "1" or (dim_flag == "" and run_stress)
+    conc_flag = os.environ.get("SPARK_GRAFT_CONC", "")
+    run_conc = conc_flag == "1" or (conc_flag == "" and run_stress)
+    if run_dim:
+        result["dim_tier"] = _run_dim_tier(spark, sf_dir)
+        if not run_stress:
+            # the stress block below normally sweeps stale index
+            # generations; without it, retire the dim corpus' tables
+            from multi_search_retrival_big_data_spark import index_store as _ixs
+
+            live = [sf_dir] + sorted(glob.glob("/root/testdata/sf*"))
+            _ixs.gc_stale_index_tables(spark, live)
+    if run_conc:
+        result["concurrency"] = _run_concurrency(spark, qs, sf_dir)
     result["stress_flag"] = {
         "enabled": run_stress,
         "env": stress_flag or "(unset: stress tiers run at sf0.1 only)",

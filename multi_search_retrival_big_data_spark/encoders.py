@@ -172,6 +172,48 @@ def model_b_encode(vec: Sequence[float], in_dim: int = 64, out_dim: int = MODEL_
     return [float(v[src]) * sign for src, sign in model_b_components(in_dim, out_dim)]
 
 
+# --- production-dimension derivation (d=768) --------------------------------
+# The reference serves 768-d CLIP embeddings over 1e5-1e6 keyframes
+# (reference data_extraction/create_bin.ipynb cells 3,8;
+# utils/faiss_processing.py:39-41) while the driver testdata is 64-d.
+# To measure the serving paths at production width WITHOUT a model
+# runtime, each 768-d vector is derived from the 64-d corpus by a
+# deterministic signed-scaled coordinate expansion: out[j] =
+# in[src_j] * coeff_j with (src_j, coeff_j) md5-derived literals —
+# embedded identically in Spark plans, driver-side query encoding, and
+# the DuckDB derivation oracle, so the at-rest d=768 table is
+# oracle-provable and every engine computes bit-identical floats.
+
+DIM_EXPAND_OUT = 768
+
+
+def dim_expand_components(
+    in_dim: int = 64, out_dim: int = DIM_EXPAND_OUT
+) -> list[tuple[int, float]]:
+    """Per output component j: (source index, coefficient). coeff =
+    ±(1 + m/256) with m ∈ [0, 256) — every coefficient is exactly
+    representable (8 mantissa bits), so in[src]·coeff is ONE IEEE
+    multiply and rounds identically in Spark, DuckDB, and NumPy."""
+    comps = []
+    for j in range(out_dim):
+        h = hashlib.md5(f"dim{out_dim}:{j}".encode()).hexdigest()
+        src = int(h[:8], 16) % in_dim
+        sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+        coeff = sign * (1.0 + (int(h[9:11], 16) % 256) / 256.0)
+        comps.append((src, coeff))
+    return comps
+
+
+def dim_expand_encode(
+    vec: Sequence[float], in_dim: int = 64, out_dim: int = DIM_EXPAND_OUT
+) -> list[float]:
+    """Driver-side query encoding into the expanded d=`out_dim` space —
+    the same projection the corpus side applies (dense.expand_to_dim),
+    so query and corpus live in one space."""
+    v = list(vec)
+    return [float(v[src]) * coeff for src, coeff in dim_expand_components(in_dim, out_dim)]
+
+
 def fake_corpus_alignment_note() -> str:
     """The FakeTextEncoder does NOT share a vector space with the
     driver's synthetic `embeddings` table — facade text searches are
@@ -193,4 +235,7 @@ __all__: Sequence[str] = (
     "MODEL_B_DIM",
     "model_b_components",
     "model_b_encode",
+    "DIM_EXPAND_OUT",
+    "dim_expand_components",
+    "dim_expand_encode",
 )

@@ -213,6 +213,38 @@ def model_b_embeddings(
     return emb.withColumn(vec_col, arr)
 
 
+def expand_to_dim(
+    emb: DataFrame,
+    out_dim: int = 768,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    as_float: bool = True,
+) -> DataFrame:
+    """Derive a PRODUCTION-WIDTH embeddings table (d=out_dim) from the
+    64-d testdata corpus — the reference serves 768-d CLIP vectors
+    (reference data_extraction/create_bin.ipynb cells 3,8;
+    utils/faiss_processing.py:39-41), so every dense/ANN path must be
+    measured at that width, not just at d=64.
+
+    out[j] = in[src_j] · coeff_j with md5-derived literal components
+    (encoders.dim_expand_components — same literals on the oracle
+    side). A narrow per-row projection: no shuffle; `as_float=True`
+    casts to ARRAY<FLOAT>, the at-rest CLIP storage width (one IEEE
+    double→float round, bit-identical in Spark/DuckDB/NumPy), so the
+    written table has exactly the production schema. At real scale
+    this is an ingest-time column, not a query-time derivation."""
+    from multi_search_retrival_big_data_spark.encoders import dim_expand_components
+
+    comps = dim_expand_components(in_dim, out_dim)
+    v = F.col(vec_col).cast("array<double>")
+    arr = F.array(
+        *[F.element_at(v, src + 1) * F.lit(coeff) for src, coeff in comps]
+    )
+    if as_float:
+        arr = arr.cast("array<float>")
+    return emb.withColumn(vec_col, arr)
+
+
 def topk_cosine_dim_routed(
     requested: str,
     spaces: dict[str, tuple[DataFrame, int]],

@@ -63,3 +63,42 @@ def det_round(col: Column, scale: int = 6) -> Column:
 def sql_det_round(expr: str, scale: int = 6) -> str:
     m = f"1e{scale}"
     return f"(CAST(FLOOR(({expr}) * {m} + 0.5) AS DOUBLE) / {m})"
+
+
+def grid_hits(topk_ids, exact, id_col: str = "vec_id"):
+    """1-row agg: |topk ∩ exact| as `hits`. Both sides carry UNIQUE
+    ids (each is a top-k / limit output), so the left-semi count
+    equals the inner-join count — the shared tail of every recall
+    grid."""
+    return (
+        topk_ids.select(id_col)
+        .join(exact, id_col, "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+
+
+def grid_row(k: int, n_hits, n_cand=None, **config):
+    """One recall-grid output row: config literal columns (insertion
+    order), then k, [candidates,] hits, recall = hits/k (int/int
+    double division — bit-exact in both engines). When `n_cand` (a
+    1-row agg with column `candidates`) is given it is combined with
+    the 1-row `n_hits` agg via the scalar crossJoin the plan audit
+    allowlists (SCALAR_BROADCAST_OK) — both inputs are single-row
+    aggregates, never corpus-sized."""
+    cols = [F.lit(v).alias(name) for name, v in config.items()]
+    cols.append(F.lit(k).alias("k"))
+    base = n_hits if n_cand is None else n_cand.crossJoin(n_hits)
+    if n_cand is not None:
+        cols.append(F.col("candidates"))
+    cols.append(F.col("hits"))
+    cols.append((F.col("hits").cast("double") / F.lit(float(k))).alias("recall"))
+    return base.select(*cols)
+
+
+def union_rows(rows):
+    """Union a non-empty list of same-schema 1-row DataFrames (the
+    per-config rows of a recall grid)."""
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out

@@ -223,3 +223,66 @@ def dense_batch_topk_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame
     physical strategy for the same logical batch operator."""
     emb = tables.load(spark, "embeddings", sf_dir)
     return dense.batch_topk_cosine_arrow(emb, _BATCH_QUERIES, k=25, round_to=6)
+
+
+# --- production-dimension derivation (d=768) --------------------------------
+
+_D768 = 768
+
+
+def _dim768_comps_sql() -> str:
+    from multi_search_retrival_big_data_spark.encoders import dim_expand_components
+
+    return ", ".join(
+        f"({j}, {src}, {float(coeff)!r})"
+        for j, (src, coeff) in enumerate(dim_expand_components(64, _D768))
+    )
+
+
+@query(
+    "dense_dim768_derivation",
+    oracle=f"""
+    WITH comps(j, src, coeff) AS (VALUES {_dim768_comps_sql()}),
+    ex AS (
+      SELECT e.vec_id,
+             CAST(CAST(CAST(e.embedding[c.src + 1] AS DOUBLE) * c.coeff AS FLOAT)
+                  AS DOUBLE) AS x
+      FROM embeddings e, comps c
+    )
+    SELECT vec_id, count(*) AS dim,
+           CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS q_sum,
+           CAST(SUM(CAST(FLOOR(x * x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS q_sumsq
+    FROM ex GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def dense_dim768_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derivation proof for the PRODUCTION-WIDTH embeddings table: the
+    reference serves d=768 CLIP vectors (data_extraction/
+    create_bin.ipynb cells 3,8; utils/faiss_processing.py:39-41), and
+    bench.py's dim_tier measures every dense/ANN serving path on a
+    d=768 corpus derived by dense.expand_to_dim. This row pins that
+    derivation value-exactly: per vector, the output dimension count
+    plus TWO order-independent integer checksums (quantized element
+    sum and element-square sum — floor(x·1e6 + 0.5) per element, then
+    BIGINT addition, which is associative, so Spark's fold order and
+    DuckDB's aggregate order cannot diverge). The oracle re-derives
+    all 768 components from the same md5 literals INCLUDING the
+    double→float storage cast, so a hash match proves the exact
+    at-rest floats the dim_tier serves."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    wide = dense.expand_to_dim(emb, out_dim=_D768, in_dim=64, as_float=True)
+    v = F.col("embedding").cast("array<double>")
+    q = F.transform(v, lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"))
+    q2 = F.transform(
+        v, lambda x: F.floor(x * x * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        wide.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("dim"),
+            F.aggregate(q, zero, lambda acc, x: acc + x).alias("q_sum"),
+            F.aggregate(q2, zero, lambda acc, x: acc + x).alias("q_sumsq"),
+        )
+        .orderBy("vec_id")
+    )

@@ -12,6 +12,12 @@ partitions) but every knob here is chosen to survive a 1000-executor /
   oracle and to any multi-region cluster.
 - ANSI off: we want permissive SQL-2003 null/cast semantics matching
   the DuckDB oracle (Spark 4 flips the default to on).
+- FAIR scheduler: the reference is a threaded Flask server
+  (reference app.py:571 `threaded=True`) multiplexing many small
+  queries; FAIR keeps one long scan from starving concurrent serving
+  queries. Single-query plans are unaffected (one job at a time is
+  one job either way); bench.py's `concurrency` anchor measures the
+  multiplexed throughput through per-thread scheduler pools.
 """
 
 from __future__ import annotations
@@ -36,6 +42,7 @@ def get_spark(app_name: str = "msrbd-spark", shuffle_partitions: int | None = No
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

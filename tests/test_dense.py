@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from multi_search_retrival_big_data_spark import tables
 from multi_search_retrival_big_data_spark.operators import dense
@@ -117,3 +118,49 @@ def test_batch_topk_cosine_arrow_matches_per_query(spark, sf_dir):
         np.testing.assert_allclose(
             [r.score for r in got], [r.score for r in single], rtol=0, atol=1e-12
         )
+
+
+def test_expand_to_dim_matches_driver_encode(spark, sf_dir):
+    """The corpus-side d=768 expansion (dense.expand_to_dim) and the
+    driver-side query encoding (encoders.dim_expand_encode) apply the
+    SAME md5-derived components — per-row float-exact up to the
+    double→float storage cast."""
+    from multi_search_retrival_big_data_spark.encoders import dim_expand_encode
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    rows = (
+        dense.expand_to_dim(emb, out_dim=768, in_dim=64)
+        .filter(F.col("vec_id").isin(0, 7))
+        .collect()
+    )
+    base = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(0, 7)).collect()
+    }
+    for r in rows:
+        want = dim_expand_encode(base[r["vec_id"]], 64, 768)
+        got = list(r["embedding"])
+        assert len(got) == 768
+        np.testing.assert_array_equal(
+            np.asarray(got, dtype=np.float32),
+            np.asarray(want, dtype=np.float64).astype(np.float32),
+        )
+
+
+def test_topk_cosine_arrow_matches_expr_at_768(spark, sf_dir):
+    """Expression vs Arrow strategies stay the same logical operator at
+    production width: identical top-k at d=768 on the derived corpus."""
+    from multi_search_retrival_big_data_spark.encoders import dim_expand_encode
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    wide = dense.expand_to_dim(emb, out_dim=768, in_dim=64)
+    qv = dim_expand_encode(QUERY_VEC, 64, 768)
+    expr_rows = dense.topk_cosine(wide, qv, k=25, round_to=6).collect()
+    arrow_rows = dense.topk_cosine_arrow(wide, qv, k=25, round_to=6).collect()
+    assert [r.vec_id for r in arrow_rows] == [r.vec_id for r in expr_rows]
+    np.testing.assert_allclose(
+        [r.score for r in arrow_rows],
+        [r.score for r in expr_rows],
+        rtol=0,
+        atol=1e-6,
+    )
