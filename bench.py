@@ -370,7 +370,7 @@ def _time_thunks(thunks: dict, runs: int = RUNS) -> dict[str, float]:
     return out
 
 
-def _run_dim_tier(spark, sf_dir: str) -> dict:
+def _run_dim_tier(spark, sf_dir: str, paths=None, grids: bool = True) -> dict:
     """PRODUCTION-DIMENSION tier: the reference serves d=768 CLIP
     vectors (data_extraction/create_bin.ipynb cells 3,8;
     utils/faiss_processing.py:39-41) while the testdata is d=64 — so
@@ -378,7 +378,12 @@ def _run_dim_tier(spark, sf_dir: str) -> dict:
     derived by dense.expand_to_dim (derivation oracle-pinned by the
     dense_dim768_derivation registry row). Reports per-path timings,
     recall@50 vs the exact d=768 scan, and the candidate volumes that
-    drive each path's cost at production width."""
+    drive each path's cost at production width.
+
+    `paths` restricts to a subset of the thunk names (the width×scale
+    cross re-runs the serving subset on the 10× stress corpus);
+    `grids=False` skips the nprobe tuning grid (already measured on
+    the x1 corpus — cell geometry depends on dim, not corpus size)."""
     from pyspark.sql import functions as F
 
     from multi_search_retrival_big_data_spark import index_store, tables
@@ -434,6 +439,8 @@ def _run_dim_tier(spark, sf_dir: str) -> dict:
         "ann_pq_rerank_trained": pq_rerank,
         "ann_sq8_topk": sq8,
     }
+    if paths is not None:
+        thunks = {n: fn for n, fn in thunks.items() if n in paths}
     timings = _time_thunks(thunks)
 
     # recall@k vs the exact d=768 scan (the ANN paths' quality at
@@ -450,68 +457,50 @@ def _run_dim_tier(spark, sf_dir: str) -> dict:
         ids = {r["vec_id"] for r in df.select("vec_id").collect()}
         return round(len(ids & exact) / float(DIM_K), 4)
 
-    recalls = {
-        "ann_lsh_topk": recall(lsh()),
-        "ann_ivf_topk": recall(ivf()),
-        "ann_pq_rerank_trained": recall(pq_rerank()),
-        "ann_sq8_topk": recall(sq8()),
+    ann_paths = {
+        "ann_lsh_topk": lsh,
+        "ann_ivf_topk": ivf,
+        "ann_pq_rerank_trained": pq_rerank,
+        "ann_sq8_topk": sq8,
     }
+    recalls = {n: recall(fn()) for n, fn in ann_paths.items() if n in thunks}
 
     # candidate volumes — the scaling variable for each path's cost
-    banded = index_store.emb_lsh_bands(spark, dim_dir, dim=DIM_TIER)
-    planes = ann.hyperplanes(DIM_TIER, ann.NUM_PLANES)
-    qsig = ann.signature_of(qv, planes)
-    cond = None
-    for b, qband in ann.query_bands(qsig):
-        c = (F.col("band") == b) & (F.col("bval") == F.lit(qband))
-        cond = c if cond is None else cond | c
-    lsh_cand = banded.filter(cond).select("vec_id").distinct().count()
-    probed = (
-        ann.centroids(emb())
-        .select("cid", l2_dist("__cv", lit_vec(qv)).alias("__d"))
-        .orderBy(F.asc("__d"), F.asc("cid"))
-        .limit(ann.IVF_NPROBE)
-        .select("cid")
-    )
-    ivf_cand = index_store.ivf_assignments(spark, dim_dir).join(
-        F.broadcast(probed), "cid"
-    ).count()
     candidates = {
-        "lsh_bucket_union": lsh_cand,
-        "ivf_probed_cells": ivf_cand,
         "pq_adc_code_rows_scanned": n_rows,
         "pq_rerank_shortlist": ann.PQ_RERANK_SHORTLIST,
         "corpus_rows": n_rows,
     }
+    if "ann_lsh_topk" in thunks:
+        banded = index_store.emb_lsh_bands(spark, dim_dir, dim=DIM_TIER)
+        planes = ann.hyperplanes(DIM_TIER, ann.NUM_PLANES)
+        qsig = ann.signature_of(qv, planes)
+        cond = None
+        for b, qband in ann.query_bands(qsig):
+            c = (F.col("band") == b) & (F.col("bval") == F.lit(qband))
+            cond = c if cond is None else cond | c
+        candidates["lsh_bucket_union"] = (
+            banded.filter(cond).select("vec_id").distinct().count()
+        )
+    if "ann_ivf_topk" in thunks:
+        probed = (
+            ann.centroids(emb())
+            .select("cid", l2_dist("__cv", lit_vec(qv)).alias("__d"))
+            .orderBy(F.asc("__d"), F.asc("cid"))
+            .limit(ann.IVF_NPROBE)
+            .select("cid")
+        )
+        candidates["ivf_probed_cells"] = (
+            index_store.ivf_assignments(spark, dim_dir)
+            .join(F.broadcast(probed), "cid")
+            .count()
+        )
 
-    # recall-vs-nprobe grid at production width (the d=64 grid is
-    # ann_ivf_recall_grid; cell geometry does not transfer across
-    # dimension, so the tuning curve is re-measured here)
-    assign = index_store.ivf_assignments(spark, dim_dir)
-    cents = ann.centroids(emb()).select(
-        "cid", l2_dist("__cv", lit_vec(qv)).alias("__d")
-    )
-    ivf_grid = []
-    for nprobe in (1, 2, 4, 8):
-        p = (
-            cents.orderBy(F.asc("__d"), F.asc("cid")).limit(nprobe).select("cid")
-        )
-        cand_n = assign.join(F.broadcast(p), "cid").count()
-        got = recall(
-            ann.ann_ivf_topk(
-                emb(), qv, k=DIM_K, round_to=6, assign=assign, nprobe=nprobe
-            )
-        )
-        ivf_grid.append(
-            {"nprobe": nprobe, "candidates": cand_n, "recall_at_k": got}
-        )
-    shutil.rmtree(dim_dir, ignore_errors=True)
-    return {
+    out = {
         "dim": DIM_TIER,
         "rows": n_rows,
         "queries": timings,
         "recall_at_k": {"k": DIM_K, **recalls},
-        "ivf_recall_grid": ivf_grid,
         "candidates": candidates,
         "d64_anchors": {
             "dense_topk_cosine_expr": "dense_topk_cosine",
@@ -523,6 +512,32 @@ def _run_dim_tier(spark, sf_dir: str) -> dict:
         },
     }
 
+    if grids:
+        # recall-vs-nprobe grid at production width (the d=64 grid is
+        # ann_ivf_recall_grid; cell geometry does not transfer across
+        # dimension, so the tuning curve is re-measured here)
+        assign = index_store.ivf_assignments(spark, dim_dir)
+        cents = ann.centroids(emb()).select(
+            "cid", l2_dist("__cv", lit_vec(qv)).alias("__d")
+        )
+        ivf_grid = []
+        for nprobe in (1, 2, 4, 8):
+            p = (
+                cents.orderBy(F.asc("__d"), F.asc("cid")).limit(nprobe).select("cid")
+            )
+            cand_n = assign.join(F.broadcast(p), "cid").count()
+            got = recall(
+                ann.ann_ivf_topk(
+                    emb(), qv, k=DIM_K, round_to=6, assign=assign, nprobe=nprobe
+                )
+            )
+            ivf_grid.append(
+                {"nprobe": nprobe, "candidates": cand_n, "recall_at_k": got}
+            )
+        out["ivf_recall_grid"] = ivf_grid
+    shutil.rmtree(dim_dir, ignore_errors=True)
+    return out
+
 
 CONCURRENCY_QUERIES = [
     "dense_topk_cosine",
@@ -533,6 +548,14 @@ CONCURRENCY_QUERIES = [
     "ann_lsh_topk_cosine",
     "fusion_dual_model_ensemble",
     "dense_rocchio_rerank",
+]
+
+# the heavy job for the latency-isolation probe: a multi-second
+# analytical query (first available wins)
+ISOLATION_HEAVY_QUERIES = [
+    "dedup_cluster_components_lss",
+    "dedup_cluster_components",
+    "pipeline_curation_end_to_end",
 ]
 
 
@@ -587,6 +610,39 @@ def _run_concurrency(spark, qs, sf_dir: str) -> dict:
             "qps": round(len(batch) / wall, 2),
             "speedup": round(seq / wall, 2),
             "n": len(batch),
+        }
+
+    # latency isolation — what the FAIR pools actually buy: a short
+    # serving query's latency while a heavy analytical job runs in a
+    # sibling pool. Under FIFO the short query queues behind every
+    # stage of the heavy one; under FAIR it interleaves, so the
+    # contended/idle ratio should stay near 1 on an under-subscribed
+    # executor (and bounded by fair-share, not queue-behind, when hot)
+    heavy = next((n for n in ISOLATION_HEAVY_QUERIES if n in qs), None)
+    fast = names[0] if names else None
+    if heavy and fast:
+        qs[heavy](spark, sf_dir).count()  # warm the heavy plan too
+
+        def med_latency(runs: int = 3) -> float:
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                run_one(fast, "fast")
+                samples.append(time.perf_counter() - t0)
+            return statistics.median(samples)
+
+        idle = med_latency()
+        ht = threading.Thread(target=run_one, args=(heavy, "heavy"))
+        ht.start()
+        time.sleep(0.3)  # heavy job is mid-flight before we measure
+        contended = med_latency()
+        ht.join()
+        out["isolation"] = {
+            "fast_query": fast,
+            "heavy_query": heavy,
+            "idle_sec": round(idle, 4),
+            "contended_sec": round(contended, 4),
+            "latency_ratio": round(contended / idle, 2),
         }
     return out
 
@@ -712,6 +768,27 @@ def main() -> None:
             "lsh_candidates": cand_counts,
             "replication": STRESS_REPLICATION,
         }
+
+        # width × scale cross: the d=768 serving subset re-measured on
+        # the 10× corpus (20k rows at production width). Ratios should
+        # track each path's candidate volume — the dense/ADC scans are
+        # corpus-bound by design, the pruned paths grow with bucket /
+        # cell membership, never with raw corpus size
+        if run_dim and "dim_tier" in result:
+            x10_paths = (
+                "dense_topk_cosine_arrow",
+                "ann_lsh_topk",
+                "ann_ivf_topk",
+                "ann_pq_rerank_trained",
+            )
+            dim_x10 = _run_dim_tier(spark, stress_dir, paths=x10_paths, grids=False)
+            x1q = result["dim_tier"]["queries"]
+            dim_x10["scale_ratio"] = {
+                n: round(t / x1q[n], 2)
+                for n, t in dim_x10["queries"].items()
+                if x1q.get(n)
+            }
+            result["dim_tier"][f"x{STRESS_REPLICATION}"] = dim_x10
 
         # adversarially skewed 10× tier: same row count as the uniform
         # tier, hot keys + one mega duplicate cluster; ratio ≈ 1 vs the
