@@ -286,3 +286,65 @@ def dense_dim768_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _d768_qv() -> list[float]:
+    from multi_search_retrival_big_data_spark.encoders import dim_expand_encode
+
+    return dim_expand_encode(QUERY_VEC, 64, _D768)
+
+
+# the expanded at-rest corpus (double→float storage cast included) as a
+# (vec_id, v DOUBLE[768]) CTE — the serving-side view of the table the
+# derivation row pins element-exactly
+_D768_EX_CTE = f"""
+    comps(j, src, coeff) AS (VALUES {{comps}}),
+    ex AS (
+      SELECT e.vec_id,
+             list(CAST(CAST(CAST(e.embedding[c.src + 1] AS DOUBLE) * c.coeff
+                            AS FLOAT) AS DOUBLE) ORDER BY c.j) AS v
+      FROM embeddings e, comps c GROUP BY e.vec_id
+    )"""
+
+_D768_TOPK_ORACLE = (
+    "WITH "
+    + _D768_EX_CTE.format(comps=_dim768_comps_sql())
+    + f"""
+    SELECT vec_id, {sql_det_round(_cos_sql("v", sql_vec(_d768_qv())))} AS score
+    FROM ex ORDER BY score DESC, vec_id LIMIT 100
+    """
+)
+
+
+@query("dense_dim768_topk_cosine", oracle=_D768_TOPK_ORACLE)
+def dense_dim768_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship serving query AT PRODUCTION WIDTH, oracle-proven:
+    Q1 top-k cosine over the derived d=768 corpus (the at-rest table
+    dense_dim768_derivation pins element-exactly), query vector encoded
+    by the same driver-side expansion (encoders.dim_expand_encode) and
+    injected as an identical literal into both plans. The oracle
+    re-derives every float INCLUDING the double→float storage cast and
+    scores with the same sequential-fold dot product — so the d=768
+    numbers in bench.py's dim_tier ride a plan whose VALUES are
+    hash-matched, not just its derivation. Same plan shape as
+    dense_topk_cosine: narrow projection → codegen fold →
+    TakeOrderedAndProject (no shuffle before the final top-k)."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    wide = dense.expand_to_dim(emb, out_dim=_D768, in_dim=64, as_float=True)
+    return dense.topk_cosine(wide, _d768_qv(), k=100, round_to=6)
+
+
+@query("dense_dim768_topk_cosine_arrow", oracle=_D768_TOPK_ORACLE)
+def dense_dim768_topk_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/NumPy strategy at production width, same oracle as
+    dense_dim768_topk_cosine — at d=768 this is the RECOMMENDED
+    serving strategy (the dim_tier measures the Arrow-vs-expression
+    gap widening ~1.6× → ~3.3× from d=64 to d=768: per-row codegen
+    folds grow linearly in dimension while the BLAS matvec amortizes),
+    so the strategy the tier recommends is itself value-proven, like
+    dense_topk_cosine_arrow at d=64. In-UDF floor-quantization
+    (det_round semantics) absorbs BLAS pairwise-summation ulps before
+    the top-k sort."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    wide = dense.expand_to_dim(emb, out_dim=_D768, in_dim=64, as_float=True)
+    return dense.topk_cosine_arrow(wide, _d768_qv(), k=100, round_to=6)
