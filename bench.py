@@ -427,6 +427,32 @@ def _run_dim_tier(spark, sf_dir: str, paths=None, grids: bool = True) -> dict:
         bounds, codes = index_store.sq8(spark, dim_dir)
         return ann.ann_sq8_topk(codes, bounds, qv, k=DIM_K, round_to=6)
 
+    def ivf_trained():
+        # Lloyd-trained coarse quantizer at production width — answers
+        # whether the stride-IVF recall at d=768 is a geometry limit or
+        # a training limit (FAISS practice trains; same serving shape
+        # as ann_ivf_trained_recall_grid: probe the trained centroid
+        # table, rank the co-located pruned inverted lists)
+        from multi_search_retrival_big_data_spark.functions.rounding import det_round
+        from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
+
+        cents_t, assign_t = index_store.ivf_trained(spark, dim_dir, iters=2)
+        probed = (
+            cents_t.select("cid", l2_dist("cv", lit_vec(qv)).alias("__d"))
+            .orderBy(F.asc("__d"), F.asc("cid"))
+            .limit(ann.IVF_NPROBE)
+            .select("cid")
+        )
+        return (
+            assign_t.join(F.broadcast(probed), "cid")
+            .select(
+                "vec_id",
+                det_round(cosine_sim("embedding", lit_vec(qv)), 6).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(DIM_K)
+        )
+
     thunks = {
         "dense_topk_cosine_expr": lambda: dense.topk_cosine(
             emb(), qv, k=100, round_to=6
@@ -436,6 +462,7 @@ def _run_dim_tier(spark, sf_dir: str, paths=None, grids: bool = True) -> dict:
         ),
         "ann_lsh_topk": lsh,
         "ann_ivf_topk": ivf,
+        "ann_ivf_trained_topk": ivf_trained,
         "ann_pq_rerank_trained": pq_rerank,
         "ann_sq8_topk": sq8,
     }
@@ -460,6 +487,7 @@ def _run_dim_tier(spark, sf_dir: str, paths=None, grids: bool = True) -> dict:
     ann_paths = {
         "ann_lsh_topk": lsh,
         "ann_ivf_topk": ivf,
+        "ann_ivf_trained_topk": ivf_trained,
         "ann_pq_rerank_trained": pq_rerank,
         "ann_sq8_topk": sq8,
     }
@@ -507,6 +535,7 @@ def _run_dim_tier(spark, sf_dir: str, paths=None, grids: bool = True) -> dict:
             "dense_topk_cosine_arrow": "dense_topk_cosine_arrow",
             "ann_lsh_topk": "ann_lsh_topk_cosine",
             "ann_ivf_topk": "ann_ivf_topk_cosine",
+            "ann_ivf_trained_topk": "ann_ivf_trained_recall_grid",
             "ann_pq_rerank_trained": "ann_pq_rerank_trained_topk",
             "ann_sq8_topk": "ann_sq8_topk",
         },
