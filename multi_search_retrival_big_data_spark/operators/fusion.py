@@ -74,6 +74,55 @@ def merge_by_addition(
     return out.limit(k) if k is not None else out
 
 
+RRF_K0 = 60  # the constant of Cormack, Clarke & Buettcher (SIGIR 2009)
+
+
+def reciprocal_rank_fusion(
+    sources: list[DataFrame],
+    k0: int = RRF_K0,
+    k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion: score(d) = Σ_lists 1/(k0 + rank_list(d)).
+
+    Rank-only fusion — immune to incomparable score scales across
+    channels, which is the property the reference's min-max
+    normalization approximates numerically (combine_utils.py:40-43);
+    RRF is the standard modern alternative for the same hybrid
+    sparse+dense merge (Cormack et al. 2009; Elasticsearch/Vespa
+    hybrid retrieval default). Same call shape as merge_by_addition so
+    every multi-channel query can swap fusers.
+
+    Determinism: rank = row_number ordered by (score DESC, id ASC) —
+    both engines rank det-rounded scores, so ranks are identical; each
+    addend 1e12/(k0+rank) is FLOOR-quantized before an exact
+    DECIMAL(38,0) sum (the common.dsum rationale), making the
+    accumulation order-independent and bit-equal cross-engine.
+
+    Scale shape: every source is a request-sized top-k list, so the
+    rank window is a single-partition sort over ≤k rows — never a
+    corpus window; the fuse itself is union → groupBy(id) over ≤ Σk
+    rows. Nothing here touches the corpus."""
+    from pyspark.sql.window import Window
+
+    ranked = []
+    for s in sources:
+        d = _as_id_score(s)
+        w = Window.orderBy(F.desc("score"), F.asc("id"))
+        ranked.append(d.select("id", F.row_number().over(w).alias("r")))
+    unioned = reduce(lambda a, b: a.unionByName(b), ranked)
+    # one double division per addend (1e12/(k0+r)) — NOT (1/(k0+r))·1e12,
+    # which can differ by an ulp; the oracle emits the same single division
+    addend = F.floor(
+        F.lit(1e12) / (F.lit(float(k0)) + F.col("r").cast("double")) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    out = (
+        unioned.groupBy("id")
+        .agg((F.sum(addend).cast("double") / F.lit(1e12)).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+    )
+    return out.limit(k) if k is not None else out
+
+
 def merge_l2_dedup_max(
     sources: list[DataFrame],
     k: int | None = None,

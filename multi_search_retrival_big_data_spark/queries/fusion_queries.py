@@ -144,6 +144,61 @@ def fusion_hybrid_sparse_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rrf_fuse_sql(ctes: list[str], k: int, id_name: str = "id", k0: int = fusion.RRF_K0) -> str:
+    """DuckDB mirror of fusion.reciprocal_rank_fusion over named top-k
+    CTEs (each exposing (id, score)); composes like _fuse_add_sql. The
+    addend is the SAME single double division the Spark plan computes
+    (1e12/(k0+r)), FLOOR-quantized into an exact DECIMAL sum."""
+    parts = [
+        f"""
+    rrf_r{i} AS (
+      SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM {cte}
+    )"""
+        for i, cte in enumerate(ctes)
+    ]
+    union = " UNION ALL ".join(f"SELECT * FROM rrf_r{i}" for i in range(len(ctes)))
+    return (
+        ",".join(parts)
+        + f""",
+    rrf_f AS (
+      SELECT id,
+             CAST(SUM(CAST(FLOOR(1e12 / ({float(k0)!r} + CAST(r AS DOUBLE)) + 0.5)
+                           AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS score
+      FROM ({union}) u GROUP BY 1
+    )
+    SELECT id AS {id_name}, score FROM rrf_f ORDER BY score DESC, {id_name} LIMIT {k}
+    """
+    )
+
+
+@query(
+    "fusion_rrf_hybrid",
+    oracle=f"""
+    WITH {tfidf_cte('rp_', (1, 1), _QSPARSE)},
+    sp_top AS (SELECT doc_id AS id, score FROM rp_topk ORDER BY score DESC, doc_id LIMIT 100),
+    {_dense_top_cte('dn_top', _QV_A, 100).lstrip().removeprefix(',')},
+    {_rrf_fuse_sql(['sp_top', 'dn_top'], 50, 'doc_id').lstrip().removeprefix(',')}
+    """,
+)
+def fusion_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 via reciprocal-rank fusion (Cormack et al., SIGIR 2009) —
+    the rank-only alternative to the reference's min-max additive merge
+    (combine_utils.py:29-65) for the same hybrid keyword+semantic
+    retrieval (speech_retrieval.py:70-131): sparse TF-IDF top-100 and
+    dense top-100 fused by Σ 1/(60+rank). Rank fusion sidesteps the
+    score-scale mismatch entirely (TF-IDF cosines and CLIP cosines
+    live on different scales), which is why hybrid-search engines
+    default to it. Both lists are request-sized; the fuse never
+    touches the corpus."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    postings = index_store.tfidf_postings(spark, sf_dir)
+    sparse_list = sparse.tfidf_score(postings, _QSPARSE, k=100, round_to=6)
+    dense_list = dense.topk_cosine_arrow(emb, QUERY_VEC, k=100, round_to=6)
+    return fusion.reciprocal_rank_fusion([sparse_list, dense_list], k=50).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 _QOCR = sparse.query_terms("batch window scan order", (1, 3))
 
 

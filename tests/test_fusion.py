@@ -51,6 +51,48 @@ def test_l2_dedup_keeps_max(spark):
     assert abs(got[2] - 0.8) < 1e-12
 
 
+def test_rrf_scores_and_order(spark):
+    # a: ranks 1,2,3 → ids 1,2,3; b: ranks 1,2 → ids 2,4
+    a = _df(spark, [(1, 0.9), (2, 0.5), (3, 0.1)])
+    b = _df(spark, [(2, 3.0), (4, 1.0)])
+    got = {r.id: r.score for r in fusion.reciprocal_rank_fusion([a, b]).collect()}
+
+    import math
+
+    def q(*ranks):  # exact integer sum of quantized addends, divided once
+        return sum(math.floor(1e12 / (60.0 + r) + 0.5) for r in ranks) / 1e12
+
+    assert got[2] == q(2, 1)  # in both lists → boosted
+    assert got[1] == q(1)
+    assert got[4] == q(2)
+    assert got[3] == q(3)
+    order = [
+        r.id for r in fusion.reciprocal_rank_fusion([a, b]).collect()
+    ]
+    assert order[0] == 2  # dual membership outranks any single rank-1
+
+
+def test_rrf_scale_invariance(spark):
+    # rank fusion ignores score scales entirely: multiplying one list's
+    # scores by 1000 changes nothing (the property min-max only approximates)
+    a = _df(spark, [(1, 0.9), (2, 0.5)])
+    a_scaled = _df(spark, [(1, 900.0), (2, 500.0)])
+    b = _df(spark, [(2, 3.0), (3, 1.0)])
+    base = {(r.id, r.score) for r in fusion.reciprocal_rank_fusion([a, b]).collect()}
+    scaled = {(r.id, r.score) for r in fusion.reciprocal_rank_fusion([a_scaled, b]).collect()}
+    assert base == scaled
+
+
+def test_rrf_rank_ties_break_by_id(spark):
+    # equal scores: the smaller id takes the better rank in every engine
+    a = _df(spark, [(7, 0.5), (3, 0.5)])
+    got = {r.id: r.score for r in fusion.reciprocal_rank_fusion([a]).collect()}
+    import math
+
+    assert got[3] == math.floor(1e12 / 61.0 + 0.5) / 1e12
+    assert got[7] == math.floor(1e12 / 62.0 + 0.5) / 1e12
+
+
 def test_dim_routed_fallback_picks_matching_space(spark, sf_dir):
     """Reference faiss_processing.py:133-152: a query vector whose
     dimension mismatches the requested index searches the other one."""

@@ -24,6 +24,7 @@ SCALAR_BROADCAST_OK = {
     "fusion_dual_model_true",    # min-max norm: 1-row scalar broadcast per list
     "fusion_l2_dedup_max",
     "fusion_hybrid_sparse_dense",
+    "fusion_rrf_hybrid",  # sparse scorer's 1-row qnorm broadcast (rank fuse itself is shuffle-only)
     "trimodal_context_search",
     "sparse_tfidf_topk",
     "sparse_tfidf_topk_subset",
