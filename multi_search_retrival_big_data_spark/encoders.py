@@ -81,6 +81,42 @@ class ClipTextEncoder(TextEncoder):
         )
 
 
+class CrossEncoder:
+    """(query, passage) → relevance score — the precision stage of
+    two-stage retrieval (bi-encoder recall → cross-attention rerank,
+    the standard production stack on top of exactly the architecture
+    the reference serves: FAISS recall + a rerank tail, the slot its
+    relevance-feedback rerank occupies at app.py /feedback). The
+    engine only needs score(str, str) -> float."""
+
+    def score(self, query: str, text: str) -> float:
+        raise NotImplementedError
+
+
+class FakeCrossEncoder(CrossEncoder):
+    """Deterministic md5 pair score in [0, 1): the first 8 hex digits
+    of md5(query ∥ US ∥ text) as a 32-bit integer / 2³². One division
+    of an exact integer — bit-identical to the oracle's instr-decoded
+    digit sum, so reranked plans stay full hash-match rows."""
+
+    def score(self, query: str, text: str) -> float:
+        h = hashlib.md5(f"{query}\x1f{text}".encode()).hexdigest()[:8]
+        return int(h, 16) / 4294967296.0
+
+
+class TransformerCrossEncoder(CrossEncoder):
+    """Production seam: a MS-MARCO-style cross-encoder (e.g.
+    MiniLM/monoT5). Not available in this container — see the module
+    header's CONTAINER CONSTRAINT."""
+
+    def score(self, query: str, text: str) -> float:
+        raise NotImplementedError(
+            "cross-encoder rerank: load a transformers/onnxruntime model "
+            "here on a cluster with weights; the engine only needs "
+            "score(query, passage) -> float."
+        )
+
+
 class Translator:
     """Q21 — query translation (reference lowercases then calls
     googletrans vi→en before CLIP encoding, nlp_processing.py:4-27)."""

@@ -65,6 +65,7 @@ _MODULES = [
     "multi_search_retrival_big_data_spark.queries.sampling_queries",
     "multi_search_retrival_big_data_spark.queries.source_queries",
     "multi_search_retrival_big_data_spark.queries.curation_queries",
+    "multi_search_retrival_big_data_spark.queries.rerank_queries",
 ]
 
 # The driver records a CORRECTNESS row for (at most) the first 50

@@ -1,0 +1,70 @@
+"""Cross-encoder rerank seam (operators/rerank.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from multi_search_retrival_big_data_spark.encoders import (
+    FakeCrossEncoder,
+    TransformerCrossEncoder,
+)
+from multi_search_retrival_big_data_spark.operators import rerank
+
+
+def _fake_ce(query: str, text: str) -> float:
+    return int(hashlib.md5(f"{query}\x1f{text}".encode()).hexdigest()[:8], 16) / 4294967296.0
+
+
+def test_fake_cross_encoder_deterministic_and_bounded():
+    enc = FakeCrossEncoder()
+    s1 = enc.score("q", "some passage")
+    assert s1 == enc.score("q", "some passage") == _fake_ce("q", "some passage")
+    assert 0.0 <= s1 < 1.0
+    # pair-sensitive in BOTH arguments (a bi-encoder fake would not be)
+    assert enc.score("q2", "some passage") != s1
+    assert enc.score("q", "other passage") != s1
+
+
+def test_production_seam_is_marked():
+    with pytest.raises(NotImplementedError):
+        TransformerCrossEncoder().score("q", "t")
+
+
+def test_rerank_blend_and_order(spark):
+    cand = spark.createDataFrame(
+        [(1, 0.9, "aaa"), (2, 0.8, "bbb"), (3, 0.1, "ccc")],
+        "doc_id BIGINT, score DOUBLE, text STRING",
+    )
+    got = rerank.cross_encoder_rerank(cand, "q", alpha=0.5, k=3).collect()
+
+    def blend(s1, txt):
+        b = 0.5 * s1 + 0.5 * _fake_ce("q", txt)
+        return math.floor(b * 1e6 + 0.5) / 1e6
+
+    expect = sorted(
+        [(1, blend(0.9, "aaa")), (2, blend(0.8, "bbb")), (3, blend(0.1, "ccc"))],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert [(r.doc_id, r.score) for r in got] == expect
+    for r in got:
+        assert r.ce_score == math.floor(_fake_ce("q", {1: "aaa", 2: "bbb", 3: "ccc"}[r.doc_id]) * 1e6 + 0.5) / 1e6
+
+
+def test_rerank_k_clamps(spark):
+    cand = spark.createDataFrame(
+        [(i, 1.0 - i / 10.0, f"t{i}") for i in range(8)],
+        "doc_id BIGINT, score DOUBLE, text STRING",
+    )
+    assert rerank.cross_encoder_rerank(cand, "q", k=3).count() == 3
+
+
+def test_attach_candidate_text_semi_semantics(spark):
+    corpus = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id BIGINT, text STRING"
+    )
+    hits = spark.createDataFrame([(2, 0.5)], "doc_id BIGINT, score DOUBLE")
+    rows = rerank.attach_candidate_text(hits, corpus, "doc_id", "text").collect()
+    assert [(r.doc_id, r.text, r.score) for r in rows] == [(2, "two", 0.5)]

@@ -25,6 +25,7 @@ SCALAR_BROADCAST_OK = {
     "fusion_l2_dedup_max",
     "fusion_hybrid_sparse_dense",
     "fusion_rrf_hybrid",  # sparse scorer's 1-row qnorm broadcast (rank fuse itself is shuffle-only)
+    "rerank_cross_encoder",  # sparse first stage's 1-row qnorm broadcast; rerank side is request-sized
     "trimodal_context_search",
     "sparse_tfidf_topk",
     "sparse_tfidf_topk_subset",
