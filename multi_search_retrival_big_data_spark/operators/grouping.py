@@ -58,6 +58,36 @@ def group_hits(
     return out.orderBy(F.desc("best_score"), *[F.asc(c) for c in group_cols])
 
 
+def quota_topk(
+    hydrated: DataFrame,
+    group_col: str,
+    quota: int,
+    k: int,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Diversified top-k: at most `quota` hits per parent entity
+    (video/source) in the final ranking — the serving-side diversity
+    rule result pages apply on top of Q15's grouping
+    (search_utils.py:62-93 sorts videos by best hit; the quota keeps
+    one video from monopolizing the page). Deterministic: per-group
+    rank and the global tail both order by (score DESC, id ASC).
+
+    Scale shape: the window is partitioned by the parent key over the
+    REQUEST-SIZED candidate list (first-stage top-n), never the
+    corpus; Spark plans the rank≤quota filter as WindowGroupLimit, so
+    each group truncates to `quota` rows before the final ≤n-row
+    sort."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        hydrated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def rank_in_group(df: DataFrame, group_cols: list[str], score_col: str, id_col: str) -> DataFrame:
     """Per-group rank (best hit = 1) with deterministic ties."""
     w = Window.partitionBy(*group_cols).orderBy(F.desc(score_col), F.asc(id_col))

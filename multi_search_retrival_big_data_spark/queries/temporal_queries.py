@@ -128,6 +128,38 @@ def group_hits_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "group_quota_topk",
+    oracle=f"""
+    WITH {tfidf_cte('', (1, 1), _QTXT)},
+    hits AS (SELECT doc_id, score FROM topk ORDER BY score DESC, doc_id LIMIT 100),
+    hyd AS (SELECT h.doc_id, h.score, d.source FROM hits h JOIN documents d USING(doc_id)),
+    rnk AS (
+      SELECT doc_id, score, source,
+             row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+      FROM hyd
+    )
+    SELECT doc_id, score, source FROM rnk WHERE rn <= 2
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def group_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-adjacent serving diversity: the final result page keeps at
+    most 2 hits per parent source, then ranks globally — the quota
+    rule UIs layer on the reference's group-by-video presentation
+    (search_utils.py:62-93) so one video cannot monopolize the page.
+    Window and sort both run over the request-sized top-100 candidate
+    list only (grouping.quota_topk scale notes)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    hits = sparse.tfidf_score(
+        index_store.tfidf_postings(spark, sf_dir), _QTXT, k=100, round_to=6
+    )
+    hyd = grouping.hydrate(hits, docs, "doc_id", ["source"])
+    return grouping.quota_topk(hyd, "source", quota=2, k=20).select(
+        "doc_id", "score", "source"
+    )
+
+
+@query(
     "hydrate_dense_hits",
     oracle="""
     WITH hits AS (

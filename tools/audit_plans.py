@@ -41,6 +41,7 @@ SCALAR_BROADCAST_OK = {
     "dense_rocchio_rerank",  # tiny vote set cross candidates
     "endpoint_feedback_rerank",  # same rocchio vote-set cross, behind the facade
     "group_hits_by_source",  # sparse scorer's 1-row qnorm broadcast
+    "group_quota_topk",      # same sparse first stage's 1-row qnorm broadcast
     "emb_near_dup_exact",    # all-pairs audit path: cross join BY DESIGN
     # (ann_ivf_topk_cosine / ann_recall_at_k no longer need an entry:
     # the quantizer assignment is precomputed — index_store.ivf_assignments)
@@ -111,6 +112,7 @@ BLOOM_FILTER_EXPECTED = {
 # O(rows), not O(groups*k*partitions)
 WINDOW_GROUP_LIMIT_EXPECTED = {
     "events_top3_per_user",
+    "group_quota_topk",  # quota rank-filter must prune per-group before the shuffle
 }
 
 # queries whose index scan MUST be pruned by a runtime probe result —
