@@ -694,6 +694,85 @@ def ngram_jaccard_pairs(
     )
 
 
+# ---- SemDeDup: embedding-space semantic dedup (Abbas et al. 2023) ---------
+
+
+def semantic_candidate_pairs(
+    assign: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup candidate mining (Abbas et al. 2023, arXiv:2303.09540):
+    cosine-duplicate pairs WITHIN each k-means cell of the embedding
+    space. The cell assignment turns the all-pairs O(n²) comparison
+    into Σ|cell|² work behind one equi-join on cid — the same
+    bound-the-quadratic trick as LSH banding (lsh_candidate_pairs),
+    with the centroid count k as the knob: more cells → smaller
+    quadratic per cell → lower recall for pairs straddling cell
+    boundaries (the paper's accepted approximation; measured by the
+    dedup_semantic_recall_audit row). Reads the PERSISTED trained
+    assignment (index_store.ivf_trained — cid-partitioned with vectors
+    co-located), so the self-join is an equi-join on the partition
+    key, and a production run would add a mega-cell cap exactly like
+    max_bucket.
+
+    Reference seam: the reference's CLIP keyframe embeddings
+    (/root/reference/utils/faiss_processing.py:39-41) are the space
+    this dedupes — near-identical keyframes from adjacent video frames
+    are its dominant redundancy."""
+    from multi_search_retrival_big_data_spark.functions.rounding import det_round
+    from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
+
+    a = assign.select(
+        F.col(cid_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = assign.select(
+        F.col(cid_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = a.join(b, cid_col).filter(F.col("id_a") < F.col("id_b"))
+    cos = det_round(cosine_sim("__va", "__vb"), round_to)
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def semantic_dedup(
+    assign: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup product table: (id, cluster_id, keep) for EVERY vector.
+
+    Pipeline: within-cell cosine pairs ≥ threshold →
+    connected_components_auto over the pair graph → keep ONE member
+    per duplicate group: the member with the LOWEST cosine to its cell
+    centroid (the paper's rule — keep the example farthest from the
+    cluster center, preserving edge-of-distribution data), ties →
+    smallest id. Election and annotation reuse keep_canonical with
+    quality = −centroid-sim, so the membership-only groupBy election
+    and the broadcast annotation joins (zero corpus shuffles) are
+    shared with the MinHash product table."""
+    from multi_search_retrival_big_data_spark.functions.rounding import det_round
+    from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
+
+    pairs = semantic_candidate_pairs(
+        assign, threshold, id_col, vec_col, cid_col, round_to
+    )
+    comp = connected_components_auto(pairs.select("id_a", "id_b"))
+    scored = assign.join(F.broadcast(centroids), cid_col).select(
+        F.col(id_col),
+        (-det_round(cosine_sim(vec_col, "cv"), round_to)).alias("__negsim"),
+    )
+    return keep_canonical(scored, comp, id_col, "__negsim")
+
+
 def keep_canonical(
     docs: DataFrame,
     clusters: DataFrame,

@@ -1225,3 +1225,148 @@ def decontamination_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFra
         F.when(a_is_eval, F.col("id_a")).otherwise(F.col("id_b")).alias("eval_id"),
         det_round(F.col("jaccard")).alias("jaccard"),
     ).orderBy(F.desc("jaccard"), "corpus_id", "eval_id")
+
+
+# ---- SemDeDup: embedding-space semantic dedup (Abbas et al. 2023) ----------
+#
+# The oracle re-derives the SAME Lloyd-trained k-means cells from the
+# raw corpus (kmeans_sql — engine-portable training, proven by the
+# ann_*_trained rows), mines within-cell cosine pairs, closes them with
+# the recursive-CTE closure shared with the MinHash cluster oracles,
+# and elects keepers by lowest centroid-similarity. Spark reads the
+# persisted trained assignment (index_store.ivf_trained).
+
+from multi_search_retrival_big_data_spark.operators import ann  # noqa: E402
+from multi_search_retrival_big_data_spark.queries.common import EMB_DIM  # noqa: E402
+from multi_search_retrival_big_data_spark.queries.kmeans_sql import (  # noqa: E402
+    KEM_CTE,
+    ivf_lloyd_ctes,
+)
+
+SEMANTIC_DUP_THRESHOLD = 0.45  # same planted-near-dup threshold as emb_near_dup_*
+_SEM_ITERS = 2  # matches the persisted index_store.ivf_trained build
+_SEM_CTES, _SEM_FINAL = ivf_lloyd_ctes(ann.IVF_CENTROID_STRIDE, EMB_DIM, _SEM_ITERS)
+
+
+def _sem_cos(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+_SEM_MODEL_CTES = f"""{_SEM_CTES},
+    tcent AS MATERIALIZED (SELECT cid, cv FROM {_SEM_FINAL}),
+    tassign AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.cv) ASC, c.cid ASC
+               ) AS rn
+        FROM kem e CROSS JOIN tcent c
+      ) WHERE rn = 1
+    ),
+    spairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM tassign a
+      JOIN tassign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN kem ea ON ea.vec_id = a.vec_id
+      JOIN kem eb ON eb.vec_id = b.vec_id
+      WHERE {sql_det_round(_sem_cos('ea.v', 'eb.v'))} >= {SEMANTIC_DUP_THRESHOLD}
+    )"""
+
+
+@query(
+    "dedup_semantic_keep",
+    oracle=f"""
+    WITH RECURSIVE {KEM_CTE},
+    {_SEM_MODEL_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM spairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM spairs
+    ),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach AS (
+      SELECT n, n AS m FROM nodes
+      UNION
+      SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (SELECT n AS vec_id, min(m) AS cluster_id FROM reach GROUP BY n),
+    csim AS MATERIALIZED (
+      SELECT a.vec_id, {sql_det_round(_sem_cos('e.v', 'c.cv'))} AS sim
+      FROM tassign a JOIN kem e USING (vec_id) JOIN tcent c USING (cid)
+    ),
+    ranked AS MATERIALIZED (
+      SELECT m.vec_id, m.cluster_id,
+             row_number() OVER (
+               PARTITION BY m.cluster_id ORDER BY s.sim ASC, m.vec_id ASC
+             ) AS rn
+      FROM comp m JOIN csim s USING (vec_id)
+    )
+    SELECT e.vec_id,
+           COALESCE(r.cluster_id, e.vec_id) AS cluster_id,
+           COALESCE(r.rn = 1, TRUE) AS keep
+    FROM embeddings e LEFT JOIN ranked r ON r.vec_id = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) product table over the embedding
+    corpus: k-means-cell-bounded cosine pairs → connected components →
+    keep the member with the LOWEST centroid similarity per duplicate
+    group (edge-of-distribution survivor), every unclustered vector
+    kept. Spark reads the persisted Lloyd-trained cells
+    (index_store.ivf_trained — the same quantizer the IVF serving path
+    probes); the oracle re-trains them from the raw corpus, so this
+    row also re-proves the stored model. See dedup.semantic_dedup
+    scale notes."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    cent_df, assign = index_store.ivf_trained(spark, sf_dir, iters=_SEM_ITERS)
+    return dedup.semantic_dedup(
+        assign, cent_df, SEMANTIC_DUP_THRESHOLD
+    ).orderBy("vec_id")
+
+
+@query(
+    "dedup_semantic_recall_audit",
+    oracle=f"""
+    WITH {KEM_CTE},
+    {_SEM_MODEL_CTES},
+    strue AS (
+      SELECT ea.vec_id AS id_a, eb.vec_id AS id_b
+      FROM kem ea JOIN kem eb ON ea.vec_id < eb.vec_id
+      WHERE {sql_det_round(_sem_cos('ea.v', 'eb.v'))} >= {SEMANTIC_DUP_THRESHOLD}
+    )
+    SELECT (SELECT count(*) FROM spairs) AS found,
+           (SELECT count(*) FROM strue) AS true_pairs,
+           CAST((SELECT count(*) FROM spairs) AS DOUBLE)
+             / CAST((SELECT count(*) FROM strue) AS DOUBLE) AS recall
+    """,
+)
+def dedup_semantic_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance row for the SemDeDup approximation: within-cell pair
+    recall vs the exact all-pairs ground truth at the same threshold
+    (pairs straddling cell boundaries are the misses — the knob is the
+    centroid count; dedup_lsh_recall_audit is the MinHash analogue).
+    The exact side is the documented quadratic audit path
+    (emb_near_dup_exact), never a production plan."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    _, assign = index_store.ivf_trained(spark, sf_dir, iters=_SEM_ITERS)
+    found = dedup.semantic_candidate_pairs(assign, SEMANTIC_DUP_THRESHOLD).agg(
+        F.count(F.lit(1)).alias("found")
+    )
+    true_pairs = ann.embedding_near_dup_pairs(
+        emb, SEMANTIC_DUP_THRESHOLD, use_lsh=False, round_to=6
+    ).agg(F.count(F.lit(1)).alias("true_pairs"))
+    return found.crossJoin(true_pairs).select(
+        "found",
+        "true_pairs",
+        (F.col("found").cast("double") / F.col("true_pairs").cast("double")).alias(
+            "recall"
+        ),
+    )

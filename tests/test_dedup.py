@@ -350,3 +350,43 @@ def test_keep_canonical_survivor_set_is_duplicate_free(spark):
     # one keeper per cluster, and the keeper is the max-quality member
     assert by_cluster[0] == [0] and by_cluster[5] == [5]  # n_chars = 100 - id
     assert all(len(v) == 1 for v in by_cluster.values())
+
+
+def test_semantic_candidate_pairs_within_cell_only(spark):
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    # ids 1/2 share a cell and are near-identical → candidate pair;
+    # id 3 is identical to id 1 but sits in another cell → NOT a
+    # candidate (the SemDeDup boundary approximation, by design)
+    assign = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.95, 0.05], 0),
+            (3, [1.0, 0.0], 1),
+        ],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>, cid INT",
+    )
+    pairs = dedup.semantic_candidate_pairs(assign, 0.9).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert 0.99 < pairs[0].cosine <= 1.0
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    # centroid (1,0): id 1 sits ON it (sim 1.0), id 2 slightly off
+    # (sim ≈ 0.9986) — the pair's keeper is id 2 (LOWEST centroid sim,
+    # the SemDeDup edge-of-distribution rule); id 3 is no one's dup
+    assign = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.95, 0.05], 0),
+            (3, [0.0, 1.0], 0),
+        ],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>, cid INT",
+    )
+    cents = spark.createDataFrame([(0, [1.0, 0.0])], "cid INT, cv ARRAY<DOUBLE>")
+    out = {r.vec_id: (r.cluster_id, r.keep) for r in dedup.semantic_dedup(assign, cents, 0.99).collect()}
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3] == (3, True)  # singleton survives as itself

@@ -67,6 +67,7 @@ SCALAR_BROADCAST_OK = {
     "events_resample_hourly_gapfill",  # hour-grid × type-dim densify: the product space IS the output
     "ann_incremental_recall_drift",  # 1-row candidates × hits × max-cell scalar combine per arm
     "index_lifecycle_end_to_end",    # 1-row per-stage gauge scalar combines
+    "dedup_semantic_recall_audit",   # exact all-pairs audit side + 1-row found × true combine
 }
 
 
