@@ -169,20 +169,10 @@ def query_terms(
     return sorted(Counter(grams).items())
 
 
-def tfidf_score(
-    postings: DataFrame,
-    qterms: list[tuple[str, int]],
-    k: int,
-    subset: DataFrame | None = None,
-    round_to: int | None = None,
-) -> DataFrame:
-    """Q4/Q5 — score docs against a compiled query: the CSR q·Mᵀ dot
-    re-expressed as an inverted-index join. Returns (doc_id, score)
-    top-k, `score` = TF-IDF cosine.
-
-    The subset path (`M[index,:]` row-slice in the reference,
-    object_retrieval.py:320-323) is a semi-join applied *before*
-    aggregation, so non-candidate postings never reach the shuffle."""
+def query_vector(postings: DataFrame, qterms: list[tuple[str, int]]) -> DataFrame:
+    """(term, qw) — the L2-normalized TF-IDF query vector in the
+    corpus vector space. OOV query terms drop out (the fitted model
+    defines the space)."""
     spark = postings.sparkSession
     q = spark.createDataFrame([(t, float(c)) for t, c in qterms], "term STRING, qtf DOUBLE")
     # idf is only needed for the query's own terms — an isin filter
@@ -193,11 +183,24 @@ def tfidf_score(
         .select("term", "idf")
         .distinct()
     )
-    qv = q.join(idf, "term")  # OOV query terms drop out (corpus vector space)
+    qv = q.join(idf, "term")
     qnorm = qv.agg(F.sqrt(F.sum((F.col("qtf") * F.col("idf")) ** 2)).alias("__qnorm"))
-    qv = qv.crossJoin(F.broadcast(qnorm)).select(
+    return qv.crossJoin(F.broadcast(qnorm)).select(
         "term", ((F.col("qtf") * F.col("idf")) / F.col("__qnorm")).alias("qw")
     )
+
+
+def score_vector(
+    postings: DataFrame,
+    qv: DataFrame,
+    k: int,
+    subset: DataFrame | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Score docs against ANY (term, qw) query-vector DataFrame —
+    literal-compiled (query_vector) or plan-derived (PRF expansion).
+    The vector side is broadcast (request-sized); the postings side
+    pays one term-bucketed join + one doc_id groupBy."""
     base = postings
     if subset is not None:
         base = base.join(
@@ -219,6 +222,74 @@ def tfidf_score(
         .agg(score.alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def tfidf_score(
+    postings: DataFrame,
+    qterms: list[tuple[str, int]],
+    k: int,
+    subset: DataFrame | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Q4/Q5 — score docs against a compiled query: the CSR q·Mᵀ dot
+    re-expressed as an inverted-index join. Returns (doc_id, score)
+    top-k, `score` = TF-IDF cosine.
+
+    The subset path (`M[index,:]` row-slice in the reference,
+    object_retrieval.py:320-323) is a semi-join applied *before*
+    aggregation, so non-candidate postings never reach the shuffle."""
+    return score_vector(postings, query_vector(postings, qterms), k, subset, round_to)
+
+
+PRF_N_FB = 10  # feedback depth: docs assumed relevant
+PRF_M_TERMS = 5  # expansion terms added to the query
+PRF_BETA = 0.4  # expansion weight vs the original query vector
+
+
+def tfidf_prf_search(
+    postings: DataFrame,
+    qterms: list[tuple[str, int]],
+    k: int,
+    n_fb: int = PRF_N_FB,
+    m_terms: int = PRF_M_TERMS,
+    beta: float = PRF_BETA,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Pseudo-relevance feedback retrieval (RM3-style, Lavrenko &
+    Croft 2001 relevance models; the Rocchio-family expansion the
+    reference applies on the DENSE side via /feedback —
+    app.py /feedback + faiss_processing.py re-query — transplanted to
+    the sparse channel): (1) initial TF-IDF pass, (2) treat the top
+    n_fb docs as relevant and pick the m_terms highest-mass terms from
+    their postings (summed normalized weight, quantized-exact, ties →
+    term ASC; original query terms excluded), (3) one re-scoring pass
+    with the combined vector original ∪ beta·expansion.
+
+    Scale shape: the feedback-doc semi-join broadcasts n_fb ids into
+    the term-bucketed postings scan; term election aggregates only the
+    feedback docs' postings (≤ n_fb rows per term); the re-score is the
+    same single broadcast-vector pass as every other sparse query. Two
+    passes over the index, zero corpus shuffles beyond the scorer's
+    own doc_id groupBy."""
+    fb = tfidf_score(postings, qterms, n_fb, round_to=round_to)
+    orig_terms = [t for t, _ in qterms]
+    mass = (
+        F.sum(
+            F.floor(F.col("weight") * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")
+        ).cast("double")
+        / F.lit(1e12)
+    )
+    expansion = (
+        postings.join(F.broadcast(fb.select("doc_id")), "doc_id", "left_semi")
+        .filter(~F.col("term").isin(orig_terms))
+        .groupBy("term")
+        .agg(mass.alias("__mass"))
+        .orderBy(F.desc("__mass"), F.asc("term"))
+        .limit(m_terms)
+        .select("term", (F.lit(float(beta)) * F.col("__mass")).alias("qw"))
+    )
+    combined = query_vector(postings, qterms).unionByName(expansion)
+    return score_vector(postings, combined, k, round_to=round_to)
 
 
 def fit_bm25(

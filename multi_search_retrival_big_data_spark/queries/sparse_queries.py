@@ -846,3 +846,48 @@ def index_incremental_multichannel_parity(spark: SparkSession, sf_dir: str) -> D
         )
         .orderBy("channel", "g")
     )
+
+
+# ---- pseudo-relevance feedback (RM3-style expansion) -----------------------
+
+_PRF_Q = sparse.query_terms(QUERY_TEXT, (1, 1))
+_PRF_EXCL = ", ".join(f"'{t}'" for t, _ in _PRF_Q)
+
+
+@query(
+    "sparse_prf_expansion_topk",
+    oracle=f"""
+    WITH {tfidf_cte('pf_', (1, 1), _PRF_Q)},
+    fb AS (SELECT doc_id FROM pf_topk ORDER BY score DESC, doc_id LIMIT {sparse.PRF_N_FB}),
+    expm AS (
+      SELECT p.term,
+             CAST(SUM(CAST(FLOOR(p.weight * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS mass
+      FROM pf_post p JOIN fb USING (doc_id)
+      WHERE p.term NOT IN ({_PRF_EXCL})
+      GROUP BY 1
+    ),
+    expv AS (
+      SELECT term, {sparse.PRF_BETA!r} * mass AS qw
+      FROM expm ORDER BY mass DESC, term LIMIT {sparse.PRF_M_TERMS}
+    ),
+    cqv AS (SELECT term, qw FROM pf_qv UNION ALL SELECT term, qw FROM expv),
+    rescored AS (
+      SELECT p.doc_id,
+             CAST(SUM(CAST(FLOOR(v.qw * p.weight * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS s
+      FROM pf_post p JOIN cqv v USING (term)
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(FLOOR(s * 1e6 + 0.5) AS DOUBLE) / 1e6 AS score
+    FROM rescored ORDER BY score DESC, doc_id LIMIT 50
+    """,
+)
+def sparse_prf_expansion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback TF-IDF search (sparse.tfidf_prf_search
+    — RM3-style): initial top-10 docs elect 5 expansion terms by
+    posting mass, and a combined original ∪ beta·expansion vector
+    re-scores the corpus in one pass over the PERSISTED term-bucketed
+    postings. The sparse twin of the reference's dense /feedback
+    rerank (app.py; Q3). Election ties and both rankings are fully
+    deterministic (quantized sums, term/doc_id ASC tiebreaks)."""
+    postings = index_store.tfidf_postings(spark, sf_dir)
+    return sparse.tfidf_prf_search(postings, _PRF_Q, k=50, round_to=6)

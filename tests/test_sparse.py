@@ -174,3 +174,43 @@ def test_bm25_transform_reproduces_fit_for_in_corpus_docs(spark):
     redone = sparse.transform_bm25(docs, idf, avgdl)
     key = lambda r: (r["term"], r["doc_id"], r["score_w"])  # noqa: E731
     assert sorted(map(key, redone.collect())) == sorted(map(key, fit.collect()))
+
+
+def test_prf_expansion_excludes_original_terms_and_boosts(spark):
+    from multi_search_retrival_big_data_spark.operators import sparse
+
+    # corpus where 'apple' co-occurs with 'banana' in the docs matching
+    # the query: PRF must elect 'banana' and pull in doc 4 (banana-only,
+    # unreachable by the original query)
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana"),
+            (2, "apple banana"),
+            (3, "apple cherry"),
+            (4, "banana banana"),
+            (5, "melon melon"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    postings = sparse.fit_tfidf(docs, cache=True)
+    q = sparse.query_terms("apple")
+    plain_ids = {r.doc_id for r in sparse.tfidf_score(postings, q, k=5, round_to=6).collect()}
+    assert 4 not in plain_ids  # no 'apple' in doc 4
+    prf = sparse.tfidf_prf_search(postings, q, k=5, n_fb=3, m_terms=1, round_to=6)
+    rows = prf.collect()
+    assert 4 in {r.doc_id for r in rows}  # expansion reached it
+    assert all(r.score > 0 for r in rows)
+
+
+def test_prf_is_deterministic(spark):
+    from multi_search_retrival_big_data_spark.operators import sparse
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 3} term{i % 5} shared") for i in range(20)],
+        "doc_id BIGINT, text STRING",
+    )
+    postings = sparse.fit_tfidf(docs, cache=True)
+    q = sparse.query_terms("shared")
+    a = [(r.doc_id, r.score) for r in sparse.tfidf_prf_search(postings, q, k=10, round_to=6).collect()]
+    b = [(r.doc_id, r.score) for r in sparse.tfidf_prf_search(postings, q, k=10, round_to=6).collect()]
+    assert a == b

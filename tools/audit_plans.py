@@ -35,6 +35,7 @@ SCALAR_BROADCAST_OK = {
     "ocr_tfidf_search",        # in-plan TF-IDF fit: 1-row n/qnorm scalar broadcasts
     "sparse_tfidf_char_fallback",
     "sparse_multichannel_context",
+    "sparse_prf_expansion_topk",  # two qnorm 1-row broadcasts (initial + re-score pass)
     "dense_knn_by_id",       # 1-row reconstructed query vector
     "endpoint_image_search",  # same knn_by_id 1-row anchor, behind the facade
     "monitor_text_oov_rate",  # fit_tfidf's 1-row corpus-size broadcast in the model branch
