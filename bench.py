@@ -114,6 +114,10 @@ STRESS_QUERIES = [
     "ann_ivf_topk_cosine",
     "ann_pq_rerank_trained_topk",
     "ann_ivf_filtered_topk",
+    # r6 wave 2: SemDeDup — stride-fixed cells keep |cell| ≈ constant
+    # as the corpus grows, so within-cell candidate volume (and the
+    # x10 ratio) should stay ~linear, the cell-bounding claim itself
+    "dedup_semantic_keep",
 ]
 
 # queries timed on BOTH 10× corpora (uniform vs skewed) — each carries
@@ -231,6 +235,14 @@ OPTIONAL_QUERIES = [
     # round-6: the production-width derivation (the ingest job that
     # feeds the dim_tier) timed as a corpus-bound projection anchor
     "dense_dim768_derivation",
+    # round-6 wave 2: new serving/pipeline operators — RRF hybrid
+    # fuse, cross-encoder rerank tail, quota-diversified page,
+    # PRF expansion (two index passes), SemDeDup product table
+    "fusion_rrf_hybrid",
+    "rerank_cross_encoder",
+    "group_quota_topk",
+    "sparse_prf_expansion_topk",
+    "dedup_semantic_keep",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

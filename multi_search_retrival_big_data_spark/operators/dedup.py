@@ -739,6 +739,57 @@ def semantic_candidate_pairs(
     )
 
 
+def semantic_delta_candidate_pairs(
+    assign: DataFrame,
+    delta_ids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    round_to: int = 6,
+) -> DataFrame:
+    """Incremental SemDeDup: cosine-duplicate candidates TOUCHING a
+    delta batch — the semantic twin of lsh_delta_candidate_pairs. The
+    delta's cell rows (ids only) equi-join the full cid-partitioned
+    assignment table, unordered pairs collapse in a distinct, and one
+    exact-cosine verify runs on the candidate-bound pair list (vectors
+    fetched by unique-id joins, jaccard_for_pairs-style).
+
+    This is how a continuously-ingesting pipeline semantically dedups
+    an incoming batch against a 100 TB corpus WITHOUT re-running the
+    within-cell self-join: index_store.ivf_assignments_incremental
+    appends the delta under the FROZEN quantizer (pure per-vector
+    function), then this probe pays O(|delta| · |cell|). Cosine
+    orientation is immaterial bit-for-bit (dot/norm folds are
+    index-ordered; double multiply commutes exactly), so verifying on
+    (least, greatest) pairs matches the full-path values."""
+    from multi_search_retrival_big_data_spark.functions.rounding import det_round
+    from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
+
+    d = assign.join(
+        F.broadcast(delta_ids.select(id_col)), id_col, "left_semi"
+    ).select(F.col(id_col).alias("__id_d"), cid_col)
+    o = assign.select(F.col(id_col).alias("__id_o"), cid_col)
+    pairs = (
+        d.join(o, cid_col)
+        .filter(F.col("__id_d") != F.col("__id_o"))
+        .select(
+            F.least("__id_d", "__id_o").alias("id_a"),
+            F.greatest("__id_d", "__id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = assign.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = assign.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    cos = det_round(cosine_sim("__va", "__vb"), round_to)
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def semantic_dedup(
     assign: DataFrame,
     centroids: DataFrame,

@@ -1266,8 +1266,9 @@ _SEM_MODEL_CTES = f"""{_SEM_CTES},
                ) AS rn
         FROM kem e CROSS JOIN tcent c
       ) WHERE rn = 1
-    ),
-    spairs AS MATERIALIZED (
+    )"""
+
+_SEM_PAIRS_CTE = f"""spairs AS MATERIALIZED (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM tassign a
       JOIN tassign b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -1282,6 +1283,7 @@ _SEM_MODEL_CTES = f"""{_SEM_CTES},
     oracle=f"""
     WITH RECURSIVE {KEM_CTE},
     {_SEM_MODEL_CTES},
+    {_SEM_PAIRS_CTE},
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM spairs
       UNION
@@ -1335,6 +1337,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {KEM_CTE},
     {_SEM_MODEL_CTES},
+    {_SEM_PAIRS_CTE},
     strue AS (
       SELECT ea.vec_id AS id_a, eb.vec_id AS id_b
       FROM kem ea JOIN kem eb ON ea.vec_id < eb.vec_id
@@ -1370,3 +1373,51 @@ def dedup_semantic_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@query(
+    "dedup_semantic_delta_pairs",
+    oracle=f"""
+    WITH {KEM_CTE},
+    {_SEM_MODEL_CTES},
+    t1 AS (SELECT CAST(floor(max(vec_id) * 0.6) AS BIGINT) AS v FROM embeddings),
+    dpairs AS (
+      SELECT least(a.vec_id, b.vec_id) AS id_a,
+             greatest(a.vec_id, b.vec_id) AS id_b
+      FROM tassign a
+      JOIN tassign b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      WHERE a.vec_id >= (SELECT v FROM t1)
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT d.id_a, d.id_b,
+             {sql_det_round(_sem_cos('ea.v', 'eb.v'))} AS cosine
+      FROM dpairs d
+      JOIN kem ea ON ea.vec_id = d.id_a
+      JOIN kem eb ON eb.vec_id = d.id_b
+    )
+    SELECT id_a, id_b, cosine FROM verified
+    WHERE cosine >= {SEMANTIC_DUP_THRESHOLD}
+    ORDER BY cosine DESC, id_a, id_b
+    """,
+)
+def dedup_semantic_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup probe: the delta corpus slice (ids ≥ the
+    60% split, the incremental_split_filters arithmetic) is appended
+    into the cid-partitioned assignment table under the FROZEN trained
+    quantizer (index_store.ivf_assignments_incremental), then
+    dedup.semantic_delta_candidate_pairs probes ONLY the delta's cells
+    — O(|delta|·|cell|), the semantic twin of dedup_delta_batch_pairs.
+    The oracle re-derives the full-corpus assignment and takes every
+    ≥-threshold pair touching the delta, proving append + probe ≡
+    full recompute."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    base_f, (d1, d2) = index_store.incremental_split_filters(spark, sf_dir)
+    delta_f = f"({d1}) OR ({d2})"
+    assign = index_store.ivf_assignments_incremental(spark, sf_dir, base_f, delta_f)
+    emb = tables.load(spark, "embeddings", sf_dir)
+    delta_ids = emb.filter(delta_f).select("vec_id")
+    return dedup.semantic_delta_candidate_pairs(
+        assign, delta_ids, SEMANTIC_DUP_THRESHOLD
+    ).orderBy(F.desc("cosine"), "id_a", "id_b")

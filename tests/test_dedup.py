@@ -390,3 +390,30 @@ def test_semantic_dedup_keeps_farthest_from_centroid(spark):
     assert out[1] == (1, False)
     assert out[2] == (1, True)
     assert out[3] == (3, True)  # singleton survives as itself
+
+
+def test_semantic_delta_pairs_touch_delta_only(spark):
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    # cell 0: base ids 1,2 near-identical; delta id 10 near both.
+    # the base-base pair (1,2) must NOT appear (it predates the delta);
+    # delta-delta double matches must collapse to one row.
+    assign = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.01], 0),
+            (10, [0.98, 0.02], 0),
+            (11, [0.97, 0.03], 0),
+            (3, [0.0, 1.0], 1),
+        ],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>, cid INT",
+    )
+    delta = spark.createDataFrame([(10,), (11,)], "vec_id BIGINT")
+    got = dedup.semantic_delta_candidate_pairs(assign, delta, 0.9).collect()
+    pairs = sorted((r.id_a, r.id_b) for r in got)
+    assert (1, 2) not in pairs  # base-internal pair excluded
+    assert (10, 11) in pairs  # delta-delta counted once
+    assert pairs == [(1, 10), (1, 11), (2, 10), (2, 11), (10, 11)]
+    assert len(pairs) == len(set(pairs))
+    for r in got:
+        assert r.cosine >= 0.9
