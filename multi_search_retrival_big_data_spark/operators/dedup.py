@@ -697,6 +697,33 @@ def ngram_jaccard_pairs(
 # ---- SemDeDup: embedding-space semantic dedup (Abbas et al. 2023) ---------
 
 
+def _cosine_verify_pairs(
+    assign: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+) -> DataFrame:
+    """Exact-cosine verify over a distinct (id_a, id_b) candidate list:
+    vectors fetched by two unique-id joins (the jaccard_for_pairs
+    shape), det-rounded cosine ≥ threshold kept. Pair orientation is
+    bit-immaterial (index-ordered dot/norm folds; double multiply
+    commutes exactly)."""
+    from multi_search_retrival_big_data_spark.functions.rounding import det_round
+    from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
+
+    va = assign.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = assign.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    cos = det_round(cosine_sim("__va", "__vb"), round_to)
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def semantic_candidate_pairs(
     assign: DataFrame,
     threshold: float,
@@ -704,6 +731,8 @@ def semantic_candidate_pairs(
     vec_col: str = "embedding",
     cid_col: str = "cid",
     round_to: int = 6,
+    max_cell: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup candidate mining (Abbas et al. 2023, arXiv:2303.09540):
     cosine-duplicate pairs WITHIN each k-means cell of the embedding
@@ -722,21 +751,73 @@ def semantic_candidate_pairs(
     Reference seam: the reference's CLIP keyframe embeddings
     (/root/reference/utils/faiss_processing.py:39-41) are the space
     this dedupes — near-identical keyframes from adjacent video frames
-    are its dominant redundancy."""
+    are its dominant redundancy.
+
+    `max_cell=B` is the VIRAL-CELL guard: cells with ≤ B members emit
+    all pairs; larger (mega) cells are SUB-BUCKETED by SRP hyperplane
+    bands (ann.signature_bits — the emb-LSH machinery scoped inside
+    the cell), so a hot cell contributes O(m · band-collision rate)
+    candidates, not O(m²). Unlike the MinHash max_bucket chain+star
+    (whose buckets ARE duplicate cliques), a Voronoi cell is not a
+    clique — a spanning set would miss real pairs — so the guard
+    trades recall probabilistically like any LSH band
+    (dedup_semantic_capped_recall_audit measures what it drops)."""
     from multi_search_retrival_big_data_spark.functions.rounding import det_round
     from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
 
-    a = assign.select(
-        F.col(cid_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    if max_cell is None:
+        a = assign.select(
+            F.col(cid_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        )
+        b = assign.select(
+            F.col(cid_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        )
+        pairs = a.join(b, cid_col).filter(F.col("id_a") < F.col("id_b"))
+        cos = det_round(cosine_sim("__va", "__vb"), round_to)
+        return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+            F.col("cosine") >= threshold
+        )
+
+    from multi_search_retrival_big_data_spark.operators import ann as _ann
+
+    w = Window.partitionBy(cid_col)
+    sized = assign.withColumn("__m", F.count(F.lit(1)).over(w))
+    small = sized.filter(F.col("__m") <= max_cell)
+    sa = small.select(F.col(cid_col), F.col(id_col).alias("id_a"))
+    sb = small.select(F.col(cid_col), F.col(id_col).alias("id_b"))
+    small_pairs = (
+        sa.join(sb, cid_col).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     )
-    b = assign.select(
-        F.col(cid_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    mega = sized.filter(F.col("__m") > max_cell)
+    planes = _ann.hyperplanes(dim, _ann.NUM_PLANES)
+    rows = _ann.NUM_PLANES // _ann.ANN_BANDS
+    sig = mega.select(
+        F.col(cid_col), F.col(id_col), _ann.signature_bits(vec_col, planes).alias("__sig")
     )
-    pairs = a.join(b, cid_col).filter(F.col("id_a") < F.col("id_b"))
-    cos = det_round(cosine_sim("__va", "__vb"), round_to)
-    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= threshold
+    banded = sig.select(
+        cid_col,
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("__sig", b * rows + 1, rows).alias("bval"),
+                    )
+                    for b in range(_ann.ANN_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select(cid_col, id_col, "e.band", "e.bval")
+    ma = banded.select(cid_col, "band", "bval", F.col(id_col).alias("id_a"))
+    mb = banded.select(cid_col, "band", "bval", F.col(id_col).alias("id_b"))
+    mega_pairs = (
+        ma.join(mb, [cid_col, "band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
     )
+    cand = small_pairs.unionByName(mega_pairs).distinct()
+    return _cosine_verify_pairs(assign, cand, threshold, id_col, vec_col, round_to)
 
 
 def semantic_delta_candidate_pairs(
@@ -763,9 +844,6 @@ def semantic_delta_candidate_pairs(
     orientation is immaterial bit-for-bit (dot/norm folds are
     index-ordered; double multiply commutes exactly), so verifying on
     (least, greatest) pairs matches the full-path values."""
-    from multi_search_retrival_big_data_spark.functions.rounding import det_round
-    from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
-
     d = assign.join(
         F.broadcast(delta_ids.select(id_col)), id_col, "left_semi"
     ).select(F.col(id_col).alias("__id_d"), cid_col)
@@ -779,15 +857,7 @@ def semantic_delta_candidate_pairs(
         )
         .distinct()
     )
-    va = assign.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = assign.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    cos = det_round(cosine_sim("__va", "__vb"), round_to)
-    return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    return _cosine_verify_pairs(assign, pairs, threshold, id_col, vec_col, round_to)
 
 
 def semantic_dedup(

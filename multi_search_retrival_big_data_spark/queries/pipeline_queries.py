@@ -1421,3 +1421,120 @@ def dedup_semantic_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_delta_candidate_pairs(
         assign, delta_ids, SEMANTIC_DUP_THRESHOLD
     ).orderBy(F.desc("cosine"), "id_a", "id_b")
+
+
+# ---- SemDeDup viral-cell guard (SRP sub-bucketing inside mega cells) -------
+
+from multi_search_retrival_big_data_spark.queries.common import sql_vec  # noqa: E402
+
+_SEM_MAX_CELL = 8  # fires on every sf0.01 cell (~50 members) — non-vacuous proof
+_SEM_PLANES = ann.hyperplanes(EMB_DIM, ann.NUM_PLANES)
+_SEM_ROWS = ann.NUM_PLANES // ann.ANN_BANDS
+
+
+def _sem_sig_sql(vec_expr: str) -> str:
+    cases = ", ".join(
+        f"CASE WHEN list_dot_product({vec_expr}, {sql_vec(p)}) >= 0 THEN '1' ELSE '0' END"
+        for p in _SEM_PLANES
+    )
+    return f"concat({cases})"
+
+
+_SEM_CAPPED_CAND = f"""msize AS (SELECT cid, count(*) AS m FROM tassign GROUP BY 1),
+    ssig AS MATERIALIZED (
+      SELECT a.vec_id, a.cid, {_sem_sig_sql('e.v')} AS s
+      FROM tassign a
+      JOIN kem e USING (vec_id)
+      JOIN msize z ON z.cid = a.cid AND z.m > {_SEM_MAX_CELL}
+    ),
+    sbanded AS (
+      SELECT vec_id, cid, CAST(b AS INTEGER) AS band,
+             substring(s, CAST(b AS INTEGER) * {_SEM_ROWS} + 1, {_SEM_ROWS}) AS bval
+      FROM ssig, unnest(range(0, {ann.ANN_BANDS})) AS t(b)
+    ),
+    small_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM tassign a
+      JOIN tassign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN msize z ON z.cid = a.cid AND z.m <= {_SEM_MAX_CELL}
+    ),
+    mega_pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sbanded a
+      JOIN sbanded b ON a.cid = b.cid AND a.band = b.band
+                    AND a.bval = b.bval AND a.vec_id < b.vec_id
+    ),
+    scand AS (SELECT id_a, id_b FROM small_pairs
+              UNION SELECT id_a, id_b FROM mega_pairs),
+    vcap AS (
+      SELECT c.id_a, c.id_b, {sql_det_round(_sem_cos('ea.v', 'eb.v'))} AS cosine
+      FROM scand c
+      JOIN kem ea ON ea.vec_id = c.id_a
+      JOIN kem eb ON eb.vec_id = c.id_b
+      WHERE {sql_det_round(_sem_cos('ea.v', 'eb.v'))} >= {SEMANTIC_DUP_THRESHOLD}
+    )"""
+
+
+@query(
+    "dedup_semantic_capped_pairs",
+    oracle=f"""
+    WITH {KEM_CTE},
+    {_SEM_MODEL_CTES},
+    {_SEM_CAPPED_CAND}
+    SELECT id_a, id_b, cosine FROM vcap
+    ORDER BY cosine DESC, id_a, id_b
+    """,
+)
+def dedup_semantic_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pairs through the CAPPED candidate path
+    (dedup.semantic_candidate_pairs max_cell): cells over the cap are
+    sub-bucketed by SRP hyperplane bands before pairing, so a viral
+    cell contributes O(m · collision rate) candidates instead of
+    O(m²). The oracle mirrors the capped generation exactly (cell
+    sizes → band sub-buckets → verify), proving the Spark capped path
+    bit-for-bit — the dedup_minhash_lsh_capped analogue for the
+    embedding side."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    _, assign = index_store.ivf_trained(spark, sf_dir, iters=_SEM_ITERS)
+    return dedup.semantic_candidate_pairs(
+        assign, SEMANTIC_DUP_THRESHOLD, max_cell=_SEM_MAX_CELL, dim=EMB_DIM
+    ).orderBy(F.desc("cosine"), "id_a", "id_b")
+
+
+@query(
+    "dedup_semantic_capped_recall_audit",
+    oracle=f"""
+    WITH {KEM_CTE},
+    {_SEM_MODEL_CTES},
+    {_SEM_PAIRS_CTE},
+    {_SEM_CAPPED_CAND}
+    SELECT (SELECT count(*) FROM vcap) AS found,
+           (SELECT count(*) FROM spairs) AS cell_pairs,
+           CAST((SELECT count(*) FROM vcap) AS DOUBLE)
+             / CAST((SELECT count(*) FROM spairs) AS DOUBLE) AS recall
+    """,
+)
+def dedup_semantic_capped_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the viral-cell cap drops: capped verified pairs vs the
+    uncapped within-cell pair set at the same threshold. Unlike the
+    MinHash chain+star cap (lossless for closure — its buckets are
+    duplicate cliques), SRP sub-bucketing inside a Voronoi cell trades
+    recall probabilistically like any LSH band — this row keeps the
+    trade measured (the dedup_lsh_capped_recall_audit analogue)."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    _, assign = index_store.ivf_trained(spark, sf_dir, iters=_SEM_ITERS)
+    found = dedup.semantic_candidate_pairs(
+        assign, SEMANTIC_DUP_THRESHOLD, max_cell=_SEM_MAX_CELL, dim=EMB_DIM
+    ).agg(F.count(F.lit(1)).alias("found"))
+    base = dedup.semantic_candidate_pairs(assign, SEMANTIC_DUP_THRESHOLD).agg(
+        F.count(F.lit(1)).alias("cell_pairs")
+    )
+    return found.crossJoin(base).select(
+        "found",
+        "cell_pairs",
+        (F.col("found").cast("double") / F.col("cell_pairs").cast("double")).alias(
+            "recall"
+        ),
+    )

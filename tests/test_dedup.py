@@ -417,3 +417,26 @@ def test_semantic_delta_pairs_touch_delta_only(spark):
     assert len(pairs) == len(set(pairs))
     for r in got:
         assert r.cosine >= 0.9
+
+
+def test_semantic_capped_subbuckets_mega_cells(spark):
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    # one cell with 4 near-identical vectors (> max_cell=3 → SRP
+    # sub-bucketing; identical-direction vectors share every band so
+    # all pairs survive) and one small cell (≤ cap → all pairs)
+    rows = [(i, [1.0, 0.0] + [0.0] * 62, 0) for i in range(1, 5)]
+    rows += [(10, [0.0, 1.0] + [0.0] * 62, 1), (11, [0.0, 0.999] + [0.001] * 62, 1)]
+    assign = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, cid INT"
+    )
+    capped = {(r.id_a, r.id_b) for r in dedup.semantic_candidate_pairs(
+        assign, 0.9, max_cell=3, dim=64
+    ).collect()}
+    uncapped = {(r.id_a, r.id_b) for r in dedup.semantic_candidate_pairs(
+        assign, 0.9
+    ).collect()}
+    # identical vectors collide in every band → capped keeps the clique
+    assert {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)} <= capped
+    assert (10, 11) in capped  # small cell keeps the all-pairs path
+    assert capped <= uncapped  # capping only ever drops

@@ -69,6 +69,7 @@ SCALAR_BROADCAST_OK = {
     "ann_incremental_recall_drift",  # 1-row candidates × hits × max-cell scalar combine per arm
     "index_lifecycle_end_to_end",    # 1-row per-stage gauge scalar combines
     "dedup_semantic_recall_audit",   # exact all-pairs audit side + 1-row found × true combine
+    "dedup_semantic_capped_recall_audit",  # 1-row capped × uncapped count combine
 }
 
 
