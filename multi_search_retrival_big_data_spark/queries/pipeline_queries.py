@@ -1538,3 +1538,100 @@ def dedup_semantic_capped_recall_audit(spark: SparkSession, sf_dir: str) -> Data
             "recall"
         ),
     )
+
+
+# ---- semantic decontamination + cell-budget monitor ------------------------
+
+_SEM_EV = "md5(CAST({id} AS VARCHAR)) < '{thr}'"
+
+
+@query(
+    "decontamination_semantic_overlap",
+    oracle=f"""
+    WITH {KEM_CTE},
+    {_SEM_MODEL_CTES},
+    epairs AS (
+      SELECT least(a.vec_id, b.vec_id) AS id_a,
+             greatest(a.vec_id, b.vec_id) AS id_b
+      FROM tassign a
+      JOIN tassign b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      WHERE {_SEM_EV.format(id="a.vec_id", thr=_EVAL_THR)}
+      GROUP BY 1, 2
+    ),
+    cpairs AS (
+      SELECT id_a, id_b FROM epairs
+      WHERE ({_SEM_EV.format(id="id_a", thr=_EVAL_THR)})
+         <> ({_SEM_EV.format(id="id_b", thr=_EVAL_THR)})
+    ),
+    everified AS (
+      SELECT c.id_a, c.id_b,
+             {sql_det_round(_sem_cos('ea.v', 'eb.v'))} AS cosine
+      FROM cpairs c
+      JOIN kem ea ON ea.vec_id = c.id_a
+      JOIN kem eb ON eb.vec_id = c.id_b
+    )
+    SELECT CASE WHEN {_SEM_EV.format(id="id_a", thr=_EVAL_THR)} THEN id_b ELSE id_a END AS corpus_id,
+           CASE WHEN {_SEM_EV.format(id="id_a", thr=_EVAL_THR)} THEN id_a ELSE id_b END AS eval_id,
+           cosine
+    FROM everified
+    WHERE cosine >= {SEMANTIC_DUP_THRESHOLD}
+    ORDER BY cosine DESC, corpus_id, eval_id
+    """,
+)
+def decontamination_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: embedding-space near-dups that CROSS
+    the md5 eval/corpus split — the contamination MinHash cannot see
+    (a paraphrased eval answer shares no 5-gram shingles but sits next
+    to its source in embedding space; this is how modern training
+    pipelines audit eval leakage). Same probe shape as
+    dedup_semantic_delta_pairs with the eval slice as the delta: the
+    persisted cell assignment is probed at the eval rows' cells only —
+    an eval set is ≪ corpus, so the scan is eval-bound, never a corpus
+    self-join. Output: (corpus_id, eval_id, cosine) — the training
+    docs to quarantine (decontamination_minhash_overlap's semantic
+    twin)."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    _, assign = index_store.ivf_trained(spark, sf_dir, iters=_SEM_ITERS)
+    is_eval = lambda c: F.md5(F.col(c).cast("string")) < F.lit(_EVAL_THR)  # noqa: E731
+    eval_ids = assign.filter(is_eval("vec_id")).select("vec_id")
+    pairs = dedup.semantic_delta_candidate_pairs(
+        assign, eval_ids, SEMANTIC_DUP_THRESHOLD
+    ).filter(is_eval("id_a") != is_eval("id_b"))
+    a_is_eval = is_eval("id_a")
+    return pairs.select(
+        F.when(a_is_eval, F.col("id_b")).otherwise(F.col("id_a")).alias("corpus_id"),
+        F.when(a_is_eval, F.col("id_a")).otherwise(F.col("id_b")).alias("eval_id"),
+        F.col("cosine"),
+    ).orderBy(F.desc("cosine"), "corpus_id", "eval_id")
+
+
+@query(
+    "monitor_semantic_cell_stats",
+    oracle=f"""
+    WITH {KEM_CTE},
+    {_SEM_MODEL_CTES}
+    SELECT cid, count(*) AS n_vecs,
+           CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS pair_budget
+    FROM tassign GROUP BY cid ORDER BY cid
+    """,
+)
+def monitor_semantic_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's drift/budget gauge: per-cell population and the
+    quadratic pair budget it implies — the operational signal that a
+    cell went viral (trigger the max_cell guard or retrain with more
+    centroids) and the vector-side analogue of dedup_lsh_bucket_stats.
+    Cell-size skew, not recall, is the robust drift signal on this
+    corpus (see ann_incremental_recall_drift / BASELINE.md)."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    _, assign = index_store.ivf_trained(spark, sf_dir, iters=_SEM_ITERS)
+    n = F.count(F.lit(1))
+    return (
+        assign.groupBy("cid")
+        .agg(
+            n.alias("n_vecs"),
+            (n * (n - F.lit(1)) / F.lit(2)).cast("bigint").alias("pair_budget"),
+        )
+        .orderBy("cid")
+    )
