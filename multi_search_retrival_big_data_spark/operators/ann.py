@@ -201,6 +201,58 @@ def ann_lsh_topk(
     ).limit(k)
 
 
+CASCADE_MIN_CANDIDATES = 100  # default gate: 2×k at the k=50 serving default
+
+
+def ann_cascade_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    banded: DataFrame,
+    min_candidates: int = CASCADE_MIN_CANDIDATES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+    bands: int = ANN_BANDS,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Serving ROUTER: probe the LSH buckets first; if the candidate
+    union is too thin to trust (|cand| < min_candidates) fall back to
+    the exact scan. Thin buckets are exactly where banding
+    under-delivers (sparse signature regions, unlucky queries), so the
+    cascade bounds worst-case recall at the cost of an occasional
+    brute-force query — the standard ANN-serving escape hatch; the
+    reference unconditionally brute-forces one index
+    (faiss_processing.py IndexFlat search), this serves the pruned
+    path whenever it is defensible.
+
+    The gate probe is ONE driver-side count over the partition-pruned
+    bucket read (a single long — the connected_components_auto router
+    pattern); the candidate set is persisted before the probe so the
+    served branch reuses it instead of re-reading the buckets. Both
+    branches rank by the identical det-rounded cosine, so the router
+    changes WHICH rows are scored, never how."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, num_planes)
+    rows = num_planes // bands
+    qsig = signature_of(query_vec, planes)
+    cond = None
+    for b, qband in query_bands(qsig, bands, rows):
+        c = (F.col("band") == b) & (F.col("bval") == F.lit(qband))
+        cond = c if cond is None else cond | c
+    cand = banded.filter(cond).select(id_col).distinct().persist()
+    n_cand = cand.count()
+    score = cosine_sim(vec_col, lit_vec(query_vec))
+    if round_to is not None:
+        score = det_round(score, round_to)
+    base = emb.join(cand, id_col, "left_semi") if n_cand >= min_candidates else emb
+    return (
+        base.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def multiprobe_values(qband: str) -> list[str]:
     """The query band value plus its Hamming-1 neighbors (one bit
     flipped per position) — the standard multi-probe LSH perturbation

@@ -2392,3 +2392,63 @@ def ann_lsh_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_to=6,
         banded=banded,
     )
+
+
+# ---- cascade router: LSH probe with exact-scan fallback --------------------
+
+
+def _cascade_oracle(min_c: int) -> str:
+    r = sql_det_round(_cos_sql("v", sql_vec(QUERY_VEC)))
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, {_V} AS v, {_sig_sql(_V)} AS s FROM embeddings
+    ),
+    cand AS (SELECT vec_id FROM sig WHERE {_band_filter_sql()}),
+    nc AS (SELECT count(*) AS c FROM cand),
+    lshr AS (
+      SELECT vec_id, {r} AS score
+      FROM sig JOIN cand USING (vec_id)
+      ORDER BY score DESC, vec_id LIMIT 50
+    ),
+    exr AS (
+      SELECT vec_id, {r} AS score
+      FROM sig ORDER BY score DESC, vec_id LIMIT 50
+    )
+    SELECT vec_id, score FROM (
+      SELECT * FROM lshr WHERE (SELECT c FROM nc) >= {min_c}
+      UNION ALL
+      SELECT * FROM exr WHERE (SELECT c FROM nc) < {min_c}
+    ) ORDER BY score DESC, vec_id
+    """
+
+
+_CASCADE_LO, _CASCADE_HI = 10, 100_000
+
+
+@query("ann_cascade_topk_pruned", oracle=_cascade_oracle(_CASCADE_LO))
+def ann_cascade_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade router, pruned branch live: the bucket-union candidate
+    count clears the gate, so the served plan is the partition-pruned
+    LSH path (ann.ann_cascade_topk scale notes; the gate probe is one
+    driver-side long over the persisted banding table). Oracle mirrors
+    the branch with a scalar-count predicate, so a mis-route would
+    hash-mismatch."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    banded = index_store.emb_lsh_bands(spark, sf_dir)
+    return ann.ann_cascade_topk(
+        emb, QUERY_VEC, 50, banded, min_candidates=_CASCADE_LO, round_to=6
+    )
+
+
+@query("ann_cascade_topk_fallback", oracle=_cascade_oracle(_CASCADE_HI))
+def ann_cascade_topk_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade router, fallback branch live: the gate is set above any
+    bucket union this corpus can produce, so the router must serve the
+    exact scan — worst-case recall bounded at brute-force quality
+    exactly when the buckets under-populate. Same oracle shape as the
+    pruned row with the opposite branch taken."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    banded = index_store.emb_lsh_bands(spark, sf_dir)
+    return ann.ann_cascade_topk(
+        emb, QUERY_VEC, 50, banded, min_candidates=_CASCADE_HI, round_to=6
+    )

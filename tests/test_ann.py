@@ -466,3 +466,33 @@ def test_batch_lsh_matches_per_query_path(spark, sf_dir):
         got = [(r["vec_id"], r["score"]) for r in batch if r["query_id"] == qid]
         want = [(r["vec_id"], r["score"]) for r in single]
         assert got == want
+
+
+def test_cascade_router_branches(spark):
+    from multi_search_retrival_big_data_spark.operators import ann
+    from multi_search_retrival_big_data_spark.queries.common import QUERY_VEC
+
+    import math
+    emb = spark.createDataFrame(
+        [(i, [math.sin(i * 0.7 + j) for j in range(64)]) for i in range(40)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    banded = ann.banded_signatures(emb)
+    lo = ann.ann_cascade_topk(emb, QUERY_VEC, 5, banded, min_candidates=1, round_to=6)
+    hi = ann.ann_cascade_topk(emb, QUERY_VEC, 5, banded, min_candidates=10_000, round_to=6)
+    lsh_rows = lo.collect()
+    hi_rows = hi.collect()
+    # fallback branch == the exact scan top-k (independent recompute)
+    from multi_search_retrival_big_data_spark.operators import dense
+
+    exact = dense.topk_cosine(emb, QUERY_VEC, k=5, round_to=6).collect()
+    assert [(r.vec_id, r.score) for r in hi_rows] == [
+        (r.vec_id, r.score) for r in exact
+    ]
+    # pruned branch serves only bucket candidates, ranked by the SAME
+    # det-rounded cosine — scores agree wherever ids overlap
+    assert 0 < len(lsh_rows) <= 5
+    hi_scores = {r.vec_id: r.score for r in hi_rows}
+    for r in lsh_rows:
+        if r.vec_id in hi_scores:
+            assert r.score == hi_scores[r.vec_id]
