@@ -243,6 +243,12 @@ OPTIONAL_QUERIES = [
     "group_quota_topk",
     "sparse_prf_expansion_topk",
     "dedup_semantic_keep",
+    # round-6 wave 3: incremental/guarded SemDeDup, semantic
+    # decontamination probe, cascade serving router (pruned branch)
+    "dedup_semantic_delta_pairs",
+    "dedup_semantic_capped_pairs",
+    "decontamination_semantic_overlap",
+    "ann_cascade_topk_pruned",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

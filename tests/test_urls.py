@@ -58,6 +58,10 @@ def test_registry_sanity():
                 re.IGNORECASE,
             )
         )
-        refs = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql, re.IGNORECASE))
+        # blank out string literals first: a literal like
+        # '... join merge ...' (an embedded query text) must not read
+        # as a FROM/JOIN table reference
+        scan = re.sub(r"'[^']*'", "''", sql)
+        refs = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", scan, re.IGNORECASE))
         unknown = {r for r in refs if r.lower() not in known} - ctes - {"unnest", "range"}
         assert not unknown, f"{name}: unknown table refs {unknown}"
