@@ -243,9 +243,13 @@ OPTIONAL_QUERIES = [
     "group_quota_topk",
     "sparse_prf_expansion_topk",
     "dedup_semantic_keep",
-    # round-6 wave 3: incremental/guarded SemDeDup, semantic
-    # decontamination probe, cascade serving router (pruned branch)
-    "dedup_semantic_delta_pairs",
+    # round-6 wave 3: guarded SemDeDup, semantic decontamination
+    # probe, cascade serving router (pruned branch).
+    # dedup_semantic_delta_pairs is deliberately NOT an anchor: it
+    # rebuilds its incremental assignment table inside the timed query
+    # (proof-shaped, ~7.5 s of drop+assign+append per run at sf0.1);
+    # its serving read is the same probe decontamination_semantic_
+    # overlap times below.
     "dedup_semantic_capped_pairs",
     "decontamination_semantic_overlap",
     "ann_cascade_topk_pruned",

@@ -305,3 +305,58 @@ def stream_curation_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, sf_dir, lambda df: _aug_spark(), _CURATE_QMIN, copies=2
     )
     return out.select("content_hash", "doc_id", "quality").orderBy("content_hash")
+
+
+# ---- streaming SemDeDup ingest (embedding feed vs growing corpus) ----------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from multi_search_retrival_big_data_spark.queries.pipeline_queries import (  # noqa: E402
+    _SEM_MODEL_CTES,
+    _sem_cos,
+    SEMANTIC_DUP_THRESHOLD,
+)
+from multi_search_retrival_big_data_spark.queries.common import sql_det_round  # noqa: E402
+from multi_search_retrival_big_data_spark.queries.kmeans_sql import KEM_CTE  # noqa: E402
+
+
+@query(
+    "stream_semantic_ingest_parity",
+    oracle=f"""
+    WITH {KEM_CTE},
+    {_SEM_MODEL_CTES},
+    t1 AS (SELECT CAST(floor(max(vec_id) * 0.6) AS BIGINT) AS v FROM embeddings),
+    dpairs AS (
+      SELECT least(a.vec_id, b.vec_id) AS id_a,
+             greatest(a.vec_id, b.vec_id) AS id_b
+      FROM tassign a
+      JOIN tassign b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      WHERE a.vec_id >= (SELECT v FROM t1)
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT d.id_a, d.id_b,
+             {sql_det_round(_sem_cos('ea.v', 'eb.v'))} AS cosine
+      FROM dpairs d
+      JOIN kem ea ON ea.vec_id = d.id_a
+      JOIN kem eb ON eb.vec_id = d.id_b
+    )
+    SELECT id_a, id_b, cosine FROM verified
+    WHERE cosine >= {SEMANTIC_DUP_THRESHOLD}
+    ORDER BY cosine DESC, id_a, id_b
+    """,
+)
+def stream_semantic_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SemDeDup ingest parity: the delta corpus slice arrives
+    as a real file stream with every vector delivered TWICE in
+    different micro-batches (at-least-once worst case); each batch
+    assigns under the frozen quantizer, replay-guards on vec_id, and
+    probes only the fresh rows' cells
+    (ingest.run_stream_semantic_ingest). The double-delivered stream's
+    final pair table must equal the one-shot batch delta probe — the
+    same oracle as dedup_semantic_delta_pairs, so stream ≡ batch ≡
+    full recompute close the triangle."""
+    out = ingest.run_stream_semantic_ingest(
+        spark, sf_dir, SEMANTIC_DUP_THRESHOLD, copies=2
+    )
+    return out.orderBy(F.desc("cosine"), "id_a", "id_b")

@@ -244,3 +244,104 @@ def run_stream_curation_ingest(
     out = state["table"]
     assert out is not None, "stream delivered no micro-batches"
     return out
+
+
+_EMB_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+
+def read_embedding_stream(
+    spark: SparkSession, sf_dir: str, copies: int = 2
+) -> tuple[DataFrame, str]:
+    """File stream over the embeddings corpus — the shape of an
+    encoder-output landing directory (the reference's ingest notebooks
+    drop .npy batches the same way, data_extraction/clip/clip.ipynb).
+    `copies > 1` + maxFilesPerTrigger=1 redelivers every vector in a
+    different micro-batch (at-least-once worst case). Caller owns
+    cleanup of the returned landing dir."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    landing = tempfile.mkdtemp(prefix="emb_stream_")
+    for i in range(copies):
+        os.symlink(src, os.path.join(landing, f"embeddings_{i}.parquet"))
+    stream = (
+        spark.readStream.schema(_EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    return stream, landing
+
+
+def run_stream_semantic_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    copies: int = 2,
+) -> DataFrame:
+    """STREAMING SemDeDup ingest — continuous semantic dedup of an
+    embedding feed against a growing corpus, per micro-batch inside
+    foreachBatch:
+
+        assign new vectors to the FROZEN trained quantizer's cells
+        (pure per-vector projection) → first-writer-per-vec_id replay
+        guard (anti-join on the maintained assignment) → probe the
+        fresh rows' cells against the maintained assignment
+        (dedup.semantic_delta_candidate_pairs) → merge verified pairs.
+
+    Order-independence: a pair (x, y) is discovered exactly when the
+    LATER of x, y arrives (the earlier one is already in the
+    maintained assignment), and redelivered vectors are dropped by the
+    anti-join before they can re-probe — so any arrival order and any
+    at-least-once redelivery yields the same final pair set
+    (`copies=2` delivers every vector twice across micro-batches to
+    prove it). The maintained assignment is the in-memory stand-in for
+    the persisted cid-partitioned table a production job appends to
+    (index_store.ivf_assignments_incremental); pair state is
+    pair-set-sized. `stream_semantic_ingest_parity` proves the final
+    pair table equals the one-shot batch delta probe."""
+    import shutil
+
+    from multi_search_retrival_big_data_spark import index_store, tables
+    from multi_search_retrival_big_data_spark.operators import dedup, kmeans
+
+    base_f, (d1, d2) = index_store.incremental_split_filters(spark, sf_dir)
+    delta_f = f"({d1}) OR ({d2})"
+    cent_df, _ = index_store.ivf_trained(spark, sf_dir, iters=2)
+    cents = [(r["cid"], r["cv"]) for r in cent_df.collect()]
+
+    def assign(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id", "embedding", kmeans.assign_cid("embedding", cents).alias("cid")
+        )
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    state: dict[str, DataFrame | None] = {
+        "assign": assign(emb.filter(base_f)).localCheckpoint(),
+        "pairs": None,
+    }
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        fresh = assign(batch_df.filter(delta_f)).dropDuplicates(["vec_id"])
+        cur = state["assign"]
+        fresh = fresh.join(cur.select("vec_id"), "vec_id", "left_anti")
+        merged = cur.unionByName(fresh).localCheckpoint()
+        found = dedup.semantic_delta_candidate_pairs(
+            merged, fresh.select("vec_id"), threshold
+        )
+        p = state["pairs"]
+        merged_pairs = found if p is None else p.unionByName(found).distinct()
+        state["pairs"] = merged_pairs.localCheckpoint()
+        state["assign"] = merged
+
+    stream, landing = read_embedding_stream(spark, sf_dir, copies=copies)
+    ckpt = tempfile.mkdtemp(prefix="sem_stream_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(landing, ignore_errors=True)
+    out = state["pairs"]
+    assert out is not None, "stream delivered no micro-batches"
+    return out

@@ -106,3 +106,29 @@ def test_collection_filter_prunes_partitions(out):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "L01" in plan
     assert df.select("collection").distinct().count() == 1
+
+
+def test_stream_semantic_ingest_equals_batch_probe(spark, sf_dir):
+    """Double-delivered embedding feed converges to the batch delta
+    probe (order-independence + replay guard)."""
+    from multi_search_retrival_big_data_spark import index_store, tables
+    from multi_search_retrival_big_data_spark.operators import dedup
+    from multi_search_retrival_big_data_spark.queries.pipeline_queries import (
+        SEMANTIC_DUP_THRESHOLD,
+        _SEM_ITERS,
+    )
+    from multi_search_retrival_big_data_spark.streaming import ingest
+
+    streamed = ingest.run_stream_semantic_ingest(
+        spark, sf_dir, SEMANTIC_DUP_THRESHOLD, copies=2
+    )
+    base_f, (d1, d2) = index_store.incremental_split_filters(spark, sf_dir)
+    delta_f = f"({d1}) OR ({d2})"
+    assign = index_store.ivf_assignments_incremental(spark, sf_dir, base_f, delta_f)
+    emb = tables.load(spark, "embeddings", sf_dir)
+    batch = dedup.semantic_delta_candidate_pairs(
+        assign, emb.filter(delta_f).select("vec_id"), SEMANTIC_DUP_THRESHOLD
+    )
+    s = {(r.id_a, r.id_b, r.cosine) for r in streamed.collect()}
+    b = {(r.id_a, r.id_b, r.cosine) for r in batch.collect()}
+    assert s == b and len(s) > 0
