@@ -253,6 +253,7 @@ OPTIONAL_QUERIES = [
     "dedup_semantic_capped_pairs",
     "decontamination_semantic_overlap",
     "ann_cascade_topk_pruned",
+    "rerank_mmr_diversify",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

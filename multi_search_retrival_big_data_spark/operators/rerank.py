@@ -51,6 +51,72 @@ def attach_candidate_text(
     return corpus.select(id_col, text_col).join(F.broadcast(hits), id_col)
 
 
+MMR_LAMBDA = 0.7
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = MMR_LAMBDA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR 1998): greedily select k items maximizing
+    λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), ties → id ASC — the
+    classic redundancy-removing rerank for a result page of
+    near-identical keyframes (the reference's dominant redundancy; its
+    UI groups by video, MMR diversifies WITHIN the ranking).
+
+    Execution shape: relevance and the n·(n−1) pairwise similarities
+    are computed IN-PLAN (det-rounded Catalyst expressions over the
+    request-sized candidate list) and collected — n ≤ a few hundred by
+    construction, independent of corpus size; the greedy argmax chain
+    is inherently sequential (each step depends on the previous
+    selection), so it runs driver-side on the already-rounded values —
+    the same placement as the reference's NumPy rerank tail
+    (utils/faiss_processing.py re-query path). Every arithmetic step
+    (λ·rel − (1−λ)·max sim, IEEE doubles over det-rounded inputs) is
+    replicated verbatim by the recursive-CTE oracle, so the selection
+    is engine-exact. Returns (sel_rank, id, rel)."""
+    from multi_search_retrival_big_data_spark.functions.rounding import det_round
+    from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
+
+    spark = candidates.sparkSession
+    sel = candidates.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(rel_col).alias("rel")
+    )
+    a = sel.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
+    b = sel.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
+    sims_df = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", det_round(cosine_sim("__va", "__vb"), round_to).alias("sim"))
+    )
+    rel = {r["id"]: r["rel"] for r in sel.select("id", "rel").collect()}
+    sim = {(r["id_a"], r["id_b"]): r["sim"] for r in sims_df.collect()}
+    remaining = set(rel)
+    selected: list[int] = []
+    while remaining and len(selected) < k:
+        best = None
+        for c in remaining:
+            if selected:
+                mx = max(sim[(c, s)] for s in selected)
+                score = lam * rel[c] - (1.0 - lam) * mx
+            else:
+                score = lam * rel[c]
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c)
+        selected.append(best[1])
+        remaining.discard(best[1])
+    rows = [(i + 1, cid, rel[cid]) for i, cid in enumerate(selected)]
+    return spark.createDataFrame(
+        rows, f"sel_rank BIGINT, {id_col} BIGINT, rel DOUBLE"
+    )
+
+
 def cross_encoder_rerank(
     candidates: DataFrame,
     query_text: str,

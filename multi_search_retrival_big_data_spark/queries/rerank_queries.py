@@ -8,6 +8,7 @@ Arrow mapInPandas seam (deterministic fake — encoders.FakeCrossEncoder
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from multi_search_retrival_big_data_spark import index_store, tables
 from multi_search_retrival_big_data_spark.operators import rerank, sparse
@@ -70,3 +71,97 @@ def rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank.cross_encoder_rerank(
         cand, QUERY_TEXT, alpha=_ALPHA, k=_K, round_to=6
     )
+
+
+# ---- MMR diversification (Carbonell & Goldstein 1998) ----------------------
+
+from multi_search_retrival_big_data_spark.operators import rerank as _rr  # noqa: E402
+from multi_search_retrival_big_data_spark.queries.common import (  # noqa: E402
+    QUERY_VEC,
+    sql_vec,
+)
+
+_MMR_N, _MMR_K, _MMR_LAM = 20, 5, _rr.MMR_LAMBDA
+_MMR_B = 1.0 - _MMR_LAM
+_EMBD = "CAST(embedding AS DOUBLE[])"
+
+
+def _mmr_cos(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def _mmr_score(c: str, ids: str) -> str:
+    """λ·rel − (1−λ)·max selected-sim for candidate alias `c`, with the
+    selected set carried as the recursive LIST column `ids` — rendered
+    with repr'd double literals so both engines run identical IEEE
+    ops."""
+    mx = (
+        f"(SELECT COALESCE(max(m.sim), 0.0) FROM sims m "
+        f"WHERE m.id_a = {c}.id AND list_contains({ids}, m.id_b))"
+    )
+    return f"({_MMR_LAM!r} * {c}.rel - {_MMR_B!r} * {mx})"
+
+
+@query(
+    "rerank_mmr_diversify",
+    oracle=f"""
+    WITH RECURSIVE cand AS (
+      SELECT vec_id AS id, {_EMBD} AS v,
+             {sql_det_round(_mmr_cos(_EMBD, sql_vec(QUERY_VEC)))} AS rel
+      FROM embeddings ORDER BY rel DESC, vec_id LIMIT {_MMR_N}
+    ),
+    sims AS (
+      SELECT a.id AS id_a, b.id AS id_b, {sql_det_round(_mmr_cos('a.v', 'b.v'))} AS sim
+      FROM cand a JOIN cand b ON a.id <> b.id
+    ),
+    sel(step, ids) AS (
+      SELECT 1, [c.id] FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cand c2 WHERE c2.rel > c.rel OR (c2.rel = c.rel AND c2.id < c.id)
+      )
+      UNION ALL
+      SELECT s.step + 1, list_append(s.ids, c.id)
+      FROM sel s JOIN cand c ON NOT list_contains(s.ids, c.id)
+      WHERE s.step < {_MMR_K}
+        AND NOT EXISTS (
+          SELECT 1 FROM cand c2
+          WHERE NOT list_contains(s.ids, c2.id) AND c2.id <> c.id
+            AND ({_mmr_score('c2', 's.ids')} > {_mmr_score('c', 's.ids')}
+                 OR ({_mmr_score('c2', 's.ids')} = {_mmr_score('c', 's.ids')}
+                     AND c2.id < c.id))
+        )
+    )
+    SELECT CAST(t.i AS BIGINT) AS sel_rank, t.id AS vec_id, c.rel
+    FROM (SELECT CAST(g.g AS INT) AS i, f.ids[CAST(g.g AS INT)] AS id
+          FROM (SELECT ids FROM sel WHERE step = {_MMR_K}) f,
+               unnest(range(1, {_MMR_K} + 1)) AS g(g)) t
+    JOIN cand c ON c.id = t.id
+    ORDER BY sel_rank
+    """,
+)
+def rerank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 from the dense top-20: greedy
+    λ·rel − (1−λ)·max-sim-to-selected (λ=0.7), the classic
+    redundancy-removing rerank for pages of near-identical keyframes
+    (operators/rerank.mmr_rerank scale notes — in-plan det-rounded
+    rel/sims, request-sized driver greedy, the reference's NumPy
+    rerank-tail placement). The oracle replays the greedy chain as a
+    recursive CTE carrying the selected set as a LIST column, so the
+    whole selection path — not just the final set — is engine-exact."""
+    from multi_search_retrival_big_data_spark.functions.rounding import det_round
+    from multi_search_retrival_big_data_spark.functions.vector import cosine_sim, lit_vec
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    cand = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            det_round(cosine_sim("embedding", lit_vec(QUERY_VEC)), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_N)
+    )
+    return _rr.mmr_rerank(cand, k=_MMR_K, lam=_MMR_LAM)

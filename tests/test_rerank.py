@@ -68,3 +68,34 @@ def test_attach_candidate_text_semi_semantics(spark):
     hits = spark.createDataFrame([(2, 0.5)], "doc_id BIGINT, score DOUBLE")
     rows = rerank.attach_candidate_text(hits, corpus, "doc_id", "text").collect()
     assert [(r.doc_id, r.text, r.score) for r in rows] == [(2, "two", 0.5)]
+
+
+def _mmr_cands(spark):
+    # A: top relevance; B: nearly identical to A but lower rel;
+    # C: orthogonal, modest rel. MMR must pick C before B.
+    rows = [
+        (1, [1.0, 0.0, 0.0], 1.0),
+        (2, [0.999, 0.04, 0.0], 0.8),
+        (3, [0.0, 1.0, 0.0], 0.5),
+    ]
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, rel DOUBLE")
+
+
+def test_mmr_trades_relevance_for_diversity(spark):
+    got = rerank.mmr_rerank(_mmr_cands(spark), k=3).collect()
+    assert [(r.sel_rank, r.vec_id) for r in got] == [(1, 1), (2, 3), (3, 2)]
+    # step 2 arithmetic: B = 0.7*0.8 - 0.3*sim(B,A) < C = 0.7*0.5 - 0.3*0
+    assert {r.vec_id: r.rel for r in got} == {1: 1.0, 2: 0.8, 3: 0.5}
+
+
+def test_mmr_deterministic_and_k_clamped(spark):
+    a = [(r.sel_rank, r.vec_id) for r in rerank.mmr_rerank(_mmr_cands(spark), k=3).collect()]
+    b = [(r.sel_rank, r.vec_id) for r in rerank.mmr_rerank(_mmr_cands(spark), k=3).collect()]
+    assert a == b
+    assert rerank.mmr_rerank(_mmr_cands(spark), k=10).count() == 3
+    assert rerank.mmr_rerank(_mmr_cands(spark), k=1).count() == 1
+
+
+def test_mmr_pure_relevance_at_lambda_one(spark):
+    got = rerank.mmr_rerank(_mmr_cands(spark), k=3, lam=1.0).collect()
+    assert [r.vec_id for r in got] == [1, 2, 3]  # rel order, no diversity term
