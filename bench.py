@@ -254,6 +254,7 @@ OPTIONAL_QUERIES = [
     "decontamination_semantic_overlap",
     "ann_cascade_topk_pruned",
     "rerank_mmr_diversify",
+    "endpoint_diverse_search",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

@@ -144,11 +144,19 @@ def fusion_hybrid_sparse_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rrf_fuse_sql(ctes: list[str], k: int, id_name: str = "id", k0: int = fusion.RRF_K0) -> str:
+def _rrf_fuse_sql(
+    ctes: list[str],
+    k: int,
+    id_name: str = "id",
+    k0: int = fusion.RRF_K0,
+    as_cte: str | None = None,
+) -> str:
     """DuckDB mirror of fusion.reciprocal_rank_fusion over named top-k
     CTEs (each exposing (id, score)); composes like _fuse_add_sql. The
     addend is the SAME single double division the Spark plan computes
-    (1e12/(k0+r)), FLOOR-quantized into an exact DECIMAL sum."""
+    (1e12/(k0+r)), FLOOR-quantized into an exact DECIMAL sum.
+    `as_cte` wraps the final top-k as a named CTE instead of a
+    terminal SELECT, for queries that keep composing."""
     parts = [
         f"""
     rrf_r{i} AS (
@@ -157,6 +165,12 @@ def _rrf_fuse_sql(ctes: list[str], k: int, id_name: str = "id", k0: int = fusion
         for i, cte in enumerate(ctes)
     ]
     union = " UNION ALL ".join(f"SELECT * FROM rrf_r{i}" for i in range(len(ctes)))
+    final = (
+        f"SELECT id AS {id_name}, score FROM rrf_f "
+        f"ORDER BY score DESC, {id_name} LIMIT {k}"
+    )
+    if as_cte is not None:
+        final = f",\n    {as_cte} AS ({final})"
     return (
         ",".join(parts)
         + f""",
@@ -166,7 +180,7 @@ def _rrf_fuse_sql(ctes: list[str], k: int, id_name: str = "id", k0: int = fusion
                            AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS score
       FROM ({union}) u GROUP BY 1
     )
-    SELECT id AS {id_name}, score FROM rrf_f ORDER BY score DESC, {id_name} LIMIT {k}
+    {final}
     """
     )
 

@@ -105,15 +105,10 @@ def _mmr_score(c: str, ids: str) -> str:
     return f"({_MMR_LAM!r} * {c}.rel - {_MMR_B!r} * {mx})"
 
 
-@query(
-    "rerank_mmr_diversify",
-    oracle=f"""
-    WITH RECURSIVE cand AS (
-      SELECT vec_id AS id, {_EMBD} AS v,
-             {sql_det_round(_mmr_cos(_EMBD, sql_vec(QUERY_VEC)))} AS rel
-      FROM embeddings ORDER BY rel DESC, vec_id LIMIT {_MMR_N}
-    ),
-    sims AS (
+def _mmr_sel_ctes(k: int) -> str:
+    """sims + the recursive greedy-selection CTE over an in-scope
+    `cand (id, v, rel)` CTE. Requires WITH RECURSIVE in the caller."""
+    return f"""sims AS (
       SELECT a.id AS id_a, b.id AS id_b, {sql_det_round(_mmr_cos('a.v', 'b.v'))} AS sim
       FROM cand a JOIN cand b ON a.id <> b.id
     ),
@@ -125,7 +120,7 @@ def _mmr_score(c: str, ids: str) -> str:
       UNION ALL
       SELECT s.step + 1, list_append(s.ids, c.id)
       FROM sel s JOIN cand c ON NOT list_contains(s.ids, c.id)
-      WHERE s.step < {_MMR_K}
+      WHERE s.step < {k}
         AND NOT EXISTS (
           SELECT 1 FROM cand c2
           WHERE NOT list_contains(s.ids, c2.id) AND c2.id <> c.id
@@ -133,13 +128,32 @@ def _mmr_score(c: str, ids: str) -> str:
                  OR ({_mmr_score('c2', 's.ids')} = {_mmr_score('c', 's.ids')}
                      AND c2.id < c.id))
         )
-    )
+    )"""
+
+
+def _mmr_final_select(k: int) -> str:
+    """Unnest the step-k selection list into (sel_rank, vec_id, rel)
+    rows (DuckDB has no WITH ORDINALITY — index the list via a range)."""
+    return f"""
     SELECT CAST(t.i AS BIGINT) AS sel_rank, t.id AS vec_id, c.rel
     FROM (SELECT CAST(g.g AS INT) AS i, f.ids[CAST(g.g AS INT)] AS id
-          FROM (SELECT ids FROM sel WHERE step = {_MMR_K}) f,
-               unnest(range(1, {_MMR_K} + 1)) AS g(g)) t
+          FROM (SELECT ids FROM sel WHERE step = {k}) f,
+               unnest(range(1, {k} + 1)) AS g(g)) t
     JOIN cand c ON c.id = t.id
     ORDER BY sel_rank
+    """
+
+
+@query(
+    "rerank_mmr_diversify",
+    oracle=f"""
+    WITH RECURSIVE cand AS (
+      SELECT vec_id AS id, {_EMBD} AS v,
+             {sql_det_round(_mmr_cos(_EMBD, sql_vec(QUERY_VEC)))} AS rel
+      FROM embeddings ORDER BY rel DESC, vec_id LIMIT {_MMR_N}
+    ),
+    {_mmr_sel_ctes(_MMR_K)}
+    {_mmr_final_select(_MMR_K)}
     """,
 )
 def rerank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,3 +179,55 @@ def rerank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_MMR_N)
     )
     return _rr.mmr_rerank(cand, k=_MMR_K, lam=_MMR_LAM)
+
+
+# ---- /search facade: RRF hybrid fuse → MMR diversify -----------------------
+
+from multi_search_retrival_big_data_spark.operators import dense, fusion  # noqa: E402
+from multi_search_retrival_big_data_spark.queries.fusion_queries import (  # noqa: E402
+    _dense_top_cte,
+    _rrf_fuse_sql,
+)
+
+_DIV_N, _DIV_K = 20, 8
+_QV_SQL = sql_vec(QUERY_VEC)
+
+
+@query(
+    "endpoint_diverse_search",
+    oracle=f"""
+    WITH RECURSIVE {tfidf_cte('dq_', (1, 1), _QS)},
+    sp_top AS (SELECT doc_id AS id, score FROM dq_topk ORDER BY score DESC, doc_id LIMIT 100),
+    {_dense_top_cte('dn_top', _QV_SQL, 100).lstrip().removeprefix(',')},
+    {_rrf_fuse_sql(['sp_top', 'dn_top'], _DIV_N, as_cte='rrf_top').lstrip().removeprefix(',')},
+    cand AS (
+      SELECT r.id, CAST(e.embedding AS DOUBLE[]) AS v, r.score AS rel
+      FROM rrf_top r JOIN embeddings e ON e.vec_id = r.id
+    ),
+    {_mmr_sel_ctes(_DIV_K)}
+    {_mmr_final_select(_DIV_K)}
+    """,
+)
+def endpoint_diverse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed modern serving tail, end to end: sparse TF-IDF
+    top-100 + dense top-100 → reciprocal-rank fusion (top-20) →
+    vectors hydrated by broadcasting the fused list into the corpus →
+    MMR diversification to the final page of 8. Every stage is this
+    round's operator surface (fusion.reciprocal_rank_fusion,
+    rerank.mmr_rerank) composed the way a /search endpoint would run
+    them; the oracle chains the RRF CTE into the recursive MMR greedy,
+    so the whole pipeline — fuse ranks, hydration, selection path — is
+    engine-exact. MMR relevance = the exact quantized RRF score (rank
+    fusion makes the two channels' scales commensurable before the
+    diversity trade)."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    postings = index_store.tfidf_postings(spark, sf_dir)
+    sp = sparse.tfidf_score(postings, _QS, k=100, round_to=6)
+    dn = dense.topk_cosine_arrow(emb, QUERY_VEC, k=100, round_to=6)
+    fused = fusion.reciprocal_rank_fusion([sp, dn], k=_DIV_N)
+    cand = (
+        emb.select(F.col("vec_id"), "embedding")
+        .join(F.broadcast(fused.withColumnRenamed("id", "vec_id")), "vec_id")
+        .select("vec_id", "embedding", F.col("score").alias("rel"))
+    )
+    return _rr.mmr_rerank(cand, k=_DIV_K)
