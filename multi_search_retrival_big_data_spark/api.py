@@ -161,6 +161,48 @@ class SearchEngine:
             seq, ["source"], "doc_id", doc_id, radius=radius
         )
 
+    # -- /search (beyond-reference: hybrid RRF + MMR page) -------------
+    def diverse_search(
+        self,
+        text: str,
+        query_vec: list[float] | None = None,
+        n_fuse: int = 20,
+        k: int = 8,
+        lam: float | None = None,
+    ) -> DataFrame:
+        """The modern serving tail the reference's endpoints imply but
+        don't compose: sparse TF-IDF and dense lists fused by
+        reciprocal rank (scale-free), the fused top-n hydrated with
+        vectors (broadcast into the corpus join), and an MMR page of k
+        diversified hits. `query_vec` overrides the encoder seam for
+        callers that already hold an embedding (the /imgsearch
+        shape)."""
+        from pyspark.sql import functions as F
+
+        from multi_search_retrival_big_data_spark.operators import rerank
+
+        qv = (
+            query_vec
+            if query_vec is not None
+            else encoders.encode_query(text, self.encoder, self.translator)
+        )
+        sp = sparse.tfidf_score(
+            index_store.tfidf_postings(self.spark, self.sf_dir),
+            sparse.query_terms(text),
+            k=100,
+            round_to=6,
+        )
+        dn = dense.topk_cosine_arrow(self.emb, qv, k=100, round_to=6)
+        fused = fusion.reciprocal_rank_fusion([sp, dn], k=n_fuse)
+        cand = (
+            self.emb.select("vec_id", "embedding")
+            .join(F.broadcast(fused.withColumnRenamed("id", "vec_id")), "vec_id")
+            .select("vec_id", "embedding", F.col("score").alias("rel"))
+        )
+        if lam is None:
+            return rerank.mmr_rerank(cand, k=k)
+        return rerank.mmr_rerank(cand, k=k, lam=lam)
+
     # -- /translate, spell -------------------------------------------
     def translate(self, text: str) -> str:
         return self.translator.translate(text)

@@ -183,7 +183,6 @@ def rerank_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- /search facade: RRF hybrid fuse → MMR diversify -----------------------
 
-from multi_search_retrival_big_data_spark.operators import dense, fusion  # noqa: E402
 from multi_search_retrival_big_data_spark.queries.fusion_queries import (  # noqa: E402
     _dense_top_cte,
     _rrf_fuse_sql,
@@ -219,15 +218,9 @@ def endpoint_diverse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole pipeline — fuse ranks, hydration, selection path — is
     engine-exact. MMR relevance = the exact quantized RRF score (rank
     fusion makes the two channels' scales commensurable before the
-    diversity trade)."""
-    emb = tables.load(spark, "embeddings", sf_dir)
-    postings = index_store.tfidf_postings(spark, sf_dir)
-    sp = sparse.tfidf_score(postings, _QS, k=100, round_to=6)
-    dn = dense.topk_cosine_arrow(emb, QUERY_VEC, k=100, round_to=6)
-    fused = fusion.reciprocal_rank_fusion([sp, dn], k=_DIV_N)
-    cand = (
-        emb.select(F.col("vec_id"), "embedding")
-        .join(F.broadcast(fused.withColumnRenamed("id", "vec_id")), "vec_id")
-        .select("vec_id", "embedding", F.col("score").alias("rel"))
-    )
-    return _rr.mmr_rerank(cand, k=_DIV_K)
+    diversity trade). Served through the api.SearchEngine facade —
+    the same composition a /search handler would call."""
+    from multi_search_retrival_big_data_spark.api import SearchEngine
+
+    eng = SearchEngine(spark, sf_dir)
+    return eng.diverse_search(QUERY_TEXT, query_vec=QUERY_VEC, n_fuse=_DIV_N, k=_DIV_K)

@@ -90,3 +90,20 @@ def test_panel_search_grouped(engine):
         assert {"source", "best_score", "hit_count", "best_id"} <= set(rows[0].asDict())
         scores = [r["best_score"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_diverse_search_page(spark, sf_dir):
+    from multi_search_retrival_big_data_spark.api import SearchEngine
+    from multi_search_retrival_big_data_spark.queries.common import QUERY_VEC
+    from multi_search_retrival_big_data_spark.queries.sparse_queries import QUERY_TEXT
+
+    eng = SearchEngine(spark, sf_dir)
+    page = eng.diverse_search(QUERY_TEXT, query_vec=QUERY_VEC, n_fuse=10, k=4).collect()
+    assert [r.sel_rank for r in page] == [1, 2, 3, 4]
+    assert len({r.vec_id for r in page}) == 4
+    # lam=1.0 degenerates to pure fused-relevance order
+    pure = eng.diverse_search(
+        QUERY_TEXT, query_vec=QUERY_VEC, n_fuse=10, k=4, lam=1.0
+    ).collect()
+    rels = [r.rel for r in pure]
+    assert rels == sorted(rels, reverse=True)
