@@ -12,6 +12,7 @@ query they run today against the Spark engine:
 | GET  /relatedimg /getvideoshot| related              | Q19 |
 | POST /translate               | translate            | Q21 |
 | GET  /data                    | browse               | Q23 |
+| (beyond-ref) hybrid /search   | diverse_search       | RRF + MMR |
 
 Every method returns a lazy DataFrame (the caller collects/serializes);
 nothing here adds logic — it only composes the operators, mirroring the
