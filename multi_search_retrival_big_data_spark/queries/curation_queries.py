@@ -717,3 +717,65 @@ def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 from multi_search_retrival_big_data_spark.queries import REGISTRY as _REG  # noqa: E402
 
 _REG["curation_quality_quantile_filter"].oracle = _quality_quantile_oracle()
+
+
+# ---- quality-gate calibration grid -----------------------------------------
+
+_QT_THRESHOLDS = [0.2, 0.4, 0.6, 0.8]
+
+
+def _quality_threshold_grid_oracle() -> str:
+    from multi_search_retrival_big_data_spark.queries.text_queries import QUALITY_SQL
+
+    thr = ", ".join(repr(float(t)) for t in _QT_THRESHOLDS)
+    return f"""
+    WITH q AS (SELECT doc_id, ({QUALITY_SQL}) AS quality FROM documents),
+    thr AS (SELECT unnest([{thr}]) AS threshold),
+    n AS (SELECT count(*) AS total FROM documents)
+    SELECT t.threshold,
+           CAST(SUM(CASE WHEN q.quality >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           n.total,
+           CAST(SUM(CASE WHEN q.quality >= t.threshold THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(n.total AS DOUBLE) AS kept_frac
+    FROM q CROSS JOIN thr t CROSS JOIN n
+    GROUP BY t.threshold, n.total
+    ORDER BY t.threshold
+    """
+
+
+@query("curation_quality_threshold_grid", oracle=None)
+def curation_quality_threshold_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the quality gate: kept count/fraction at
+    each candidate threshold — the sweep a pipeline owner reads before
+    setting PIPE_QUALITY_MIN (the recall-grid treatment applied to the
+    curation knob; quality values are the same engine-exact rational
+    arithmetic text_quality_scores proves). One corpus pass fans out
+    across the 4-row threshold dim (broadcast), aggregated per
+    threshold map-side — no per-threshold rescan."""
+    from multi_search_retrival_big_data_spark.operators import textanalysis as ta
+
+    docs = tables.load(spark, "documents", sf_dir)
+    qual = ta.quality_features(docs, "doc_id", "text").select("doc_id", "quality")
+    thr = spark.createDataFrame(
+        [(float(t),) for t in _QT_THRESHOLDS], "threshold DOUBLE"
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("total"))
+    kept = F.sum(F.when(F.col("quality") >= F.col("threshold"), 1).otherwise(0))
+    return (
+        qual.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(kept.cast("bigint").alias("kept"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            "kept",
+            "total",
+            (F.col("kept").cast("double") / F.col("total").cast("double")).alias(
+                "kept_frac"
+            ),
+        )
+        .orderBy("threshold")
+    )
+
+
+_REG["curation_quality_threshold_grid"].oracle = _quality_threshold_grid_oracle()

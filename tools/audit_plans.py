@@ -70,6 +70,7 @@ SCALAR_BROADCAST_OK = {
     "index_lifecycle_end_to_end",    # 1-row per-stage gauge scalar combines
     "dedup_semantic_recall_audit",   # exact all-pairs audit side + 1-row found × true combine
     "dedup_semantic_capped_recall_audit",  # 1-row capped × uncapped count combine
+    "curation_quality_threshold_grid",     # 4-row threshold-dim fanout + 1-row total combine
 }
 
 
