@@ -228,10 +228,15 @@ def ann_cascade_topk(
 
     The gate probe is ONE driver-side count over the partition-pruned
     bucket read (a single long — the connected_components_auto router
-    pattern); the candidate set is persisted before the probe so the
-    served branch reuses it instead of re-reading the buckets. Both
-    branches rank by the identical det-rounded cosine, so the router
-    changes WHICH rows are scored, never how."""
+    pattern). The served branch re-reads the pruned buckets rather
+    than persisting the candidate set: the probe read touches only
+    `bands` partitions (cheap by construction), while a per-request
+    `.persist()` pins executor storage with no in-function release
+    point (the returned plan is lazy), which under concurrent serving
+    accumulates one cache entry per query — the leak, not the
+    re-read, is what hurts a serving tier. Both branches rank by the
+    identical det-rounded cosine, so the router changes WHICH rows
+    are scored, never how."""
     dim = len(query_vec)
     planes = hyperplanes(dim, num_planes)
     rows = num_planes // bands
@@ -240,7 +245,7 @@ def ann_cascade_topk(
     for b, qband in query_bands(qsig, bands, rows):
         c = (F.col("band") == b) & (F.col("bval") == F.lit(qband))
         cond = c if cond is None else cond | c
-    cand = banded.filter(cond).select(id_col).distinct().persist()
+    cand = banded.filter(cond).select(id_col).distinct()
     n_cand = cand.count()
     score = cosine_sim(vec_col, lit_vec(query_vec))
     if round_to is not None:

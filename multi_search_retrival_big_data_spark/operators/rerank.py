@@ -53,6 +53,26 @@ def attach_candidate_text(
 
 MMR_LAMBDA = 0.7
 
+# Hard fence on driver-side rerank tails: both rerank operators touch
+# only the request-sized first-stage candidate list (n ≲ 100 by
+# construction), but nothing upstream ENFORCES that — this cap does,
+# the same misuse-proofing as connected_components_auto's
+# driver_max_edges gate. The probe is a limit(cap+1) count, so even a
+# mistakenly-passed corpus-sized frame costs one bounded scan, never
+# an unbounded collect / Arrow ingest.
+MAX_RERANK_CANDIDATES = 1000
+
+
+def _fence_candidates(df: DataFrame, max_candidates: int, op: str) -> None:
+    n = df.limit(max_candidates + 1).count()
+    if n > max_candidates:
+        raise ValueError(
+            f"{op}: candidate list exceeds max_candidates={max_candidates} "
+            "(driver-side rerank tails are request-sized by contract; "
+            "first-stage top-n the candidates before reranking, or raise "
+            "the fence explicitly)"
+        )
+
 
 def mmr_rerank(
     candidates: DataFrame,
@@ -62,6 +82,7 @@ def mmr_rerank(
     vec_col: str = "embedding",
     rel_col: str = "rel",
     round_to: int = 6,
+    max_candidates: int = MAX_RERANK_CANDIDATES,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversification (Carbonell &
     Goldstein, SIGIR 1998): greedily select k items maximizing
@@ -88,11 +109,21 @@ def mmr_rerank(
     sel = candidates.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(rel_col).alias("rel")
     )
+    _fence_candidates(sel, max_candidates, "mmr_rerank")
     a = sel.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
     b = sel.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
+    # coalesce: a zero-norm vector makes cosine NULL; treat it as
+    # similarity 0 so a degenerate candidate degrades gracefully
+    # instead of making the driver max() raise on None
     sims_df = (
         a.join(b, F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", det_round(cosine_sim("__va", "__vb"), round_to).alias("sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(
+                det_round(cosine_sim("__va", "__vb"), round_to), F.lit(0.0)
+            ).alias("sim"),
+        )
     )
     rel = {r["id"]: r["rel"] for r in sel.select("id", "rel").collect()}
     sim = {(r["id_a"], r["id_b"]): r["sim"] for r in sims_df.collect()}
@@ -127,6 +158,7 @@ def cross_encoder_rerank(
     alpha: float = 0.5,
     k: int = 10,
     round_to: int = 6,
+    max_candidates: int = MAX_RERANK_CANDIDATES,
 ) -> DataFrame:
     """Rerank a (id, first-stage score, text) candidate list by
     blended score alpha·s1 + (1−alpha)·ce(query, text), descending,
@@ -143,6 +175,7 @@ def cross_encoder_rerank(
         F.col(score_col).cast("double").alias("s1"),
         F.col(text_col).alias("txt"),
     )
+    _fence_candidates(sel, max_candidates, "cross_encoder_rerank")
 
     def _score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

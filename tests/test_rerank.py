@@ -99,3 +99,39 @@ def test_mmr_deterministic_and_k_clamped(spark):
 def test_mmr_pure_relevance_at_lambda_one(spark):
     got = rerank.mmr_rerank(_mmr_cands(spark), k=3, lam=1.0).collect()
     assert [r.vec_id for r in got] == [1, 2, 3]  # rel order, no diversity term
+
+def test_mmr_zero_norm_candidate_degrades_gracefully(spark):
+    # a zero-norm vector makes cosine NULL; the coalesce treats it as
+    # sim 0 so the greedy loop runs instead of raising on None
+    rows = [
+        (1, [1.0, 0.0, 0.0], 1.0),
+        (2, [0.0, 0.0, 0.0], 0.8),  # degenerate
+        (3, [0.0, 1.0, 0.0], 0.5),
+    ]
+    cand = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, rel DOUBLE"
+    )
+    got = rerank.mmr_rerank(cand, k=3).collect()
+    assert len(got) == 3
+    assert got[0].vec_id == 1
+    # degenerate candidate has sim 0 to everything -> pure-relevance slot
+    assert [r.vec_id for r in got] == [1, 2, 3]
+
+
+def test_rerank_candidate_fences(spark):
+    big = spark.range(0, rerank.MAX_RERANK_CANDIDATES + 5).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id AS DOUBLE), 1.0) AS embedding",
+        "1.0 AS rel",
+    )
+    with pytest.raises(ValueError, match="max_candidates"):
+        rerank.mmr_rerank(big, k=3)
+    big_txt = spark.range(0, rerank.MAX_RERANK_CANDIDATES + 5).selectExpr(
+        "id AS doc_id", "1.0 AS score", "CAST(id AS STRING) AS text"
+    )
+    with pytest.raises(ValueError, match="max_candidates"):
+        rerank.cross_encoder_rerank(big_txt, "q", k=3)
+    # an explicit higher fence admits the same frame
+    assert rerank.cross_encoder_rerank(
+        big_txt, "q", k=3, max_candidates=2000
+    ).count() == 3
