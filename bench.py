@@ -1,9 +1,15 @@
 """Benchmark harness — driver contract (BASELINE.md grid).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+COMPACT JSON line as the FINAL stdout line: {"metric": ...,
+"value": total_sec, "unit": "sec", "queries": {headline subset},
+"sf": ..., plus the x10/skew worst ratios, d=768 recalls and the
+concurrency anchor}. The FULL per-query record (every anchor, every
+tier, drift spreads, candidate volumes) is written to
+BENCH_DETAIL.json next to this script — the driver's stdout capture
+is bounded (~2000 chars), so the final line is deliberately sized
+under that and the file carries the round-over-round detail.
 
 Each query is executed once to warm the JVM/scan caches' code paths
 (not cached data — a fresh action re-reads parquet), then timed over
@@ -724,6 +730,73 @@ def _time_queries(
     return timings
 
 
+# per-query timings surfaced on the compact final stdout line — the
+# BASELINE.md grid's serving + pipeline flagships (one per family);
+# everything else lives in BENCH_DETAIL.json
+HEADLINE_SUMMARY = [
+    "dense_topk_cosine",
+    "dense_topk_cosine_arrow",
+    "sparse_tfidf_topk",
+    "sparse_bm25_topk",
+    "fusion_hybrid_sparse_dense",
+    "ann_lsh_topk_cosine",
+    "ann_ivf_topk_cosine",
+    "ann_pq_rerank_trained_topk",
+    "dedup_minhash_lsh_capped",
+    "dedup_keep_canonical",
+    "dedup_semantic_keep",
+    "pipeline_curation_end_to_end",
+    "tpch_q1_pricing_summary",
+    "endpoint_diverse_search",
+]
+
+
+def _compact_summary(result: dict, detail_file: str) -> dict:
+    """The driver-parsable final line: total + headline timings + the
+    worst scale/skew ratios + d=768 recalls + the concurrency anchor.
+    Kept well under the driver's ~2000-char stdout tail capture."""
+    out = {
+        "metric": "total wall-clock over headline queries "
+        "(median; full detail in BENCH_DETAIL.json)",
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_queries": len(result["queries"]),
+        "queries": {
+            n: result["queries"][n]
+            for n in HEADLINE_SUMMARY
+            if n in result["queries"]
+        },
+        "detail_file": os.path.basename(detail_file),
+    }
+    tiers = result.get("tiers", {})
+    if tiers:
+        sr = tiers.get("scale_ratio", {})
+        out["x10_ratio_worst"] = dict(
+            sorted(sr.items(), key=lambda kv: -kv[1])[:5]
+        )
+        skew = tiers.get("skew", {}).get("skew_ratio_vs_uniform_x10", {})
+        out["skew_ratio_worst"] = dict(
+            sorted(skew.items(), key=lambda kv: -kv[1])[:5]
+        )
+    dim = result.get("dim_tier")
+    if dim:
+        out["dim768"] = {
+            "total_s": round(sum(dim.get("queries", {}).values()), 2),
+            "recall_at_50": {
+                k: v for k, v in dim.get("recall_at_k", {}).items() if k != "k"
+            },
+        }
+    conc = result.get("concurrency")
+    if conc and "n8" in conc:
+        out["concurrency"] = {
+            "n8_speedup": conc["n8"]["speedup"],
+            "n8_qps": conc["n8"]["qps"],
+            "isolation_ratio": conc.get("isolation", {}).get("latency_ratio"),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as se
@@ -901,7 +974,12 @@ def main() -> None:
             shutil.rmtree(d, ignore_errors=True)
         live = [sf_dir] + sorted(glob.glob("/root/testdata/sf*"))
         result["index_gc"] = {"dropped": len(_ixs.gc_stale_index_tables(spark, live))}
-    print(json.dumps(result))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(_compact_summary(result, detail_path)))
 
 
 if __name__ == "__main__":
