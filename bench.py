@@ -47,6 +47,7 @@ from __future__ import annotations
 import atexit
 import glob
 import json
+import math
 import os
 import shutil
 import statistics
@@ -146,6 +147,14 @@ SKEW_QUERIES = [
     # exactly its guard — the skew ratio shows the winner election on
     # top of the capped candidates costs ~nothing under a hot cluster
     "dedup_keep_canonical",
+    # r7: the SEMANTIC family joins the adversarial tier — the skew
+    # corpus now plants a viral EMBEDDING cell (~2.8% of vectors
+    # near-identical -> one mega k-means cell), the exact shape the
+    # SemDeDup max_cell guard exists for. dedup_semantic_keep runs the
+    # capped production path; the decontamination probe is |eval|·|cell|
+    # (linear in cell size per eval item) and should hold without a cap
+    "dedup_semantic_keep",
+    "decontamination_semantic_overlap",
 ]
 
 # byte-identical boilerplate planted on ~2% of skew-tier rows — the
@@ -154,6 +163,10 @@ _BOILERPLATE = (
     "click here to accept cookies and continue to the best site on the "
     "internet where all your favorite content lives conveniently forever"
 )
+
+# the viral EMBEDDING planted on ~2.8% of skew-tier vectors — the
+# semantic twin of _BOILERPLATE (golden-angle sine ramp, deterministic)
+_VIRAL_VEC = [round(math.sin(i * 2.399963) * 0.5, 6) for i in range(64)]
 
 BENCH_QUERIES = [
     # BASELINE.md grid anchors
@@ -336,9 +349,12 @@ def _build_skew_dir(spark, sf_dir: str, replication: int) -> str:
     """10×-replicated documents with ADVERSARIAL skew: replicas 0-2
     force lang='en' and source='src_hot' (~30% of rows on one key) and
     replicas 1-2 plant byte-identical boilerplate on doc_id % 7 == 0
-    (~2% of the corpus in ONE duplicate cluster / LSH mega bucket).
-    Only `documents` differs from the uniform tier; other tables are
-    symlinked."""
+    (~2% of the corpus in ONE duplicate cluster / LSH mega bucket),
+    and the 10× embeddings plant the SEMANTIC twin of the boilerplate:
+    vec_id % 7 == 0 on replicas 1-2 becomes a near-copy of ONE base
+    vector (tiny per-row jitter), so ~2.8% of the corpus collapses
+    into a single viral k-means cell — the shape the SemDeDup
+    max_cell guard exists for. Other tables are symlinked."""
     from pyspark.sql import functions as F
 
     out = tempfile.mkdtemp(prefix="msrbd_skew_")
@@ -373,8 +389,39 @@ def _build_skew_dir(spark, sf_dir: str, replication: int) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(out, "documents.parquet"))
     )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    viral = F.col("__rep").isin(1, 2) & (F.col("vec_id") % 7 == 0)
+    viral_base = F.array(*[F.lit(v) for v in _VIRAL_VEC])
+    # per-row jitter keeps viral copies distinct rows but cosine ≈ 1
+    viral_vec = F.transform(
+        viral_base,
+        lambda v, j: v
+        + F.when(
+            j == F.col("vec_id") % 64,
+            (F.col("vec_id") % 997).cast("double") * 1e-5,
+        ).otherwise(F.lit(0.0)),
+    )
+    uniform_vec = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x, j: x
+        + F.when(
+            j == F.col("__rep") % 64, F.col("__rep").cast("double") * 0.37
+        ).otherwise(F.lit(0.0)),
+    )
+    (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("__rep").cast("bigint") * id_shift).alias("vec_id"),
+            F.when(viral, viral_vec).otherwise(uniform_vec).alias("embedding"),
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "embeddings.parquet"))
+    )
+
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "embeddings"):
+              "lineitem", "events"):
         src = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(src):
             os.symlink(src, os.path.join(out, f"{t}.parquet"))
@@ -948,10 +995,31 @@ def main() -> None:
             )
             .collect()[0]
         )
+        # semantic-cell shape under the planted viral embedding cell:
+        # analytic uncapped pair budget from cell sizes (what the
+        # uncapped within-cell self-join WOULD emit) vs the capped
+        # candidate count the production path actually generates
+        from multi_search_retrival_big_data_spark import index_store as _ixs_sem
+        from multi_search_retrival_big_data_spark.queries.pipeline_queries import (
+            _SEM_ITERS as _SI,
+            SEM_MAX_CELL_PRODUCTION as _SMC,
+        )
+
+        _, _sassign = _ixs_sem.ivf_trained(spark, skew_dir, iters=_SI)
+        _sbudget = _dedup.semantic_cell_pair_budget(_sassign).collect()[0]
+        _scapped = _dedup.semantic_candidates(_sassign, _SMC).count()
+
         result["tiers"]["skew"] = {
             "queries": skew,
             "skew_ratio_vs_uniform_x10": {
                 n: round(skew[n] / stress[n], 2) for n in skew_names if stress.get(n)
+            },
+            "semantic_cells": {
+                "n_cells": _sbudget["n_cells"],
+                "max_cell_size": _sbudget["max_cell_size"],
+                "uncapped_pairs": _sbudget["uncapped_pairs"],
+                "capped_candidates": _scapped,
+                "max_cell": _SMC,
             },
             "lsh_candidates": skew_cand,
             "lsh_mega_buckets": {

@@ -709,7 +709,10 @@ def _cosine_verify_pairs(
     vectors fetched by two unique-id joins (the jaccard_for_pairs
     shape), det-rounded cosine ≥ threshold kept. Pair orientation is
     bit-immaterial (index-ordered dot/norm folds; double multiply
-    commutes exactly)."""
+    commutes exactly). Note: the pairs lineage is evaluated once —
+    broadcasting it into the vector joins was measured SLOWER (the
+    un-cached lineage re-runs per broadcast), so the joins stay
+    shuffle joins on candidate-bounded inputs."""
     from multi_search_retrival_big_data_spark.functions.rounding import det_round
     from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
 
@@ -778,17 +781,118 @@ def semantic_candidate_pairs(
             F.col("cosine") >= threshold
         )
 
-    from multi_search_retrival_big_data_spark.operators import ann as _ann
+    # Route on a tiny driver probe of the cell-size histogram: a
+    # HEALTHY corpus (no cell over the cap) runs the EXACT uncapped
+    # plan — the guard machinery (banding, windows, refetch verify)
+    # never even enters the plan, so arming the cap costs one
+    # aggregation-sized job until the day it fires (the
+    # connected_components_auto gate pattern). The probe is a groupBy
+    # count — |cells| rows, partial-aggregated — never a corpus scan
+    # beyond the one aggregation pass.
+    sizes = assign.groupBy(cid_col).agg(F.count(F.lit(1)).alias("__m"))
+    if sizes.filter(F.col("__m") > max_cell).limit(1).count() == 0:
+        return semantic_candidate_pairs(
+            assign, threshold, id_col, vec_col, cid_col, round_to
+        )
+    # Small (healthy) cells are scored INLINE in the cell self-join —
+    # vectors are already co-located on cid, so the cosine costs no
+    # extra join (the exact plan the uncapped path runs). Only MEGA
+    # cells pay the sub-bucket + refetch-verify machinery.
+    sized = assign.join(F.broadcast(sizes), cid_col)
+    small = sized.filter(F.col("__m") <= max_cell)
+    sa = small.select(
+        F.col(cid_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    sb = small.select(
+        F.col(cid_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    cos = det_round(cosine_sim("__va", "__vb"), round_to)
+    small_scored = (
+        sa.join(sb, cid_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    mega_pairs = _mega_cell_band_pairs(
+        sized.filter(F.col("__m") > max_cell), id_col, vec_col, cid_col, dim,
+        sub_cap=max_cell,
+    )
+    mega_scored = _cosine_verify_pairs(
+        assign, mega_pairs, threshold, id_col, vec_col, round_to
+    )
+    return small_scored.unionByName(mega_scored)
 
-    w = Window.partitionBy(cid_col)
-    sized = assign.withColumn("__m", F.count(F.lit(1)).over(w))
+
+def semantic_candidates(
+    assign: DataFrame,
+    max_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    dim: int = 64,
+) -> DataFrame:
+    """The CAPPED candidate generation alone (pre-verify): small-cell
+    all-pairs + SRP-band sub-bucket pairs inside mega cells, distinct
+    (id_a, id_b). Exposed separately so monitoring/bench code can
+    count candidate volume — the robust drift/skew signal — without
+    paying the exact-cosine verify.
+
+    Cell sizing is a groupBy on cid (partial-aggregated, |cells| rows)
+    broadcast back onto the assignment — NOT a corpus-wide window,
+    which would shuffle the whole corpus by cid just to count it. The
+    broadcast is |cells|-sized: nlist in any FAISS-practice deployment
+    is ≤ ~2²⁰, megabytes not corpus-scale."""
+    sizes = assign.groupBy(cid_col).agg(F.count(F.lit(1)).alias("__m"))
+    sized = assign.join(F.broadcast(sizes), cid_col)
     small = sized.filter(F.col("__m") <= max_cell)
     sa = small.select(F.col(cid_col), F.col(id_col).alias("id_a"))
     sb = small.select(F.col(cid_col), F.col(id_col).alias("id_b"))
     small_pairs = (
         sa.join(sb, cid_col).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     )
-    mega = sized.filter(F.col("__m") > max_cell)
+    mega_pairs = _mega_cell_band_pairs(
+        sized.filter(F.col("__m") > max_cell), id_col, vec_col, cid_col, dim,
+        sub_cap=max_cell,
+    )
+    return small_pairs.unionByName(mega_pairs)
+
+
+def _mega_cell_band_pairs(
+    mega: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cid_col: str,
+    dim: int,
+    sub_cap: int | None = None,
+) -> DataFrame:
+    """SRP band sub-bucket pairs inside over-cap (mega) cells: sign
+    signatures over md5-derived hyperplanes, banded, self-joined on
+    (cid, band, bval).
+
+    Two guards compose here, each against a different viral shape:
+    - DISSIMILAR vectors crowding one Voronoi cell are split by the
+      band values (they disagree on hyperplane signs), so the cell
+      never goes all-pairs — O(m · collision rate) candidates.
+    - NEAR-IDENTICAL vectors (the keyframe-burst / boilerplate shape)
+      collide in EVERY band, so banding alone prunes nothing for them
+      — exactly the case the MinHash max_bucket chain+star solved.
+      `sub_cap` applies the same spanning emission INSIDE an over-cap
+      (cid, band, bval) sub-bucket: id-sorted consecutive chain plus a
+      star to the sub-bucket minimum, O(m) pairs. A sub-bucket that
+      large (shared cell AND full signature agreement) is clique-like
+      by construction, so the spanning set preserves the
+      connected-components closure — the lsh_candidate_pairs argument,
+      scoped to where it is actually valid (a raw k-means cell is NOT
+      a clique; a full-band-match sub-bucket of one is).
+
+    Only the band pairs need the distinct (the same pair can collide
+    in several bands; small-cell pairs are unique by construction), so
+    the dedup shuffle is mega-sized, never corpus-pair-sized. The
+    windows (count/min/lag over (cid, band, bval)) are one sort-
+    shuffle of the MEGA subset only — a 10⁶-member viral sub-bucket is
+    10⁶ rows in one task instead of 10¹² join outputs."""
+    from multi_search_retrival_big_data_spark.operators import ann as _ann
+
     planes = _ann.hyperplanes(dim, _ann.NUM_PLANES)
     rows = _ann.NUM_PLANES // _ann.ANN_BANDS
     sig = mega.select(
@@ -809,15 +913,62 @@ def semantic_candidate_pairs(
             )
         ).alias("e"),
     ).select(cid_col, id_col, "e.band", "e.bval")
-    ma = banded.select(cid_col, "band", "bval", F.col(id_col).alias("id_a"))
-    mb = banded.select(cid_col, "band", "bval", F.col(id_col).alias("id_b"))
-    mega_pairs = (
-        ma.join(mb, [cid_col, "band", "bval"])
+    if sub_cap is None:
+        ma = banded.select(cid_col, "band", "bval", F.col(id_col).alias("id_a"))
+        mb = banded.select(cid_col, "band", "bval", F.col(id_col).alias("id_b"))
+        return (
+            ma.join(mb, [cid_col, "band", "bval"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    w = Window.partitionBy(cid_col, "band", "bval")
+    wo = w.orderBy(id_col)
+    annb = banded.select(
+        F.col(cid_col),
+        F.col(id_col).alias("id"),
+        "band",
+        "bval",
+        F.count(F.lit(1)).over(w).alias("__m2"),
+        F.min(id_col).over(w).alias("__mn"),
+        F.lag(id_col).over(wo).alias("__prev"),
+    )
+    sm = annb.filter(F.col("__m2") <= sub_cap)
+    pa = sm.select(F.col("id").alias("id_a"), cid_col, "band", "bval")
+    pb = sm.select(F.col("id").alias("id_b"), cid_col, "band", "bval")
+    sub_small = (
+        pa.join(pb, [cid_col, "band", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    cand = small_pairs.unionByName(mega_pairs).distinct()
-    return _cosine_verify_pairs(assign, cand, threshold, id_col, vec_col, round_to)
+    over = annb.filter(F.col("__m2") > sub_cap)
+    chain = over.filter(F.col("__prev").isNotNull()).select(
+        F.col("__prev").alias("id_a"), F.col("id").alias("id_b")
+    )
+    star = over.filter(F.col("id") > F.col("__mn")).select(
+        F.col("__mn").alias("id_a"), F.col("id").alias("id_b")
+    )
+    return (
+        sub_small.unionByName(chain).unionByName(star).distinct()
+    )
+
+
+def semantic_cell_pair_budget(assign: DataFrame, cid_col: str = "cid") -> DataFrame:
+    """Analytic UNCAPPED pair budget from cell sizes alone —
+    Σ m·(m−1)/2 without generating a single pair. One tiny groupBy;
+    the monitoring-side twin of lsh_bucket_stats' full_pairs column
+    (what the uncapped within-cell self-join WOULD emit)."""
+    return (
+        assign.groupBy(cid_col)
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("m").alias("max_cell_size"),
+            F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("bigint").alias(
+                "uncapped_pairs"
+            ),
+        )
+    )
 
 
 def semantic_delta_candidate_pairs(
@@ -868,6 +1019,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     cid_col: str = "cid",
     round_to: int = 6,
+    max_cell: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup product table: (id, cluster_id, keep) for EVERY vector.
 
@@ -879,12 +1032,21 @@ def semantic_dedup(
     smallest id. Election and annotation reuse keep_canonical with
     quality = −centroid-sim, so the membership-only groupBy election
     and the broadcast annotation joins (zero corpus shuffles) are
-    shared with the MinHash product table."""
+    shared with the MinHash product table.
+
+    `max_cell` routes candidate mining through the VIRAL-CELL guard
+    (semantic_candidate_pairs max_cell — SRP band sub-bucketing inside
+    mega cells). Within-cell pairs are quadratic in cell size and
+    under a FROZEN quantizer cells grow linearly with the corpus, so
+    the uncapped path is the same quadratic blowup the MinHash
+    max_bucket cap fixed — a production run sets the cap; the
+    uncapped path remains the recall-audit oracle."""
     from multi_search_retrival_big_data_spark.functions.rounding import det_round
     from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
 
     pairs = semantic_candidate_pairs(
-        assign, threshold, id_col, vec_col, cid_col, round_to
+        assign, threshold, id_col, vec_col, cid_col, round_to,
+        max_cell=max_cell, dim=dim,
     )
     comp = connected_components_auto(pairs.select("id_a", "id_b"))
     scored = assign.join(F.broadcast(centroids), cid_col).select(

@@ -1245,6 +1245,16 @@ from multi_search_retrival_big_data_spark.queries.kmeans_sql import (  # noqa: E
 
 SEMANTIC_DUP_THRESHOLD = 0.45  # same planted-near-dup threshold as emb_near_dup_*
 _SEM_ITERS = 2  # matches the persisted index_store.ivf_trained build
+# Production viral-cell cap for the SemDeDup PRODUCT table: ~4× the
+# stride-62 design cell size, so every healthy cell takes the cheap
+# all-pairs path (≤ 256²/2 ≈ 33k pairs — bounded per cell) and ONLY a
+# genuinely viral cell (near-identical embeddings collapsing into one
+# Voronoi region — the keyframe-burst shape) pays the SRP sub-bucket
+# guard. A smaller cap would route healthy cells through banding,
+# which barely prunes angularly-similar within-cell vectors but adds
+# the full signature+band-join+distinct machinery on top (measured:
+# cap=8 cost 4.4× the uncapped path at sf0.1 while cutting recall).
+SEM_MAX_CELL_PRODUCTION = 256
 _SEM_CTES, _SEM_FINAL = ivf_lloyd_ctes(ann.IVF_CENTROID_STRIDE, EMB_DIM, _SEM_ITERS)
 
 
@@ -1315,20 +1325,32 @@ _SEM_PAIRS_CTE = f"""spairs AS MATERIALIZED (
     """,
 )
 def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) product table over the embedding
-    corpus: k-means-cell-bounded cosine pairs → connected components →
-    keep the member with the LOWEST centroid similarity per duplicate
-    group (edge-of-distribution survivor), every unclustered vector
-    kept. Spark reads the persisted Lloyd-trained cells
-    (index_store.ivf_trained — the same quantizer the IVF serving path
-    probes); the oracle re-trains them from the raw corpus, so this
-    row also re-proves the stored model. See dedup.semantic_dedup
-    scale notes."""
+    """SemDeDup (Abbas et al. 2023) PRODUCT table over the embedding
+    corpus, PRODUCTION config: within-cell cosine pairs mined with the
+    viral-cell guard ARMED (max_cell=SEM_MAX_CELL_PRODUCTION — cells
+    beyond ~4× the design size are SRP sub-bucketed instead of going
+    quadratic) → connected components → keep the member with the
+    LOWEST centroid similarity per duplicate group
+    (edge-of-distribution survivor), every unclustered vector kept.
+
+    Cap-soundness at the gate: every sf0.01 cell is far below the
+    production cap, so the capped plan provably equals the uncapped
+    closure — which is exactly what the oracle computes (the
+    dedup_keep_canonical r5 pattern: production config vs uncapped
+    recursive oracle). Where the guard actually FIRES it is proven
+    bit-for-bit by dedup_semantic_keep_guarded (tiny cap, capped-
+    mirror oracle) and measured by bench.py's skew tier, whose
+    planted viral embedding cell (~2.8% of the corpus in ONE cell)
+    exceeds the cap. Spark reads the persisted Lloyd-trained cells
+    (index_store.ivf_trained — the same quantizer the IVF serving
+    path probes); the oracle re-trains them from the raw corpus, so
+    this row also re-proves the stored model."""
     from multi_search_retrival_big_data_spark import index_store
 
     cent_df, assign = index_store.ivf_trained(spark, sf_dir, iters=_SEM_ITERS)
     return dedup.semantic_dedup(
-        assign, cent_df, SEMANTIC_DUP_THRESHOLD
+        assign, cent_df, SEMANTIC_DUP_THRESHOLD,
+        max_cell=SEM_MAX_CELL_PRODUCTION, dim=EMB_DIM,
     ).orderBy("vec_id")
 
 
@@ -1447,9 +1469,22 @@ _SEM_CAPPED_CAND = f"""msize AS (SELECT cid, count(*) AS m FROM tassign GROUP BY
       JOIN kem e USING (vec_id)
       JOIN msize z ON z.cid = a.cid AND z.m > {_SEM_MAX_CELL}
     ),
-    sbanded AS (
+    sbanded AS MATERIALIZED (
       SELECT vec_id, cid, CAST(b AS INTEGER) AS band,
-             substring(s, CAST(b AS INTEGER) * {_SEM_ROWS} + 1, {_SEM_ROWS}) AS bval
+             substring(s, CAST(b AS INTEGER) * {_SEM_ROWS} + 1, {_SEM_ROWS}) AS bval,
+             count(*) OVER (
+               PARTITION BY cid, CAST(b AS INTEGER),
+                            substring(s, CAST(b AS INTEGER) * {_SEM_ROWS} + 1, {_SEM_ROWS})
+             ) AS m2,
+             min(vec_id) OVER (
+               PARTITION BY cid, CAST(b AS INTEGER),
+                            substring(s, CAST(b AS INTEGER) * {_SEM_ROWS} + 1, {_SEM_ROWS})
+             ) AS mn,
+             lag(vec_id) OVER (
+               PARTITION BY cid, CAST(b AS INTEGER),
+                            substring(s, CAST(b AS INTEGER) * {_SEM_ROWS} + 1, {_SEM_ROWS})
+               ORDER BY vec_id
+             ) AS prev
       FROM ssig, unnest(range(0, {ann.ANN_BANDS})) AS t(b)
     ),
     small_pairs AS (
@@ -1459,10 +1494,19 @@ _SEM_CAPPED_CAND = f"""msize AS (SELECT cid, count(*) AS m FROM tassign GROUP BY
       JOIN msize z ON z.cid = a.cid AND z.m <= {_SEM_MAX_CELL}
     ),
     mega_pairs AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM sbanded a
-      JOIN sbanded b ON a.cid = b.cid AND a.band = b.band
-                    AND a.bval = b.bval AND a.vec_id < b.vec_id
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sbanded a
+        JOIN sbanded b ON a.cid = b.cid AND a.band = b.band
+                      AND a.bval = b.bval AND a.vec_id < b.vec_id
+        WHERE a.m2 <= {_SEM_MAX_CELL}
+        UNION ALL
+        SELECT prev AS id_a, vec_id AS id_b FROM sbanded
+        WHERE m2 > {_SEM_MAX_CELL} AND prev IS NOT NULL
+        UNION ALL
+        SELECT mn AS id_a, vec_id AS id_b FROM sbanded
+        WHERE m2 > {_SEM_MAX_CELL} AND vec_id > mn
+      )
     ),
     scand AS (SELECT id_a, id_b FROM small_pairs
               UNION SELECT id_a, id_b FROM mega_pairs),
@@ -1538,6 +1582,65 @@ def dedup_semantic_capped_recall_audit(spark: SparkSession, sf_dir: str) -> Data
             "recall"
         ),
     )
+
+
+@query(
+    "dedup_semantic_keep_guarded",
+    oracle=f"""
+    WITH RECURSIVE {KEM_CTE},
+    {_SEM_MODEL_CTES},
+    {_SEM_CAPPED_CAND},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vcap
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM vcap
+    ),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach AS (
+      SELECT n, n AS m FROM nodes
+      UNION
+      SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (SELECT n AS vec_id, min(m) AS cluster_id FROM reach GROUP BY n),
+    csim AS MATERIALIZED (
+      SELECT a.vec_id, {sql_det_round(_sem_cos('e.v', 'c.cv'))} AS sim
+      FROM tassign a JOIN kem e USING (vec_id) JOIN tcent c USING (cid)
+    ),
+    ranked AS MATERIALIZED (
+      SELECT m.vec_id, m.cluster_id,
+             row_number() OVER (
+               PARTITION BY m.cluster_id ORDER BY s.sim ASC, m.vec_id ASC
+             ) AS rn
+      FROM comp m JOIN csim s USING (vec_id)
+    )
+    SELECT e.vec_id,
+           COALESCE(r.cluster_id, e.vec_id) AS cluster_id,
+           COALESCE(r.rn = 1, TRUE) AS keep
+    FROM embeddings e LEFT JOIN ranked r ON r.vec_id = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def dedup_semantic_keep_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup product table with the viral-cell guard FORCED ON
+    (max_cell=8, below every sf0.01 cell size): proves the SRP
+    sub-bucket branch end-to-end THROUGH components + keep election,
+    not just at the pair level. Unlike the MinHash cap (lossless for
+    closure — its buckets are duplicate cliques) the SRP sub-bucket
+    trade is probabilistic, so the oracle mirrors the CAPPED
+    generation bit-for-bit (cell sizes → band sub-buckets → verify →
+    closure → election); the recall the guard trades is priced by
+    dedup_semantic_capped_recall_audit. The production table
+    (dedup_semantic_keep) arms the same guard at
+    SEM_MAX_CELL_PRODUCTION, where it fires only on genuinely viral
+    cells — this row is why that configuration can be trusted when it
+    does."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    cent_df, assign = index_store.ivf_trained(spark, sf_dir, iters=_SEM_ITERS)
+    return dedup.semantic_dedup(
+        assign, cent_df, SEMANTIC_DUP_THRESHOLD,
+        max_cell=_SEM_MAX_CELL, dim=EMB_DIM,
+    ).orderBy("vec_id")
 
 
 # ---- semantic decontamination + cell-budget monitor ------------------------

@@ -423,8 +423,9 @@ def test_semantic_capped_subbuckets_mega_cells(spark):
     from multi_search_retrival_big_data_spark.operators import dedup
 
     # one cell with 4 near-identical vectors (> max_cell=3 → SRP
-    # sub-bucketing; identical-direction vectors share every band so
-    # all pairs survive) and one small cell (≤ cap → all pairs)
+    # sub-bucketing; identical-direction vectors share every band, so
+    # the over-cap sub-bucket emits the chain+star SPANNING set, not
+    # the full clique) and one small cell (≤ cap → all pairs)
     rows = [(i, [1.0, 0.0] + [0.0] * 62, 0) for i in range(1, 5)]
     rows += [(10, [0.0, 1.0] + [0.0] * 62, 1), (11, [0.0, 0.999] + [0.001] * 62, 1)]
     assign = spark.createDataFrame(
@@ -436,7 +437,56 @@ def test_semantic_capped_subbuckets_mega_cells(spark):
     uncapped = {(r.id_a, r.id_b) for r in dedup.semantic_candidate_pairs(
         assign, 0.9
     ).collect()}
-    # identical vectors collide in every band → capped keeps the clique
-    assert {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)} <= capped
+    # the viral sub-bucket stays CONNECTED (chain ∪ star spans 1-4)
+    # while the emission is O(m): strictly fewer pairs than the clique
+    assert {(1, 2), (1, 3), (1, 4)} <= capped  # the star
+    assert len({p for p in capped if p[0] in (1, 2, 3, 4)}) < 6
+    comp = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components_auto(
+            dedup.semantic_candidate_pairs(assign, 0.9, max_cell=3, dim=64)
+            .select("id_a", "id_b")
+        ).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
     assert (10, 11) in capped  # small cell keeps the all-pairs path
     assert capped <= uncapped  # capping only ever drops
+
+
+def test_semantic_dedup_capped_routes_through_guard(spark):
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    # mega cell 0 (4 identical-direction vectors > max_cell=3) plus a
+    # singleton cell; the capped product table must still elect one
+    # keeper for the clique (identical vectors share every SRP band,
+    # so the guard keeps the clique intact here)
+    rows = [(i, [1.0, float(i) * 1e-2] + [0.0] * 62, 0) for i in range(1, 5)]
+    rows += [(10, [0.0, 1.0] + [0.0] * 62, 1)]
+    assign = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, cid INT"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0] + [0.0] * 62), (1, [0.0, 1.0] + [0.0] * 62)],
+        "cid INT, cv ARRAY<DOUBLE>",
+    )
+    out = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in dedup.semantic_dedup(
+            assign, cents, 0.99, max_cell=3, dim=64
+        ).collect()
+    }
+    keepers = [v for v, (c, k) in out.items() if k and c == 1]
+    assert len(keepers) == 1  # one keeper for the viral clique
+    # farthest-from-centroid rule: id 4 has the largest off-axis tilt
+    assert keepers == [4]
+    assert out[10] == (10, True)
+
+
+def test_semantic_cell_pair_budget(spark):
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    # cells of size 3, 2, 1 → uncapped budget 3+1+0 = 4
+    rows = [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 2)]
+    assign = spark.createDataFrame(rows, "vec_id BIGINT, cid INT")
+    got = dedup.semantic_cell_pair_budget(assign).collect()[0]
+    assert (got.n_cells, got.max_cell_size, got.uncapped_pairs) == (3, 3, 4)
