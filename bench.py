@@ -921,6 +921,27 @@ def main() -> None:
             buckets.unpersist()
             return out
 
+        from multi_search_retrival_big_data_spark import index_store as _ixs_sem
+        from multi_search_retrival_big_data_spark.queries.pipeline_queries import (
+            _SEM_ITERS as _SI,
+            SEM_MAX_CELL_PRODUCTION as _SMC,
+        )
+
+        def _sem_counts(d: str) -> dict[str, int]:
+            # semantic-cell shape + candidate volume — the scaling
+            # variable for the SemDeDup family (within-cell pair
+            # budget grows with Lloyd cell collapse, not raw corpus
+            # size, so the x10 time ratio must be read against THIS)
+            _, a = _ixs_sem.ivf_trained(spark, d, iters=_SI)
+            b = _dedup.semantic_cell_pair_budget(a).collect()[0]
+            return {
+                "n_cells": b["n_cells"],
+                "max_cell_size": b["max_cell_size"],
+                "uncapped_pairs": b["uncapped_pairs"],
+                "capped_candidates": _dedup.semantic_candidates(a, _SMC).count(),
+                "max_cell": _SMC,
+            }
+
         stress_dir = _build_stress_dir(spark, sf_dir, STRESS_REPLICATION)
         stress_names = [n for n in STRESS_QUERIES if n in qs]
         skew_names = [n for n in SKEW_QUERIES if n in qs]
@@ -929,6 +950,10 @@ def main() -> None:
         cand_counts = {
             "x1": _lsh_counts(sf_dir),
             f"x{STRESS_REPLICATION}": _lsh_counts(stress_dir),
+        }
+        sem_counts = {
+            "x1": _sem_counts(sf_dir),
+            f"x{STRESS_REPLICATION}": _sem_counts(stress_dir),
         }
         result["tiers"] = {
             "x1": {n: timings[n] for n in uniform_names if n in timings},
@@ -939,6 +964,7 @@ def main() -> None:
                 if timings.get(n)
             },
             "lsh_candidates": cand_counts,
+            "semantic_cells": sem_counts,
             "replication": STRESS_REPLICATION,
         }
 
@@ -995,32 +1021,14 @@ def main() -> None:
             )
             .collect()[0]
         )
-        # semantic-cell shape under the planted viral embedding cell:
-        # analytic uncapped pair budget from cell sizes (what the
-        # uncapped within-cell self-join WOULD emit) vs the capped
-        # candidate count the production path actually generates
-        from multi_search_retrival_big_data_spark import index_store as _ixs_sem
-        from multi_search_retrival_big_data_spark.queries.pipeline_queries import (
-            _SEM_ITERS as _SI,
-            SEM_MAX_CELL_PRODUCTION as _SMC,
-        )
-
-        _, _sassign = _ixs_sem.ivf_trained(spark, skew_dir, iters=_SI)
-        _sbudget = _dedup.semantic_cell_pair_budget(_sassign).collect()[0]
-        _scapped = _dedup.semantic_candidates(_sassign, _SMC).count()
-
         result["tiers"]["skew"] = {
             "queries": skew,
             "skew_ratio_vs_uniform_x10": {
                 n: round(skew[n] / stress[n], 2) for n in skew_names if stress.get(n)
             },
-            "semantic_cells": {
-                "n_cells": _sbudget["n_cells"],
-                "max_cell_size": _sbudget["max_cell_size"],
-                "uncapped_pairs": _sbudget["uncapped_pairs"],
-                "capped_candidates": _scapped,
-                "max_cell": _SMC,
-            },
+            # analytic uncapped pair budget under the planted viral
+            # embedding cell vs what the capped path actually generates
+            "semantic_cells": _sem_counts(skew_dir),
             "lsh_candidates": skew_cand,
             "lsh_mega_buckets": {
                 "n_mega_buckets": mega["sum(n_mega_buckets)"],
