@@ -530,6 +530,40 @@ def _run_dim_tier(spark, sf_dir: str, paths=None, grids: bool = True) -> dict:
             .limit(DIM_K)
         )
 
+    def lsh_tuned():
+        # dimension-derived geometry (ann.lsh_geometry): more, equally
+        # deep bands at width — served off its own persisted banding
+        P, B = ann.lsh_geometry(DIM_TIER)
+        banded = index_store.emb_lsh_bands(
+            spark, dim_dir, bands=B, num_planes=P, dim=DIM_TIER
+        )
+        return ann.ann_lsh_topk(
+            emb(), qv, k=DIM_K, num_planes=P, bands=B, round_to=6, banded=banded
+        )
+
+    def ivf_trained_tuned():
+        # dimension-derived probe depth (ann.ivf_nprobe_frac)
+        from multi_search_retrival_big_data_spark.functions.rounding import det_round
+        from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
+
+        cents_t, assign_t = index_store.ivf_trained(spark, dim_dir, iters=2)
+        nprobe = math.ceil(ann.ivf_nprobe_frac(DIM_TIER) * cents_t.count())
+        probed = (
+            cents_t.select("cid", l2_dist("cv", lit_vec(qv)).alias("__d"))
+            .orderBy(F.asc("__d"), F.asc("cid"))
+            .limit(nprobe)
+            .select("cid")
+        )
+        return (
+            assign_t.join(F.broadcast(probed), "cid")
+            .select(
+                "vec_id",
+                det_round(cosine_sim("embedding", lit_vec(qv)), 6).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(DIM_K)
+        )
+
     thunks = {
         "dense_topk_cosine_expr": lambda: dense.topk_cosine(
             emb(), qv, k=100, round_to=6
@@ -538,8 +572,10 @@ def _run_dim_tier(spark, sf_dir: str, paths=None, grids: bool = True) -> dict:
             emb(), qv, k=100, round_to=6
         ),
         "ann_lsh_topk": lsh,
+        "ann_lsh_topk_tuned": lsh_tuned,
         "ann_ivf_topk": ivf,
         "ann_ivf_trained_topk": ivf_trained,
+        "ann_ivf_trained_topk_tuned": ivf_trained_tuned,
         "ann_pq_rerank_trained": pq_rerank,
         "ann_sq8_topk": sq8,
     }
@@ -563,8 +599,10 @@ def _run_dim_tier(spark, sf_dir: str, paths=None, grids: bool = True) -> dict:
 
     ann_paths = {
         "ann_lsh_topk": lsh,
+        "ann_lsh_topk_tuned": lsh_tuned,
         "ann_ivf_topk": ivf,
         "ann_ivf_trained_topk": ivf_trained,
+        "ann_ivf_trained_topk_tuned": ivf_trained_tuned,
         "ann_pq_rerank_trained": pq_rerank,
         "ann_sq8_topk": sq8,
     }
@@ -611,8 +649,10 @@ def _run_dim_tier(spark, sf_dir: str, paths=None, grids: bool = True) -> dict:
             "dense_topk_cosine_expr": "dense_topk_cosine",
             "dense_topk_cosine_arrow": "dense_topk_cosine_arrow",
             "ann_lsh_topk": "ann_lsh_topk_cosine",
+            "ann_lsh_topk_tuned": "ann_lsh_d768_tuned_grid",
             "ann_ivf_topk": "ann_ivf_topk_cosine",
             "ann_ivf_trained_topk": "ann_ivf_trained_recall_grid",
+            "ann_ivf_trained_topk_tuned": "ann_ivf_d768_tuned_grid",
             "ann_pq_rerank_trained": "ann_pq_rerank_trained_topk",
             "ann_sq8_topk": "ann_sq8_topk",
         },

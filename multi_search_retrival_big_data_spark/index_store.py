@@ -380,6 +380,63 @@ def ivf_trained(
     return spark.table(cname), spark.table(aname)
 
 
+def dim_corpus(spark: SparkSession, sf_dir: str, out_dim: int = 768) -> DataFrame:
+    """The PRODUCTION-WIDTH derived embeddings corpus as an AT-REST
+    table (reference serves d=768 CLIP — data_extraction/
+    create_bin.ipynb cells 3,8). dense.expand_to_dim is an ingest-time
+    column at real scale, not a query-time derivation: inlining the
+    768-component projection into a multi-branch serving plan
+    duplicates a ~10³-node expression subtree per reference and stalls
+    (or OOMs) Catalyst canonicalization — measured on the d=768 tuned
+    grids. Derivation value-parity with the oracle's re-derivation is
+    pinned by the dense_dim768_derivation row."""
+    from multi_search_retrival_big_data_spark.operators import dense
+
+    name = _table_name("dimcorp", sf_dir, f"o{out_dim}", "embeddings")
+    if not spark.catalog.tableExists(name):
+        emb = tables.load(spark, "embeddings", sf_dir)
+        wide = dense.expand_to_dim(emb, out_dim=out_dim, in_dim=64)
+        _drop_stale_location(spark, name)
+        wide.write.mode("overwrite").format("parquet").saveAsTable(name)
+    return spark.table(name)
+
+
+def ivf_trained_dim(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dim: int = 768,
+    stride: int = ann.IVF_CENTROID_STRIDE,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """ivf_trained at PRODUCTION width: Lloyd-trained centroids +
+    cid-partitioned assignments over the at-rest dim_corpus table.
+    Training (the 9×768-literal assign projection) runs ONCE here at
+    build time; query plans only scan the persisted tables — the same
+    build/serve split as ivf_trained, which is what keeps the d=768
+    serving plans Catalyst-sized."""
+    from multi_search_retrival_big_data_spark.operators import kmeans
+
+    cname = _table_name("ivftcd", sf_dir, f"o{out_dim}s{stride}i{iters}", "embeddings")
+    aname = _table_name("ivftad", sf_dir, f"o{out_dim}s{stride}i{iters}", "embeddings")
+    if not spark.catalog.tableExists(cname) or not spark.catalog.tableExists(aname):
+        emb = dim_corpus(spark, sf_dir, out_dim)
+        cents = kmeans.train_lloyd(emb, kmeans.stride_init(emb, stride=stride), iters)
+        from pyspark.sql import functions as F
+
+        assign = emb.select(
+            F.col("vec_id"),
+            F.col("embedding"),
+            kmeans.assign_cid("embedding", cents).alias("cid"),
+        )
+        _drop_stale_location(spark, cname)
+        kmeans.centroids_df(emb, cents).write.mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(cname)
+        _drop_stale_location(spark, aname)
+        ann.write_ivf_assignments(assign, aname)
+    return spark.table(cname), spark.table(aname)
+
+
 def pq_trained(
     spark: SparkSession,
     sf_dir: str,

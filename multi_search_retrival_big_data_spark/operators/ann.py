@@ -49,6 +49,43 @@ ANN_BANDS = 4
 ANN_ROWS = NUM_PLANES // ANN_BANDS
 
 
+def lsh_geometry(dim: int, rows: int = ANN_ROWS) -> tuple[int, int]:
+    """DIMENSION-DERIVED SRP banding geometry → (num_planes, bands).
+
+    Space-partitioning recall does NOT transfer across dimension: at
+    d=64 the (16 planes, 4 bands) default reaches recall@50 0.42-1.0,
+    but at the production width d=768 (reference CLIP,
+    /root/reference/data_extraction/create_bin.ipynb cells 3,8) the
+    same geometry measures 0.34 — per-bit SRP agreement for the
+    top-50 falls toward ~0.6 as angles concentrate, so recall must be
+    bought with MORE bands (union over bands), not deeper ones
+    (p^rows collapses when p is barely above the 0.5 random rate;
+    measured: rows=6 at d=768 → recall 0.10-0.26). Scaling bands
+    linearly with dimension holds recall: bands = max(4, ⌈4·d/256⌉)
+    → 4 at d ≤ 256 (measured 0.42-1.0 at d=64), 12 at d=768
+    (measured 0.84 at 55% candidate fraction — the geometry limit of
+    sign-random-projection on this corpus; PQ/SQ8 are the
+    high-recall paths at width, this is the cheap-index one). Row
+    depth stays at 4: the candidate fraction of a band is ~2^-rows
+    for unrelated vectors regardless of corpus size, so rows set the
+    floor cost and bands buy recall linearly on top."""
+    bands = max(ANN_BANDS, -(-ANN_BANDS * dim // 256))  # ceil
+    return bands * rows, bands
+
+
+def ivf_nprobe_frac(dim: int) -> float:
+    """DIMENSION-DERIVED IVF probe fraction (nprobe = ⌈frac · nlist⌉).
+
+    Same non-transfer story as lsh_geometry: at d=64, nprobe=2 of ~80
+    stride cells reaches the serving recall target, but at d=768 the
+    measured trained-quantizer grid needs ~60% of the cells for
+    recall@50 ≥ 0.8 (nprobe 16/33 → 0.74, 24/33 → 0.92) — cell
+    boundaries stop separating neighbors as angles concentrate.
+    Empirical fit, re-measured per corpus by the bench dim-tier grid:
+    frac = min(0.75, 0.05 · d/64)."""
+    return min(0.75, 0.05 * dim / 64.0)
+
+
 def hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic ±1 hyperplane: component d flips on the parity of
     the first hex digit of md5('{plane}:{d}'). Pure function — the
@@ -70,6 +107,42 @@ def signature_bits(vec_col: str, planes: Sequence[Sequence[float]]) -> Column:
         for p in planes
     ]
     return F.concat(*bits)
+
+
+def signature_bits_packed(
+    vec_col: str | Column, planes: Sequence[Sequence[float]]
+) -> Column:
+    """signature_bits with each ±1 hyperplane PACKED into one string
+    literal ('1' = +1) instead of a 768-element array literal. The
+    per-plane dot becomes a sign-conditional sequential fold:
+    x·(+1) ≡ x and x·(−1) ≡ −x exactly in IEEE, and both the
+    transform and the fold preserve index order, so the bits are
+    BIT-IDENTICAL to signature_bits / the oracle's list_dot_product —
+    only the PLAN shrinks (~10 expression nodes per plane instead of
+    ~3·dim). That matters at production width: 48 planes × 768 dims as
+    literal arrays is a ~10⁵-node expression tree that stalls Catalyst
+    analysis for minutes; packed, the same signature analyzes
+    instantly. Use this for any num_planes·dim ≳ 10⁴."""
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
+    for p in planes:
+        if any(abs(float(c)) != 1.0 for c in p):
+            raise ValueError(
+                "signature_bits_packed requires ±1 hyperplanes (the packed "
+                "string encodes only the sign)"
+            )
+
+    def plane_bit(plane: Sequence[float]) -> Column:
+        pat = F.lit("".join("1" if c > 0 else "0" for c in plane))
+        signed = F.transform(
+            v,
+            lambda x, i: F.when(pat.substr(i + F.lit(1), F.lit(1)) == "1", x).otherwise(
+                -x
+            ),
+        )
+        dot_p = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(dot_p >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[plane_bit(p) for p in planes])
 
 
 def signature_of(vec: Sequence[float], planes: Sequence[Sequence[float]]) -> str:
@@ -121,7 +194,10 @@ def banded_signatures(
     is the at-rest layout the module header promises."""
     planes = hyperplanes(dim, num_planes)
     rows = num_planes // bands
-    sig = emb.select(F.col(id_col), signature_bits(vec_col, planes).alias("__sig"))
+    # the packed variant is bit-identical; switch to it when the
+    # literal-array form would become a Catalyst-stalling tree
+    sig_fn = signature_bits_packed if num_planes * dim >= 10_000 else signature_bits
+    sig = emb.select(F.col(id_col), sig_fn(vec_col, planes).alias("__sig"))
     return sig.select(
         id_col,
         F.explode(
@@ -189,7 +265,8 @@ def ann_lsh_topk(
             .limit(k)
         )
     emb = ensure_min_partitions(emb)  # 16 fold-expressions/row: CPU-bound
-    sig = signature_bits(vec_col, planes)
+    sig_fn = signature_bits_packed if num_planes * dim >= 10_000 else signature_bits
+    sig = sig_fn(vec_col, planes)
     cond = None
     for b, qband in query_bands(qsig, bands, rows):
         c = F.substring(F.col("__sig"), b * rows + 1, rows) == F.lit(qband)
@@ -316,7 +393,8 @@ def ann_lsh_multiprobe_topk(
             .limit(k)
         )
     emb = ensure_min_partitions(emb)
-    sig = signature_bits(vec_col, planes)
+    sig_fn = signature_bits_packed if num_planes * dim >= 10_000 else signature_bits
+    sig = sig_fn(vec_col, planes)
     cond = None
     for b, vals in probes:
         c = F.substring(F.col("__sig"), b * rows + 1, rows).isin(vals)

@@ -496,3 +496,29 @@ def test_cascade_router_branches(spark):
     for r in lsh_rows:
         if r.vec_id in hi_scores:
             assert r.score == hi_scores[r.vec_id]
+
+
+def test_signature_bits_packed_matches_unpacked(spark):
+    from multi_search_retrival_big_data_spark.operators import ann
+    from multi_search_retrival_big_data_spark.queries.common import EMB_DIM
+
+    emb = spark.createDataFrame(
+        [(i, [((i * 7 + j * 13) % 19 - 9) / 4.0 for j in range(EMB_DIM)])
+         for i in range(40)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    planes = ann.hyperplanes(EMB_DIM, ann.NUM_PLANES)
+    a = emb.select("vec_id", ann.signature_bits("embedding", planes).alias("s"))
+    b = emb.select("vec_id", ann.signature_bits_packed("embedding", planes).alias("s"))
+    assert {(r.vec_id, r.s) for r in a.collect()} == {
+        (r.vec_id, r.s) for r in b.collect()
+    }
+
+
+def test_signature_bits_packed_rejects_non_sign_planes(spark):
+    import pytest as _pytest
+
+    from multi_search_retrival_big_data_spark.operators import ann
+
+    with _pytest.raises(ValueError, match="±1"):
+        ann.signature_bits_packed("embedding", [[0.5, -1.0]])

@@ -50,6 +50,8 @@ SCALAR_BROADCAST_OK = {
     "ann_lsh_multiprobe_recall_grid",  # same 1-row scalar combine per probe level
     "ann_ivf_recall_grid",   # same 1-row scalar combine per nprobe config
     "ann_ivf_trained_recall_grid",  # same 1-row scalar combine, trained centroids
+    "ann_lsh_d768_tuned_grid",   # same 1-row candidates × hits combine per geometry
+    "ann_ivf_d768_tuned_grid",   # same 1-row scalar combine per nprobe at width
     "ann_ivf_filtered_recall_grid",  # same 1-row candidates × hits combine per (sel, nprobe)
     "ann_ivfpq_adc_topk",     # nprobe-row probe x M.KS-row codebook LUT build
     "ann_ivfpq_recall_grid",  # same tiny LUT cross + 1-row scalar combines
