@@ -274,6 +274,9 @@ OPTIONAL_QUERIES = [
     "ann_cascade_topk_pruned",
     "rerank_mmr_diversify",
     "endpoint_diverse_search",
+    # round-7: the TRUE two-space ensemble at production width (both
+    # 768-wide at-rest tables, the reference's both-models fusion)
+    "fusion_dual_model_true_d768",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

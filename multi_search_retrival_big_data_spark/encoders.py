@@ -250,6 +250,20 @@ def dim_expand_encode(
     return [float(v[src]) * coeff for src, coeff in dim_expand_components(in_dim, out_dim)]
 
 
+def model_b_dim_encode(
+    vec: Sequence[float], in_dim: int = 64, out_dim: int = DIM_EXPAND_OUT
+) -> list[float]:
+    """Driver-side query encoding into MODEL B at PRODUCTION width:
+    the 64→48 signed projection (model B's own similarity) chained
+    into the deterministic 48→`out_dim` expansion — the clipv2
+    analogue of dim_expand_encode. Both models serve d=768 at
+    production exactly like the reference's clip/clipv2 pair
+    (app.py:330-357 fuses the same query against both 768-wide
+    indexes); the corpus-side twin is
+    index_store.model_b_dim_corpus."""
+    return dim_expand_encode(model_b_encode(vec, in_dim), MODEL_B_DIM, out_dim)
+
+
 def fake_corpus_alignment_note() -> str:
     """The FakeTextEncoder does NOT share a vector space with the
     driver's synthetic `embeddings` table — facade text searches are
@@ -271,6 +285,7 @@ __all__: Sequence[str] = (
     "MODEL_B_DIM",
     "model_b_components",
     "model_b_encode",
+    "model_b_dim_encode",
     "DIM_EXPAND_OUT",
     "dim_expand_components",
     "dim_expand_encode",

@@ -401,6 +401,28 @@ def dim_corpus(spark: SparkSession, sf_dir: str, out_dim: int = 768) -> DataFram
     return spark.table(name)
 
 
+def model_b_dim_corpus(
+    spark: SparkSession, sf_dir: str, out_dim: int = 768
+) -> DataFrame:
+    """MODEL B's embeddings table at PRODUCTION width, at rest: the
+    64→48 signed projection (encoders.model_b_components — model B's
+    own similarity) chained into the 48→out_dim expansion. The
+    reference serves TWO 768-wide CLIP variants side by side
+    (app.py:165, faiss_processing.py:20-22); this is the second
+    index's table, written at ingest like dim_corpus."""
+    from multi_search_retrival_big_data_spark.encoders import MODEL_B_DIM
+    from multi_search_retrival_big_data_spark.operators import dense
+
+    name = _table_name("dimcorpb", sf_dir, f"o{out_dim}", "embeddings")
+    if not spark.catalog.tableExists(name):
+        emb = tables.load(spark, "embeddings", sf_dir)
+        b48 = dense.model_b_embeddings(emb)
+        wide = dense.expand_to_dim(b48, out_dim=out_dim, in_dim=MODEL_B_DIM)
+        _drop_stale_location(spark, name)
+        wide.write.mode("overwrite").format("parquet").saveAsTable(name)
+    return spark.table(name)
+
+
 def ivf_trained_dim(
     spark: SparkSession,
     sf_dir: str,

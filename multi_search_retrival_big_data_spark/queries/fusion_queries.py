@@ -362,3 +362,109 @@ def fusion_dual_model_dim_fallback(spark: SparkSession, sf_dir: str) -> DataFram
     return dense.topk_cosine_dim_routed(
         "clip", spaces, _QV_B_TRUE, k=50, round_to=6
     )
+
+
+# ---- true dual-model ensemble at PRODUCTION width (d=768) -----------
+#
+# The reference's clip/clipv2 pair are BOTH 768-wide CLIP variants
+# (app.py:165; faiss_processing.py:20-22,39-41); the d=48 model-B row
+# above proves the two-space mechanics, these rows prove them at real
+# CLIP width: model A = the expanded d=768 corpus
+# (index_store.dim_corpus), model B = its own 64→48→768 chain
+# (index_store.model_b_dim_corpus) — structurally distinct
+# similarities, both at width, fused by Q8. Both corpus tables are
+# AT-REST (ingest-time columns); the oracle re-derives every float
+# including the double→float storage casts.
+
+from multi_search_retrival_big_data_spark.encoders import (  # noqa: E402
+    dim_expand_components,
+    dim_expand_encode,
+    model_b_dim_encode,
+)
+from multi_search_retrival_big_data_spark.queries.dense_queries import (  # noqa: E402
+    _D768_EX_CTE,
+    _dim768_comps_sql,
+)
+
+_D768F = 768
+_QV_A768 = dim_expand_encode(QUERY_VEC, 64, _D768F)
+_QV_B768 = model_b_dim_encode(QUERY_VEC)
+_B768_COMPS = dim_expand_components(48, _D768F)
+
+
+def _model_b768_sql(vb48: str) -> str:
+    """Model-B-at-width corpus vector as a DuckDB list over the
+    48-wide model-B list expression, INCLUDING the double→float
+    storage cast of the at-rest table."""
+    return (
+        "["
+        + ", ".join(
+            f"CAST(CAST({vb48}[{src + 1}] * ({coeff!r}) AS FLOAT) AS DOUBLE)"
+            for src, coeff in _B768_COMPS
+        )
+        + "]"
+    )
+
+
+_B768_CTES = f"""va48 AS (SELECT vec_id, {_EMB} AS v FROM embeddings),
+    vb48 AS (SELECT vec_id, {_model_b_sql("v")} AS v FROM va48),
+    vb AS (SELECT vec_id, {_model_b768_sql("v")} AS v FROM vb48)"""
+
+
+@query(
+    "fusion_dual_model_true_d768",
+    oracle=f"""
+    WITH {_D768_EX_CTE.format(comps=_dim768_comps_sql()).lstrip().removeprefix(',')},
+    {_B768_CTES},
+    lista AS (
+      SELECT vec_id AS id, {sql_det_round(_cos("v", sql_vec(_QV_A768)))} AS score
+      FROM ex ORDER BY score DESC, vec_id LIMIT 100
+    ),
+    listb AS (
+      SELECT vec_id AS id, {sql_det_round(_cos("v", sql_vec(_QV_B768)))} AS score
+      FROM vb ORDER BY score DESC, vec_id LIMIT 100
+    ),
+    {_fuse_add_sql(['lista', 'listb'], 50, 'vec_id').lstrip().removeprefix(',')}
+    """,
+)
+def fusion_dual_model_true_d768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13's TRUE two-space ensemble at PRODUCTION width: the query
+    encoded separately for each 768-wide model (dim_expand_encode for
+    A, model_b_dim_encode for B), each branch a top-100 cosine scan of
+    its own at-rest table (A via the Arrow strategy, B via the
+    expression strategy — the same split the d=64 row pins), min-max
+    additive fusion to the final 50. This is the reference's
+    both-models path (app.py:330-357) at real CLIP width."""
+    wide_a = index_store.dim_corpus(spark, sf_dir, _D768F)
+    wide_b = index_store.model_b_dim_corpus(spark, sf_dir, _D768F)
+    a = dense.topk_cosine_arrow(wide_a, _QV_A768, k=100, round_to=6)
+    b = dense.topk_cosine(wide_b, _QV_B768, k=100, round_to=6)
+    return fusion.merge_by_addition([a, b], k=50, round_to=6).withColumnRenamed(
+        "id", "vec_id"
+    )
+
+
+@query(
+    "fusion_dual_model_dim_fallback_d768",
+    oracle=f"""
+    WITH va AS (SELECT vec_id, {_EMB} AS v FROM embeddings)
+    SELECT vec_id, {sql_det_round(_cos("v", _QV_A))} AS score
+    FROM va
+    ORDER BY score DESC, vec_id
+    LIMIT 50
+    """,
+)
+def fusion_dual_model_dim_fallback_d768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dimension-mismatch fallback DURING a width migration: the
+    caller requests the production d=768 index but hands a legacy d=64
+    query vector (an old client mid-rollout), so the router
+    (faiss_processing.py:133-152 semantics) serves the space whose
+    dimension matches — the legacy d=64 table — instead of failing.
+    Oracle = the direct d=64 search, proving the route."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    wide_a = index_store.dim_corpus(spark, sf_dir, _D768F)
+    spaces = {
+        "clip768": (wide_a, _D768F),
+        "clip64": (emb, 64),
+    }
+    return dense.topk_cosine_dim_routed("clip768", spaces, QUERY_VEC, k=50, round_to=6)

@@ -22,6 +22,7 @@ sys.path.insert(0, "/root/repo")
 SCALAR_BROADCAST_OK = {
     "fusion_dual_model_ensemble",
     "fusion_dual_model_true",    # min-max norm: 1-row scalar broadcast per list
+    "fusion_dual_model_true_d768",  # same min-max 1-row broadcasts, at width
     "fusion_l2_dedup_max",
     "fusion_hybrid_sparse_dense",
     "fusion_rrf_hybrid",  # sparse scorer's 1-row qnorm broadcast (rank fuse itself is shuffle-only)
