@@ -732,13 +732,45 @@ def _run_concurrency(spark, qs, sf_dir: str) -> dict:
             if pool is not None:
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
+    def _sys_busy() -> float:
+        # system-wide busy CPU-seconds (/proc/stat) — the machine is
+        # dedicated, so deltas around a query measure its core usage
+        with open("/proc/stat") as fh:
+            p = fh.readline().split()
+        vals = list(map(int, p[1:]))
+        return (sum(vals) - vals[3] - vals[4]) / os.sysconf("SC_CLK_TCK")
+
     per_query: dict[str, float] = {}
+    cpu_s = 0.0
     for n in names:
+        c0 = _sys_busy()
         t0 = time.perf_counter()
         run_one(n, None)
         per_query[n] = time.perf_counter() - t0
+        cpu_s += _sys_busy() - c0
 
     out: dict = {"queries": names}
+    # THE CONCURRENCY FLOOR, measured (r6 asked where the other 5× of
+    # an ideal 8× goes): a single serving query's stages already
+    # burst-parallelize across all executor cores, so N concurrent
+    # queries can only multiplex each other's idle gaps — the
+    # work-conserving ceiling is cores / avg-cores-busy-per-query, NOT
+    # N. Corroborating evidence (measured r7): pure-JVM concurrent
+    # jobs with zero Python in the path cap at ~3.3× on 32 cores;
+    # per-thread latency inflation under n8 is 1.2-2.7× (time-slicing,
+    # not queueing — FAIR pools working as designed); same-query n8
+    # reaches 5.6× (codegen-cache diversity costs the rest). This is a
+    # hard floor of the workload shape, not a scheduler/GIL defect.
+    ncores = os.cpu_count() or 32
+    seq_wall = sum(per_query.values())
+    avg_cores = cpu_s / seq_wall if seq_wall > 0 else 0.0
+    out["cpu_floor"] = {
+        "avg_cores_busy_single_query": round(avg_cores, 1),
+        "cores": ncores,
+        "work_conserving_ceiling": round(ncores / avg_cores, 2)
+        if avg_cores > 0
+        else None,
+    }
     for width in (4, 8):
         batch = names[:width]
         seq = sum(per_query[n] for n in batch)
@@ -883,6 +915,7 @@ def _compact_summary(result: dict, detail_file: str) -> dict:
             "n8_speedup": conc["n8"]["speedup"],
             "n8_qps": conc["n8"]["qps"],
             "isolation_ratio": conc.get("isolation", {}).get("latency_ratio"),
+            "ceiling": conc.get("cpu_floor", {}).get("work_conserving_ceiling"),
         }
     return out
 
