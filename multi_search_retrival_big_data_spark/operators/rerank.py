@@ -57,21 +57,24 @@ MMR_LAMBDA = 0.7
 # only the request-sized first-stage candidate list (n ≲ 100 by
 # construction), but nothing upstream ENFORCES that — this cap does,
 # the same misuse-proofing as connected_components_auto's
-# driver_max_edges gate. The probe is a limit(cap+1) count, so even a
-# mistakenly-passed corpus-sized frame costs one bounded scan, never
-# an unbounded collect / Arrow ingest.
+# driver_max_edges gate. Cost discipline: in mmr_rerank the fence is
+# FOLDED INTO the relevance collect (a limit(cap+1) on the frame the
+# collect reads — zero extra jobs; re-running the first-stage pipeline
+# for a standalone probe measured +1.4 s on the diverse-search
+# facade). cross_encoder_rerank has no driver materialization to fold
+# into, so its probe is a limit(cap+1) count; callers whose candidate
+# frame is bounded BY PLAN (a first-stage `.limit(n)` output — the
+# stronger guarantee) pass max_candidates=None to skip the probe.
 MAX_RERANK_CANDIDATES = 1000
 
 
-def _fence_candidates(df: DataFrame, max_candidates: int, op: str) -> None:
-    n = df.limit(max_candidates + 1).count()
-    if n > max_candidates:
-        raise ValueError(
-            f"{op}: candidate list exceeds max_candidates={max_candidates} "
-            "(driver-side rerank tails are request-sized by contract; "
-            "first-stage top-n the candidates before reranking, or raise "
-            "the fence explicitly)"
-        )
+def _fence_error(max_candidates: int, op: str) -> ValueError:
+    return ValueError(
+        f"{op}: candidate list exceeds max_candidates={max_candidates} "
+        "(driver-side rerank tails are request-sized by contract; "
+        "first-stage top-n the candidates before reranking, or raise "
+        "the fence explicitly)"
+    )
 
 
 def mmr_rerank(
@@ -109,7 +112,6 @@ def mmr_rerank(
     sel = candidates.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(rel_col).alias("rel")
     )
-    _fence_candidates(sel, max_candidates, "mmr_rerank")
     a = sel.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
     b = sel.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
     # coalesce: a zero-norm vector makes cosine NULL; treat it as
@@ -125,7 +127,16 @@ def mmr_rerank(
             ).alias("sim"),
         )
     )
-    rel = {r["id"]: r["rel"] for r in sel.select("id", "rel").collect()}
+    # the FENCE rides the relevance collect: a limit(cap+1) on the
+    # two-column projection bounds the driver ingest (no standalone
+    # probe job — re-running the first-stage pipeline for one measured
+    # +1.4 s on the diverse-search facade), raising BEFORE the n²
+    # similarity collect runs; once it passes, n ≤ cap proves the
+    # unlimited sims frame is ≤ cap² rows
+    rel_rows = sel.select("id", "rel").limit(max_candidates + 1).collect()
+    if len(rel_rows) > max_candidates:
+        raise _fence_error(max_candidates, "mmr_rerank")
+    rel = {r["id"]: r["rel"] for r in rel_rows}
     sim = {(r["id_a"], r["id_b"]): r["sim"] for r in sims_df.collect()}
     remaining = set(rel)
     selected: list[int] = []
@@ -158,7 +169,7 @@ def cross_encoder_rerank(
     alpha: float = 0.5,
     k: int = 10,
     round_to: int = 6,
-    max_candidates: int = MAX_RERANK_CANDIDATES,
+    max_candidates: int | None = MAX_RERANK_CANDIDATES,
 ) -> DataFrame:
     """Rerank a (id, first-stage score, text) candidate list by
     blended score alpha·s1 + (1−alpha)·ce(query, text), descending,
@@ -175,7 +186,11 @@ def cross_encoder_rerank(
         F.col(score_col).cast("double").alias("s1"),
         F.col(text_col).alias("txt"),
     )
-    _fence_candidates(sel, max_candidates, "cross_encoder_rerank")
+    if max_candidates is not None:
+        # probe count; pass None when the frame is bounded by plan
+        # (a first-stage limit(n) output) — see MAX_RERANK_CANDIDATES
+        if sel.limit(max_candidates + 1).count() > max_candidates:
+            raise _fence_error(max_candidates, "cross_encoder_rerank")
 
     def _score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

@@ -68,8 +68,11 @@ def rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = index_store.tfidf_postings(spark, sf_dir)
     hits = sparse.tfidf_score(postings, _QS, k=_N_CAND, round_to=6)
     cand = rerank.attach_candidate_text(hits, docs, "doc_id", "text")
+    # max_candidates=None: `cand` is bounded BY PLAN (the first stage
+    # is a k=_N_CAND limit output broadcast into the text join), so
+    # the runtime probe would only re-run the first stage
     return rerank.cross_encoder_rerank(
-        cand, QUERY_TEXT, alpha=_ALPHA, k=_K, round_to=6
+        cand, QUERY_TEXT, alpha=_ALPHA, k=_K, round_to=6, max_candidates=None
     )
 
 
