@@ -25,3 +25,15 @@ def test_all_queries_run_sf0001(spark, sf_dir):
     for name, fn in se.queries().items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_readme_registry_count_matches():
+    # ADVICE r6: registry counts drifted across docs. README states the
+    # count next to a pointer at the single source of truth
+    # (len(load_registry())); this gate keeps the stated number honest.
+    import re
+
+    with open("/root/repo/README.md") as fh:
+        m = re.search(r"`len\(load_registry\(\)\)` — (\d+) at this writing", fh.read())
+    assert m, "README.md must state the registry count next to its source of truth"
+    assert int(m.group(1)) == len(se.queries())
