@@ -125,6 +125,11 @@ STRESS_QUERIES = [
     # as the corpus grows, so within-cell candidate volume (and the
     # x10 ratio) should stay ~linear, the cell-bounding claim itself
     "dedup_semantic_keep",
+    # r8: exact-substring dedup — window hashing is one narrow pass and
+    # the dup-hash groupBy is map-side combined, so the x10 ratio should
+    # track token volume (the Caesar-rotated replicas share no windows,
+    # keeping the duplicated-span population exactly 10×)
+    "dedup_duplicate_spans",
 ]
 
 # queries timed on BOTH 10× corpora (uniform vs skewed) — each carries
@@ -155,6 +160,11 @@ SKEW_QUERIES = [
     # (linear in cell size per eval item) and should hold without a cap
     "dedup_semantic_keep",
     "decontamination_semantic_overlap",
+    # r8: the planted byte-identical boilerplate (~2% of rows, ONE
+    # repeated 21-token text) is exactly a viral duplicated span — the
+    # dup-hash posting lists go hot but the marked-window join stays
+    # duplication-sized, which is the claim this row prices
+    "dedup_duplicate_spans",
 ]
 
 # byte-identical boilerplate planted on ~2% of skew-tier rows — the
@@ -277,6 +287,9 @@ OPTIONAL_QUERIES = [
     # round-7: the TRUE two-space ensemble at production width (both
     # 768-wide at-rest tables, the reference's both-models fusion)
     "fusion_dual_model_true_d768",
+    # round-8: exact-substring dedup (cut lists + reassembled corpus)
+    "dedup_duplicate_spans",
+    "dedup_remove_duplicate_spans",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):
@@ -396,13 +409,16 @@ def _build_skew_dir(spark, sf_dir: str, replication: int) -> str:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     viral = F.col("__rep").isin(1, 2) & (F.col("vec_id") % 7 == 0)
     viral_base = F.array(*[F.lit(v) for v in _VIRAL_VEC])
-    # per-row jitter keeps viral copies distinct rows but cosine ≈ 1
+    # per-row jitter keyed on the SHIFTED id so every viral replica is
+    # a distinct vector (pre-shift vec_id would hand replicas 1 and 2
+    # byte-identical copies — r7 advice), while cosine stays ≈ 1
+    shifted_id = F.col("vec_id") + F.col("__rep").cast("bigint") * id_shift
     viral_vec = F.transform(
         viral_base,
         lambda v, j: v
         + F.when(
-            j == F.col("vec_id") % 64,
-            (F.col("vec_id") % 997).cast("double") * 1e-5,
+            j == shifted_id % 64,
+            (shifted_id % 997).cast("double") * 1e-5,
         ).otherwise(F.lit(0.0)),
     )
     uniform_vec = F.transform(

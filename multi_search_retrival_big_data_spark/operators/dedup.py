@@ -1056,6 +1056,197 @@ def semantic_dedup(
     return keep_canonical(scored, comp, id_col, "__negsim")
 
 
+# Exact-substring (duplicate-span) dedup defaults, shared with the
+# oracle generators in queries/pipeline_queries.py — keep in sync.
+SPAN_MIN_TOKENS = 8  # gate-scale span length; production runs ~50 (Lee et al. 2022)
+SPAN_MIN_DOCS = 2  # cross-document occurrence threshold
+
+
+def duplicate_span_windows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = SPAN_MIN_TOKENS,
+    min_docs: int = SPAN_MIN_DOCS,
+) -> DataFrame:
+    """Every token position (1-based) starting a `min_len`-token window
+    whose exact content occurs in ≥ `min_docs` DISTINCT documents —
+    the marked-window set behind exact-substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"),
+    re-expressed for Spark: the suffix-array pass over the concatenated
+    corpus becomes a rolling window-hash equi-group, which finds the
+    identical duplicated substrings of length ≥ min_len without any
+    global ordering. Returns (id, pos).
+
+    The reference dedupes at whole-item granularity only (dense ids,
+    np.unique fusion — /root/reference/utils/combine_utils.py:20-24);
+    span-level dedup is the corpus-preparation capability document-level
+    MinHash cannot see (a licence header pasted into thousands of
+    otherwise-unique files never lifts document Jaccard over threshold).
+
+    Cross-document (`count(DISTINCT id) >= min_docs`) rather than
+    any-second-occurrence is deliberate: within-document repetition is
+    a fluency/quality signal (textanalysis.repetition metrics), not
+    contamination; the Lee et al. any-occurrence variant is
+    `min_docs=1` with `count(*) >= 2` — one HAVING clause away.
+
+    Scale notes:
+    - window hashing is ONE narrow pass (tokenize once per doc, slice
+      +md5 per position — no self-join, no suffix sort);
+    - the duplicated-hash table is a map-side-combined groupBy on the
+      16-byte digest (shuffle volume ≤ distinct window hashes); at
+      production min_len≈50 the over-threshold set is tiny relative to
+      the corpus (duplication is the exception), so the join back is a
+      broadcast in production — same economics as
+      curation.remove_boilerplate_lines' line-df table. At gate scale
+      both sides hash-partition on `h`.
+    - total work is O(total tokens), the same bound as the MinHash
+      shingle pass."""
+    from multi_search_retrival_big_data_spark.functions.text import tokenize
+
+    win = (
+        ensure_min_partitions(docs)
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__t"))
+        .filter(F.size("__t") >= min_len)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.size("__t") - F.lit(min_len - 1))
+            ).alias("pos"),
+            F.col("__t"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.md5(
+                F.array_join(F.slice(F.col("__t"), F.col("pos"), F.lit(min_len)), " ")
+            ).alias("h"),
+        )
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("h")
+    )
+    return win.join(dup, "h").select(id_col, "pos")
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = SPAN_MIN_TOKENS,
+    min_docs: int = SPAN_MIN_DOCS,
+) -> DataFrame:
+    """Per-document CUT LIST: maximal token spans [span_start, span_end]
+    (1-based, inclusive) covered by cross-document duplicated
+    `min_len`-token windows, i.e. overlapping/adjacent marked windows
+    merged gaps-and-islands style. Returns (id, span_start, span_end,
+    span_len, n_windows).
+
+    Merging is exact, not heuristic: window starts are sorted within
+    each doc, so the running interval end is `lag(pos) + min_len - 1`
+    and a new island starts exactly when `pos > lag(pos) + min_len`
+    (a one-token gap breaks the span). One doc-partitioned window
+    spec + one groupBy — the merge never shuffles more than the marked
+    windows, which are duplication-volume-, not corpus-, sized."""
+    marked = duplicate_span_windows(docs, id_col, text_col, min_len, min_docs)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lagp = F.lag("pos").over(w)
+    isl = (
+        marked.withColumn(
+            "__new",
+            F.when(lagp.isNull() | (F.col("pos") > lagp + F.lit(min_len)), 1).otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new").over(w))
+    )
+    return (
+        isl.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(min_len - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_windows",
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = SPAN_MIN_TOKENS,
+    min_docs: int = SPAN_MIN_DOCS,
+) -> DataFrame:
+    """The dedup PRODUCT for exact-substring dedup: each document
+    reassembled with every duplicated-span token removed. Returns
+    (id, text, n_tokens_kept, n_tokens_removed) — token-granularity
+    reassembly (tokens re-joined with single spaces; original
+    whitespace/punctuation between kept tokens is not preserved, which
+    is the declared semantics of a token-level cut, exactly as
+    curation.remove_boilerplate_lines declares line-level cuts).
+
+    Contracts shared with remove_boilerplate_lines (pinned r4 advice):
+    a document whose EVERY token is covered comes back with text = NULL
+    (never ''), matching the oracle's `string_agg(...) FILTER` which is
+    NULL over an empty group, so `text IS NULL ⟺ n_tokens_kept = 0`;
+    documents with zero tokens yield no rows (posexplode of an empty
+    array), identical to the oracle's empty unnest range.
+
+    Shape: covered positions = explode(sequence(pos, pos+L-1)) over the
+    marked windows (duplication-sized, deduped), one left join on
+    (id, pos), one groupBy(id) reassembly — the corpus token stream
+    shuffles once, on the doc id it was already grouped by."""
+    from multi_search_retrival_big_data_spark.functions.text import tokenize
+
+    marked = duplicate_span_windows(docs, id_col, text_col, min_len, min_docs)
+    covered = marked.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(min_len - 1))
+        ).alias("pos"),
+    ).distinct()
+    tokpos = (
+        ensure_min_partitions(docs)
+        .select(F.col(id_col), F.posexplode(tokenize(F.col(text_col))).alias("__p0", "tok"))
+        .select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), F.col("tok"))
+    )
+    joined = tokpos.join(
+        covered.withColumn("__cov", F.lit(True)), [id_col, "pos"], "left"
+    ).withColumn("__keep", F.col("__cov").isNull())
+    agged = joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("pos"), F.col("tok")),
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("__joined"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("n_tokens_kept"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias("n_tokens_removed"),
+    )
+    return agged.select(
+        F.col(id_col),
+        F.when(F.col("n_tokens_kept") > 0, F.col("__joined")).alias("text"),
+        "n_tokens_kept",
+        "n_tokens_removed",
+    )
+
+
 def keep_canonical(
     docs: DataFrame,
     clusters: DataFrame,

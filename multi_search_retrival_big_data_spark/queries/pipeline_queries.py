@@ -1738,3 +1738,104 @@ def monitor_semantic_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---- exact-substring (duplicate-span) dedup --------------------------------
+# Oracle CTEs are GENERATED from the same constants the operators use
+# (dedup.SPAN_MIN_TOKENS / SPAN_MIN_DOCS) so the two sides cannot drift.
+
+_SPAN_L = dedup.SPAN_MIN_TOKENS
+_SPAN_D = dedup.SPAN_MIN_DOCS
+
+
+def _span_marked_ctes(L: int = _SPAN_L, min_docs: int = _SPAN_D) -> str:
+    """toks -> sh (window hash per 1-based token position) -> dup ->
+    marked, mirroring dedup.duplicate_span_windows token-for-token
+    (regexp_extract_all '\\w+' == functions.text.tokenize; DuckDB
+    1-based inclusive list slice t[i:i+L-1] == Spark slice(t, i, L);
+    md5 over the identical space-joined bytes)."""
+    return f"""
+    toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(t[CAST(i AS INTEGER):CAST(i + {L - 1} AS INTEGER)], ' ')) AS h
+      FROM toks, unnest(range(1, len(t) - {L} + 2)) AS u(i)
+      WHERE len(t) >= {L}
+    ),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= {min_docs}),
+    marked AS (SELECT doc_id, pos FROM sh JOIN dup USING (h))"""
+
+
+@query(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH {_span_marked_ctes()},
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {_SPAN_L}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM flagged
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_L - 1} AS span_end,
+           MAX(pos) + {_SPAN_L - 1} - MIN(pos) + 1 AS span_len,
+           COUNT(*) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup CUT LISTS (Lee et al. 2022): maximal token
+    spans duplicated verbatim across >= 2 documents at >= 8-token
+    granularity — the span-level contamination document-level MinHash
+    cannot see. Gate corpus contains planted duplicated spans (the
+    8-token windows hit ~47 docs at sf0.01). Oracle recomputes the
+    rolling window hashes, the cross-doc HAVING filter, and the
+    gaps-and-islands merge in SQL CTEs."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return dedup.duplicate_spans(docs, "doc_id", "text").orderBy(
+        "doc_id", "span_start"
+    )
+
+
+@query(
+    "dedup_remove_duplicate_spans",
+    oracle=f"""
+    WITH {_span_marked_ctes()},
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS pos
+      FROM marked, unnest(range(pos, pos + {_SPAN_L})) AS v(j)
+    ),
+    tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, t[CAST(i AS INTEGER)] AS tok
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    j AS (
+      SELECT tok.doc_id, tok.pos, tok.tok, covered.pos IS NOT NULL AS cov
+      FROM tok LEFT JOIN covered
+        ON covered.doc_id = tok.doc_id AND covered.pos = tok.pos
+    )
+    SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT cov) AS text,
+           COUNT(*) FILTER (WHERE NOT cov) AS n_tokens_kept,
+           COUNT(*) FILTER (WHERE cov) AS n_tokens_removed
+    FROM j GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup PRODUCT: every document reassembled with
+    duplicated-span tokens cut out (token-granularity rejoin; text NULL
+    iff zero tokens kept — the string_agg-FILTER contract shared with
+    pipeline_remove_boilerplate). The reassembled text itself is
+    hash-compared against the oracle's ordered string_agg, so the cut
+    positions AND the rejoin order are value-proven, not just span
+    counts."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return dedup.remove_duplicate_spans(docs, "doc_id", "text").orderBy("doc_id")

@@ -490,3 +490,81 @@ def test_semantic_cell_pair_budget(spark):
     assign = spark.createDataFrame(rows, "vec_id BIGINT, cid INT")
     got = dedup.semantic_cell_pair_budget(assign).collect()[0]
     assert (got.n_cells, got.max_cell_size, got.uncapped_pairs) == (3, 3, 4)
+
+
+# ---- exact-substring (duplicate-span) dedup --------------------------------
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    boiler = "this license header is repeated verbatim across many files"  # 9 tokens
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"{boiler} epsilon zeta eta theta iota kappa"),
+        (3, f"unique words only here nothing shared at all today friend"),
+        (4, boiler),  # document that IS the boilerplate → fully removed
+        (5, "short doc"),  # fewer tokens than min_len → no windows
+        (6, f"one two {boiler} three four {boiler} five six"),  # two spans
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_duplicate_spans_finds_planted_boilerplate(span_docs):
+    spans = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_spans(span_docs, "doc_id", "text", min_len=8).collect()
+    }
+    # doc 1: boilerplate is tokens 3..11 (1-based, 9 tokens → 2 windows of 8)
+    assert spans[1]["span_start"] == 3 and spans[1]["span_end"] == 11
+    assert spans[1]["span_len"] == 9 and spans[1]["n_windows"] == 2
+    # doc 2: boilerplate at the start
+    assert spans[2]["span_start"] == 1 and spans[2]["span_end"] == 9
+    # doc 4 is exactly the boilerplate
+    assert spans[4]["span_start"] == 1 and spans[4]["span_end"] == 9
+    # docs 3 and 5 have no duplicated spans
+    assert 3 not in spans and 5 not in spans
+
+
+def test_duplicate_spans_two_islands(span_docs):
+    rows = [
+        r
+        for r in dedup.duplicate_spans(span_docs, "doc_id", "text", min_len=8).collect()
+        if r["doc_id"] == 6
+    ]
+    # "one two <9 tok> three four <9 tok> five six": two separated spans
+    assert len(rows) == 2
+    rows.sort(key=lambda r: r["span_start"])
+    assert (rows[0]["span_start"], rows[0]["span_end"]) == (3, 11)
+    assert (rows[1]["span_start"], rows[1]["span_end"]) == (14, 22)
+
+
+def test_remove_duplicate_spans_reassembly(span_docs):
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(
+            span_docs, "doc_id", "text", min_len=8
+        ).collect()
+    }
+    assert out[1]["text"] == "alpha beta gamma delta"
+    assert out[1]["n_tokens_kept"] == 4 and out[1]["n_tokens_removed"] == 9
+    assert out[2]["text"] == "epsilon zeta eta theta iota kappa"
+    # untouched doc comes back tokenized-rejoined, nothing removed
+    assert out[3]["n_tokens_removed"] == 0
+    # fully-duplicated doc → NULL text, the string_agg-FILTER contract
+    assert out[4]["text"] is None and out[4]["n_tokens_kept"] == 0
+    assert out[4]["n_tokens_removed"] == 9
+    # short doc survives untouched
+    assert out[5]["text"] == "short doc" and out[5]["n_tokens_removed"] == 0
+    assert out[6]["text"] == "one two three four five six"
+
+
+def test_duplicate_spans_within_doc_repeat_not_marked(spark):
+    """Cross-document threshold: a span repeated twice INSIDE one doc
+    but appearing in no other doc is not marked (min_docs=2 counts
+    distinct documents)."""
+    rep = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, f"{rep} x {rep}"), (2, "totally unrelated words go here now ok")],
+        "doc_id BIGINT, text STRING",
+    )
+    assert dedup.duplicate_spans(docs, "doc_id", "text", min_len=8).count() == 0
