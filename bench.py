@@ -290,6 +290,8 @@ OPTIONAL_QUERIES = [
     # round-8: exact-substring dedup (cut lists + reassembled corpus)
     "dedup_duplicate_spans",
     "dedup_remove_duplicate_spans",
+    # round-8: perceptual image near-dup (dHash + Hamming-band LSH)
+    "multimodal_image_near_dup",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

@@ -490,3 +490,127 @@ def fake_embedding_components(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "component": comps, "feat": feats})
 
     return media.mapInPandas(_embed, EMBED_SCHEMA)
+
+
+# ---- perceptual (visual) near-duplicate detection ----------------------
+#
+# The reference corpus is 10^5-10^6 keyframe JPEGs (data_preparation
+# .ipynb cells 5-7); consecutive keyframes of one shot are
+# near-identical images whose BYTES differ, so exact (hash) dedup never
+# sees them — the image-modality gap in the dedup family. dHash
+# (difference hash) is the standard perceptual fingerprint: downsample
+# to a tiny grayscale grid, emit one bit per horizontal gradient sign.
+# Two visually-near-identical frames disagree in a handful of bits, so
+# the SimHash Hamming-band machinery (textanalysis.py) finds pairs
+# with zero all-pairs work.
+
+DHASH_ROWS, DHASH_COLS = 8, 9  # 8x9 grid -> 8x8 gradient bits
+DHASH_BITS = DHASH_ROWS * (DHASH_COLS - 1)
+DHASH_CELLS = DHASH_ROWS * DHASH_COLS
+DHASH_MAX_HAMMING = 6
+
+KEYFRAME_COUNT = 3  # synthetic frames per image item
+KEYFRAME_STRIDE = 7  # perturbed byte of frame f sits at (f*STRIDE) % n
+KEYFRAME_SALT = 17  # perturbation: byte -> 32 + (byte + f*SALT) % 90
+
+
+def synth_keyframes(media: DataFrame, n_frames: int = KEYFRAME_COUNT) -> DataFrame:
+    """Derive a keyframe table from the image items: frame f of media m
+    is the payload with ONE byte deterministically perturbed (position
+    (f·STRIDE) mod n, value 32 + (orig + f·SALT) mod 90 — printable
+    ASCII so the oracle's ord(substring(...)) arithmetic holds). That
+    is the within-shot shape: frames of one item are pairwise
+    near-identical but byte-UNEQUAL (exact dedup finds nothing), frames
+    of different items are unrelated. frame_id = media_id·10 + f.
+
+    Same narrow mapInPandas seam as decode_media; a production cluster
+    replaces this synthesizer with the real frame extractor (ffmpeg /
+    cv2.VideoCapture) and keeps every downstream plan."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mids, blobs = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob)
+                n = len(b)
+                if n == 0:
+                    continue
+                for f in range(n_frames):
+                    q = (f * KEYFRAME_STRIDE) % n
+                    nb = b[:q] + bytes([32 + (b[q] + f * KEYFRAME_SALT) % 90]) + b[q + 1 :]
+                    ids.append(mid * 10 + f)
+                    mids.append(mid)
+                    blobs.append(nb)
+            yield pd.DataFrame(
+                {"frame_id": ids, "media_id": mids, "content": blobs}
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        _frames, "frame_id BIGINT, media_id BIGINT, content BINARY"
+    )
+
+
+def dhash_fingerprints(frames: DataFrame, decoder: str = FAKE_DECODER) -> DataFrame:
+    """dHash perceptual fingerprint per frame: 'decode + resize' the
+    payload to an 8×9 grid (fake codec: cell c = sum of the bytes j
+    with (j·72)//n == c — integer-exact, so DuckDB recomputes it
+    bit-for-bit), then bit (r,k) = [v(r,k) < v(r,k+1)] row-major →
+    64-char '0'/'1' string, the same fingerprint format
+    textanalysis.simhash_near_duplicates bands. A real deployment swaps
+    the grid step for PIL grayscale-resize at this exact seam (the
+    NotImplementedError contract of decode_media) and keeps the bit
+    rule, the banding, and every downstream plan.
+
+    Scale notes: one narrow mapInPandas pass, numpy bincount per blob,
+    output 1 row × 72 bytes per frame — the fingerprint table is
+    thousands of times smaller than the JPEG corpus and is what gets
+    persisted/banded, exactly like the MinHash signature table."""
+    if decoder != FAKE_DECODER:
+        raise NotImplementedError(
+            f"decoder {decoder!r}: real image decode (PIL/cv2 grayscale "
+            "resize) is not available in this environment; wire it in "
+            "here. Grid → bits → banding below stay identical."
+        )
+    import numpy as np
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for fid, blob in zip(pdf["frame_id"], pdf["content"]):
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    continue
+                cells = np.zeros(DHASH_CELLS, dtype=np.int64)
+                idx = (np.arange(n, dtype=np.int64) * DHASH_CELLS) // n
+                np.add.at(cells, idx, b)
+                grid = cells.reshape(DHASH_ROWS, DHASH_COLS)
+                bits = (grid[:, :-1] < grid[:, 1:]).astype(np.uint8).ravel()
+                ids.append(fid)
+                hashes.append("".join("1" if x else "0" for x in bits))
+            yield pd.DataFrame({"frame_id": ids, "dhash": hashes})
+
+    return frames.mapInPandas(_dhash, "frame_id BIGINT, dhash STRING")
+
+
+def image_near_duplicates(
+    fingerprints: DataFrame,
+    id_col: str = "frame_id",
+    max_hamming: int = DHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs over dHash fingerprints —
+    REUSES the SimHash Hamming-band LSH verbatim (pigeonhole over 8
+    8-bit chunks guarantees 100% recall for distance ≤ 7, candidates
+    from an equi-join on (chunk_idx, chunk), never all-pairs). Returns
+    (id_a, id_b, hamming). Completes the dedup family across
+    text (MinHash/SimHash/winnowing/spans), embedding (SemDeDup), and
+    image modalities."""
+    from multi_search_retrival_big_data_spark.operators.textanalysis import (
+        simhash_near_duplicates,
+    )
+
+    return simhash_near_duplicates(
+        fingerprints.select(F.col(id_col), F.col("dhash").alias("simhash")),
+        id_col,
+        max_hamming=max_hamming,
+    )

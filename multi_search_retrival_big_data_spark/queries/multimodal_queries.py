@@ -417,3 +417,93 @@ def ocr_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         sparse.tfidf_score(postings, _QSPEECH, k=20, round_to=6)
         .withColumnRenamed("doc_id", "media_id")
     )
+
+
+# ---- perceptual (dHash) image near-duplicate detection ---------------------
+
+_DH_CELLS = mm.DHASH_CELLS
+_DH_COLS = mm.DHASH_COLS
+_DH_BITS = mm.DHASH_BITS
+_DH_MAXH = mm.DHASH_MAX_HAMMING
+_KF_N = mm.KEYFRAME_COUNT
+_KF_STRIDE = mm.KEYFRAME_STRIDE
+_KF_SALT = mm.KEYFRAME_SALT
+
+
+@query(
+    "multimodal_image_near_dup",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id * 10 + f AS frame_id, CAST(f AS BIGINT) AS f,
+             text, length(text) AS n
+      FROM documents, unnest(range(0, {_KF_N})) AS t(f)
+      WHERE doc_id % 3 = 0 AND length(text) > 0
+    ),
+    bytes AS (
+      SELECT frame_id, CAST(i AS BIGINT) - 1 AS j, n,
+             CASE WHEN CAST(i AS BIGINT) - 1 = (f * {_KF_STRIDE}) % n
+                  THEN 32 + (ord(substring(text, CAST(i AS INTEGER), 1)) + f * {_KF_SALT}) % 90
+                  ELSE ord(substring(text, CAST(i AS INTEGER), 1)) END AS b
+      FROM frames, unnest(range(1, n + 1)) AS t(i)
+    ),
+    cells AS (
+      SELECT frame_id, (j * {_DH_CELLS}) // n AS c, SUM(b) AS v
+      FROM bytes GROUP BY frame_id, (j * {_DH_CELLS}) // n
+    ),
+    allc AS (
+      SELECT frame_id, CAST(c AS BIGINT) AS c
+      FROM frames, unnest(range(0, {_DH_CELLS})) AS t(c)
+    ),
+    grid AS (
+      SELECT a.frame_id, a.c, COALESCE(cells.v, 0) AS v
+      FROM allc a LEFT JOIN cells USING (frame_id, c)
+    ),
+    bits AS (
+      SELECT g.frame_id, g.c, CASE WHEN g.v < h.v THEN '1' ELSE '0' END AS bit
+      FROM grid g JOIN grid h ON h.frame_id = g.frame_id AND h.c = g.c + 1
+      WHERE g.c % {_DH_COLS} < {_DH_COLS - 1}
+    ),
+    fp AS (
+      SELECT frame_id, string_agg(bit, '' ORDER BY c) AS dhash
+      FROM bits GROUP BY frame_id
+    ),
+    chunks AS (
+      SELECT frame_id, dhash, CAST(k AS INTEGER) AS chunk_idx,
+             substring(dhash, CAST(k AS INTEGER) * 8 + 1, 8) AS chunk
+      FROM fp, unnest(range(0, 8)) AS t(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.frame_id AS id_a, b.frame_id AS id_b,
+             a.dhash AS da, b.dhash AS db
+      FROM chunks a
+      JOIN chunks b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+                   AND a.frame_id < b.frame_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             len(list_filter(range(1, {_DH_BITS + 1}),
+                 p -> substring(da, CAST(p AS INTEGER), 1)
+                   <> substring(db, CAST(p AS INTEGER), 1))) AS hamming
+      FROM cand
+    )
+    SELECT id_a, id_b, hamming FROM scored
+    WHERE hamming <= {_DH_MAXH}
+    ORDER BY hamming, id_a, id_b
+    """,
+)
+def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup over the derived keyframe table:
+    dHash fingerprints (byte-grid 'decode' through the codec seam) →
+    SimHash Hamming-band LSH → verified pairs. Frames of one item are
+    byte-UNEQUAL (exact dedup finds zero pairs here) but visually
+    near-identical, the reference's consecutive-keyframe shape — the
+    image-modality member of the dedup family. Oracle recomputes the
+    frame synthesis, the 72-cell grid, the gradient bits, the banding,
+    and the Hamming verify in SQL."""
+    docs = tables.load(spark, "documents", sf_dir)
+    frames = mm.synth_keyframes(mm.as_media_table(docs))
+    fp = mm.dhash_fingerprints(frames)
+    out = mm.image_near_duplicates(fp)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    ).orderBy("hamming", "id_a", "id_b")

@@ -173,3 +173,67 @@ def test_ocr_texts_long_tokens_only(spark):
     out = mm.ocr_texts(mm.as_media_table(docs)).collect()
     assert len(out) == 1
     assert out[0]["ocr_text"] == "words tiny bits"  # len >= 4, lowercased
+
+
+# ---- perceptual (dHash) near-dup --------------------------------------
+
+
+def _dhash_ref(blob: bytes) -> str:
+    """Independent reference dHash (pure python, no numpy)."""
+    n = len(blob)
+    cells = [0] * mm.DHASH_CELLS
+    for j, b in enumerate(blob):
+        cells[(j * mm.DHASH_CELLS) // n] += b
+    bits = []
+    for r in range(mm.DHASH_ROWS):
+        for k in range(mm.DHASH_COLS - 1):
+            a = cells[r * mm.DHASH_COLS + k]
+            b = cells[r * mm.DHASH_COLS + k + 1]
+            bits.append("1" if a < b else "0")
+    return "".join(bits)
+
+
+def test_dhash_matches_reference_impl(spark):
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox " * 10, "s"), (3, "zebra stripes " * 20, "s")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    frames = mm.synth_keyframes(mm.as_media_table(docs), n_frames=1)
+    out = {r["frame_id"]: r["dhash"] for r in mm.dhash_fingerprints(frames).collect()}
+    # frame 0 perturbs byte 0 -> recompute expected payload per synth rule
+    for doc_id, text in [(0, "the quick brown fox " * 10), (3, "zebra stripes " * 20)]:
+        b = text.encode()
+        nb = bytes([32 + b[0] % 90]) + b[1:]
+        assert out[doc_id * 10] == _dhash_ref(nb)
+        assert len(out[doc_id * 10]) == 64 and set(out[doc_id * 10]) <= {"0", "1"}
+
+
+def test_image_near_dup_finds_within_item_frames(spark):
+    rows = [(i * 3, f"scene {i} " + "pixel data block " * 12 + f"tail {i}", "s")
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    frames = mm.synth_keyframes(mm.as_media_table(docs))
+    fp = mm.dhash_fingerprints(frames)
+    pairs = {(r["id_a"], r["id_b"]) for r in mm.image_near_duplicates(fp).collect()}
+    # every item's 3 frames are pairwise near-identical -> 3 pairs each
+    for i in range(6):
+        base = i * 3 * 10
+        for a, b in [(base, base + 1), (base, base + 2), (base + 1, base + 2)]:
+            assert (a, b) in pairs, f"missing within-item pair {(a, b)}"
+    # exact (byte) dedup sees NOTHING here: all frame payloads distinct
+    texts = mm.synth_keyframes(mm.as_media_table(docs)).select("content").collect()
+    blobs = [bytes(r["content"]) for r in texts]
+    assert len(set(blobs)) == len(blobs)
+
+
+def test_image_near_dup_unrelated_items_far(spark):
+    """Two items with completely different byte distributions must not
+    pair up (their dHash hamming is large)."""
+    docs = spark.createDataFrame(
+        [(0, "aaaa bbbb " * 30, "s"), (3, "zz yy xx ww vv uu tt ss rr qq " * 9, "s")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    fp = mm.dhash_fingerprints(mm.synth_keyframes(mm.as_media_table(docs)))
+    pairs = {(r["id_a"], r["id_b"]) for r in mm.image_near_duplicates(fp).collect()}
+    cross = {(a, b) for a, b in pairs if a // 10 != b // 10}
+    assert cross == set()
