@@ -1049,6 +1049,63 @@ def main() -> None:
             "x1": _sem_counts(sf_dir),
             f"x{STRESS_REPLICATION}": _sem_counts(stress_dir),
         }
+
+        # retrain-policy arms (ann.ivf_nlist, r7 verdict item 3): the
+        # x10 _sem_counts above IS the retrained arm (ivf_trained
+        # re-elects ~N/62 seeds from the stress corpus); the FROZEN arm
+        # assigns the same x10 corpus under the x1-trained quantizer —
+        # what the incremental append paths serve without a retrain.
+        # Claim priced here: retrained budget ratio ≈ replication
+        # (linear), frozen ≈ replication² / nlist growth (quadratic in
+        # cell size).
+        from pyspark.sql import functions as _F
+
+        def _frozen_arm_counts() -> dict[str, int]:
+            from multi_search_retrival_big_data_spark.operators import (
+                kmeans as _km,
+            )
+
+            cent_df, _ = _ixs_sem.ivf_trained(spark, sf_dir, iters=_SI)
+            cents = [(r["cid"], r["cv"]) for r in cent_df.collect()]
+            emb10 = _tables.load(spark, "embeddings", stress_dir)
+            per = (
+                emb10.select(_km.assign_cid("embedding", cents).alias("cid"))
+                .groupBy("cid")
+                .agg(_F.count(_F.lit(1)).alias("n"))
+                .agg(
+                    _F.count(_F.lit(1)).alias("n_cells"),
+                    _F.max("n").alias("max_cell_size"),
+                    _F.sum(
+                        (_F.col("n") * (_F.col("n") - _F.lit(1)) / _F.lit(2)).cast(
+                            "bigint"
+                        )
+                    ).alias("uncapped_pairs"),
+                )
+                .collect()[0]
+            )
+            return {
+                "n_cells": per["n_cells"],
+                "max_cell_size": per["max_cell_size"],
+                "uncapped_pairs": per["uncapped_pairs"],
+            }
+
+        frozen_x10 = _frozen_arm_counts()
+        x1_pairs = sem_counts["x1"]["uncapped_pairs"]
+        retrain_arms = {
+            "frozen_x10": frozen_x10,
+            "retrained_x10": {
+                k: sem_counts[f"x{STRESS_REPLICATION}"][k]
+                for k in ("n_cells", "max_cell_size", "uncapped_pairs")
+            },
+            "budget_ratio_frozen": round(
+                frozen_x10["uncapped_pairs"] / max(1, x1_pairs), 2
+            ),
+            "budget_ratio_retrained": round(
+                sem_counts[f"x{STRESS_REPLICATION}"]["uncapped_pairs"]
+                / max(1, x1_pairs),
+                2,
+            ),
+        }
         result["tiers"] = {
             "x1": {n: timings[n] for n in uniform_names if n in timings},
             f"x{STRESS_REPLICATION}": stress,
@@ -1059,6 +1116,7 @@ def main() -> None:
             },
             "lsh_candidates": cand_counts,
             "semantic_cells": sem_counts,
+            "semantic_retrain": retrain_arms,
             "replication": STRESS_REPLICATION,
         }
 

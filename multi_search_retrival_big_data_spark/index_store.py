@@ -702,6 +702,66 @@ def ivf_assignments_drifted(
     return spark.table(name), drift
 
 
+def ivf_retrain_arms(
+    spark: SparkSession,
+    sf_dir: str,
+    growth: int = 4,
+    stride: int = ann.IVF_CENTROID_STRIDE,
+    shift: int = 10_000_000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """RETRAIN-POLICY harness (ann.ivf_nlist): deterministically grow
+    the embedding corpus `growth`× (replica r: ids shifted by r·shift,
+    one component jittered by r·0.37 — the bench uniform-tier recipe,
+    SQL-mirrorable), then assign the grown corpus under two quantizer
+    arms:
+
+    - FROZEN: seeds elected from the BASE replica only (the build-time
+      corpus) — what the incremental append paths serve after G×
+      growth without a retrain; nlist stays ⌈N₀/stride⌉ and every
+      cell holds ≈ G·stride members.
+    - RETRAINED: seeds re-elected from the CURRENT (grown) corpus at
+      the same target cell size — nlist scales to ⌈G·N₀/stride⌉ and
+      cells stay ≈ stride.
+
+    Returns (frozen_assign, retrained_assign, grown) as plain
+    DataFrames (stats-sized consumers; nothing persisted — this
+    function exists to PROVE the policy, like ivf_assignments_drifted
+    proves the drift gauges). Seeds skip Lloyd refinement (iters=0):
+    nlist scaling is a property of the seed election, independent of
+    centroid polish, and the lighter oracle keeps the proof row a full
+    hash-match."""
+    from pyspark.sql import functions as F
+
+    from multi_search_retrival_big_data_spark.operators import kmeans
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    # replica fan-out as a generator (explode of a literal array), not a
+    # broadcast join — no join node for a 4-element constant
+    grown = emb.select(
+        "*", F.explode(F.array(*[F.lit(r) for r in range(growth)])).alias("__rep")
+    ).select(
+        (F.col("vec_id") + F.col("__rep").cast("bigint") * shift).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, j: x
+            + F.when(
+                j == F.col("__rep") % 64, F.col("__rep").cast("double") * 0.37
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    frozen_seeds = kmeans.stride_init(
+        grown.filter(F.col("vec_id") < shift), stride=stride
+    )
+    retrain_seeds = kmeans.stride_init(grown, stride=stride)
+
+    def assign(cents: "kmeans.Centroids") -> DataFrame:
+        return grown.select(
+            "vec_id", kmeans.assign_cid("embedding", cents).alias("cid")
+        )
+
+    return assign(frozen_seeds), assign(retrain_seeds), grown
+
+
 def pq_codes_incremental(
     spark: SparkSession,
     sf_dir: str,

@@ -86,6 +86,34 @@ def ivf_nprobe_frac(dim: int) -> float:
     return min(0.75, 0.05 * dim / 64.0)
 
 
+IVF_TARGET_CELL = 62  # == IVF_CENTROID_STRIDE: expected members per cell
+
+
+def ivf_nlist(n: int, target_cell_size: int = IVF_TARGET_CELL) -> int:
+    """CORPUS-DERIVED nlist — the quantizer RETRAIN policy.
+
+    nlist = ⌈N / target_cell_size⌉, so the expected inverted-list /
+    SemDeDup-cell population stays ≈ target_cell_size at ANY corpus
+    size. Under the deterministic stride seed (kmeans.stride_init,
+    stride = target_cell_size) this holds automatically whenever the
+    quantizer is (re)trained on the CURRENT corpus — the stride elects
+    ⌈N/stride⌉ seeds. What goes wrong without the policy: the
+    incremental append paths (index_store.ivf_assignments_incremental,
+    streaming ingest) run under a FROZEN quantizer whose nlist was
+    fixed at build-time N₀, so after G× growth every cell holds
+    ≈ G·target members — IVF probes scan G× the candidates and
+    SemDeDup's within-cell pair budget grows G² per cell (the guard
+    path becomes the common case, not the viral-cell exception).
+
+    Retrain trigger: monitor_semantic_cell_stats /
+    ann_incremental_recall_drift watch exactly this; when the observed
+    mean cell size exceeds ~2× target_cell_size, retrain with
+    nlist = ivf_nlist(N_current) and re-assign (FAISS's own
+    train/add boundary). The dedup_semantic_retrain_policy row proves
+    both arms: frozen max-cell grows ∝ G, retrained stays ≈ target."""
+    return max(1, -(-n // target_cell_size))
+
+
 def hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic ±1 hyperplane: component d flips on the parity of
     the first hex digit of md5('{plane}:{d}'). Pure function — the

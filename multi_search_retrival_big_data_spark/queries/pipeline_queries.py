@@ -1839,3 +1839,91 @@ def dedup_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts."""
     docs = tables.load(spark, "documents", sf_dir)
     return dedup.remove_duplicate_spans(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---- SemDeDup quantizer retrain policy (nlist ∝ corpus) --------------------
+
+_RP_GROWTH = 4
+_RP_SHIFT = 10_000_000
+_RP_STRIDE = 62  # == ann.IVF_CENTROID_STRIDE == ann.IVF_TARGET_CELL
+
+
+def _rp_arm_sql(seeds: str, cells: str) -> str:
+    return f"""
+    SELECT count(*) AS n_cells_used, max(n) AS max_cell,
+           CAST(SUM(CAST(n * (n - 1) / 2 AS BIGINT)) AS BIGINT) AS pair_budget,
+           COUNT(*) FILTER (WHERE n > {SEM_MAX_CELL_PRODUCTION}) AS cells_over_cap
+    FROM {cells}"""
+
+
+@query(
+    "dedup_semantic_retrain_policy",
+    oracle=f"""
+    WITH grown AS MATERIALIZED (
+      SELECT vec_id + r * {_RP_SHIFT} AS vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                 (x, j) -> x + CASE WHEN j - 1 = (r % 64)
+                                    THEN r * 0.37 ELSE 0.0 END) AS v
+      FROM embeddings, unnest(range(0, {_RP_GROWTH})) AS t(r)
+    ),
+    fseeds AS (SELECT vec_id AS cid, v AS cv FROM grown
+               WHERE vec_id < {_RP_SHIFT} AND vec_id % {_RP_STRIDE} = 0),
+    rseeds AS (SELECT vec_id AS cid, v AS cv FROM grown
+               WHERE vec_id % {_RP_STRIDE} = 0),
+    fassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.cv) ASC, c.cid ASC) AS rn
+        FROM grown e CROSS JOIN fseeds c) WHERE rn = 1
+    ),
+    rassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.cv) ASC, c.cid ASC) AS rn
+        FROM grown e CROSS JOIN rseeds c) WHERE rn = 1
+    ),
+    fcells AS (SELECT cid, count(*) AS n FROM fassign GROUP BY cid),
+    rcells AS (SELECT cid, count(*) AS n FROM rassign GROUP BY cid)
+    SELECT 'frozen' AS arm, * FROM ({_rp_arm_sql('fseeds', 'fcells')})
+    UNION ALL
+    SELECT 'retrained' AS arm, * FROM ({_rp_arm_sql('rseeds', 'rcells')})
+    ORDER BY arm
+    """,
+)
+def dedup_semantic_retrain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantizer RETRAIN POLICY proof (ann.ivf_nlist: nlist =
+    ⌈N/target_cell_size⌉): the corpus grown 4× deterministically, then
+    assigned under (a) the FROZEN build-time quantizer — what the
+    incremental append paths serve without a retrain; cells grow ∝
+    growth, the SemDeDup pair budget ∝ growth² per cell — vs (b) a
+    quantizer RETRAINED on the current corpus at the same target cell
+    size — nlist scales with N, cells stay ≈ target, the max_cell
+    guard returns to being the viral-cell exception. One row per arm:
+    (arm, n_cells_used, max_cell, pair_budget, cells_over_cap at the
+    production cap). This is the last 100×-design rule of the SemDeDup
+    family: monitors (monitor_semantic_cell_stats) detect the growth,
+    this policy says what to retrain to."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    fa, ra, _ = index_store.ivf_retrain_arms(
+        spark, sf_dir, growth=_RP_GROWTH, stride=_RP_STRIDE, shift=_RP_SHIFT
+    )
+
+    def stats(a: DataFrame, arm: str) -> DataFrame:
+        per = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+        return per.agg(
+            F.count(F.lit(1)).alias("n_cells_used"),
+            F.max("n").alias("max_cell"),
+            F.sum(
+                (F.col("n") * (F.col("n") - F.lit(1)) / F.lit(2)).cast("bigint")
+            ).alias("pair_budget"),
+            F.sum(
+                F.when(F.col("n") > SEM_MAX_CELL_PRODUCTION, 1).otherwise(0)
+            ).alias("cells_over_cap"),
+        ).select(F.lit(arm).alias("arm"), "*")
+
+    return stats(fa, "frozen").union(stats(ra, "retrained")).orderBy("arm")

@@ -522,3 +522,37 @@ def test_signature_bits_packed_rejects_non_sign_planes(spark):
 
     with _pytest.raises(ValueError, match="±1"):
         ann.signature_bits_packed("embedding", [[0.5, -1.0]])
+
+
+# ---- corpus-derived nlist retrain policy -------------------------------
+
+
+def test_ivf_nlist_policy_values():
+    from multi_search_retrival_big_data_spark.operators import ann
+
+    assert ann.ivf_nlist(1) == 1
+    assert ann.ivf_nlist(62) == 1
+    assert ann.ivf_nlist(63) == 2
+    assert ann.ivf_nlist(620_000) == 10_000
+    # expected cell population stays ~= target at any corpus size
+    for n in (1_000, 50_000, 2_000_000):
+        nlist = ann.ivf_nlist(n)
+        assert n / nlist <= ann.IVF_TARGET_CELL
+        assert n / nlist > ann.IVF_TARGET_CELL / 2
+
+
+def test_ivf_retrain_arms_cells_stay_flat(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from multi_search_retrival_big_data_spark import index_store
+
+    fa, ra, grown = index_store.ivf_retrain_arms(spark, sf_dir, growth=4)
+    assert grown.count() == 4 * 500
+    fmax = fa.groupBy("cid").count().agg(F.max("count")).collect()[0][0]
+    rmax = ra.groupBy("cid").count().agg(F.max("count")).collect()[0][0]
+    fcells = fa.select("cid").distinct().count()
+    rcells = ra.select("cid").distinct().count()
+    # retrained nlist scales with the grown corpus; frozen stays at the
+    # build-time count, so its cells hold ~growth x the members
+    assert rcells > fcells
+    assert rmax < fmax

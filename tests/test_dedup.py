@@ -568,3 +568,28 @@ def test_duplicate_spans_within_doc_repeat_not_marked(spark):
         "doc_id BIGINT, text STRING",
     )
     assert dedup.duplicate_spans(docs, "doc_id", "text", min_len=8).count() == 0
+
+
+def test_semantic_cap_sound_at_gate_scale(spark):
+    """dedup_semantic_keep's production row (cap=256) is hash-compared
+    to an UNCAPPED oracle, which is sound only while no gate-scale cell
+    exceeds the cap (the driver probe then routes to the exact uncapped
+    plan). This assertion makes that precondition fail LOUDLY and
+    self-diagnostically (r7 advice) instead of as a confusing oracle
+    mismatch after a data/quantizer change."""
+    from multi_search_retrival_big_data_spark import index_store
+    from multi_search_retrival_big_data_spark.queries.pipeline_queries import (
+        _SEM_ITERS,
+        SEM_MAX_CELL_PRODUCTION,
+    )
+
+    _, assign = index_store.ivf_trained(
+        spark, "/root/testdata/sf0.01", iters=_SEM_ITERS
+    )
+    row = dedup.semantic_cell_pair_budget(assign).collect()[0]
+    assert row["max_cell_size"] < SEM_MAX_CELL_PRODUCTION, (
+        f"gate-scale max cell {row['max_cell_size']} >= production cap "
+        f"{SEM_MAX_CELL_PRODUCTION}: dedup_semantic_keep's uncapped oracle "
+        "no longer mirrors the capped plan — retrain the quantizer "
+        "(ann.ivf_nlist) or move the row to the capped-mirror oracle"
+    )
