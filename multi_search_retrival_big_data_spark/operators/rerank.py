@@ -114,17 +114,23 @@ def mmr_rerank(
     )
     a = sel.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
     b = sel.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
-    # coalesce: a zero-norm vector makes cosine NULL; treat it as
-    # similarity 0 so a degenerate candidate degrades gracefully
-    # instead of making the driver max() raise on None
+    # zero-norm guard: a degenerate candidate's cosine is undefined
+    # (NULL/NaN depending on engine arithmetic) — an EXPLICIT branch on
+    # the squared-norm product pins sim = 0.0 identically in this plan
+    # and in the oracle's mirrored CASE (r7 advice: a coalesce here
+    # with a NULL-skipping SQL max() would diverge the moment a
+    # zero-norm vector reached an oracle-compared query)
+    from multi_search_retrival_big_data_spark.functions.vector import dot
+
+    zero_norm = (dot("__va", "__va") * dot("__vb", "__vb")) == F.lit(0.0)
     sims_df = (
         a.join(b, F.col("id_a") != F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.coalesce(
-                det_round(cosine_sim("__va", "__vb"), round_to), F.lit(0.0)
-            ).alias("sim"),
+            F.when(zero_norm, F.lit(0.0))
+            .otherwise(det_round(cosine_sim("__va", "__vb"), round_to))
+            .alias("sim"),
         )
     )
     # the FENCE rides the relevance collect: a limit(cap+1) on the

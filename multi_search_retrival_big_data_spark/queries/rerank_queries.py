@@ -112,7 +112,10 @@ def _mmr_sel_ctes(k: int) -> str:
     """sims + the recursive greedy-selection CTE over an in-scope
     `cand (id, v, rel)` CTE. Requires WITH RECURSIVE in the caller."""
     return f"""sims AS (
-      SELECT a.id AS id_a, b.id AS id_b, {sql_det_round(_mmr_cos('a.v', 'b.v'))} AS sim
+      SELECT a.id AS id_a, b.id AS id_b,
+             CASE WHEN list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v) = 0.0
+                  THEN 0.0
+                  ELSE {sql_det_round(_mmr_cos('a.v', 'b.v'))} END AS sim
       FROM cand a JOIN cand b ON a.id <> b.id
     ),
     sel(step, ids) AS (
