@@ -76,6 +76,12 @@ DRIFT_WATCH = [
     # against its own floor (session contention vs real shift)
     "text_simhash_fingerprints",
     "dedup_minhash_lsh_capped",
+    # r7→r8: dense_batch_topk_cosine measured 2.14× its r1 baseline in a
+    # session where every neighboring anchor drifted ~1.3× uniformly and
+    # its Arrow twin sat at 1.10× — 5-run min/med/max decides variance
+    # vs a real shift (verdict r7 item 2); the Arrow batch path is
+    # already the designated high-d serving strategy either way
+    "dense_batch_topk_cosine",
 ]
 
 STRESS_REPLICATION = 10

@@ -2697,3 +2697,127 @@ def ann_ivf_d768_tuned_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tuned = _math.ceil(ann.ivf_nprobe_frac(_D768) * nlist)
     return union_rows([cfg_row(ann.IVF_NPROBE), cfg_row(tuned)]).orderBy("nprobe")
+
+
+# ---- family recall grids (registry consolidation, r7 verdict item 4) -------
+#
+# The per-path recall/tuning grids above stay as capability code (each
+# builds its own index variant and measures the recall-vs-cost trade),
+# but registering ~12 near-identical 2-3-row grid outputs separately
+# stretched the driver's 50-row proof-rotation cycle past 4 rounds.
+# Each FAMILY row below unions its members under a normalized schema —
+# (variant, config, k, [candidates,] hits, recall) — absorbing the
+# member registrations: the member's Spark plan AND its full oracle SQL
+# run unchanged inside the union, so nothing is lost but registry rows.
+
+from multi_search_retrival_big_data_spark.queries import REGISTRY as _REG  # noqa: E402
+
+
+def _absorb(name: str):
+    qd = _REG.pop(name)
+    return qd.fn, qd.oracle
+
+
+def _fam_oracle(parts, with_candidates: bool) -> str:
+    sels = []
+    for variant, (_, oracle), cols in parts:
+        if cols:
+            cfg = "concat_ws(',', " + ", ".join(
+                f"concat('{c}=', CAST({c} AS VARCHAR))" for c in cols
+            ) + ")"
+        else:
+            cfg = "''"
+        cand = "candidates, " if with_candidates else ""
+        sels.append(
+            f"SELECT '{variant}' AS variant, {cfg} AS config, k, {cand}hits, recall"
+            f" FROM (\n{oracle}\n)"
+        )
+    return "\nUNION ALL\n".join(sels) + "\nORDER BY variant, config"
+
+
+def _fam_fn(parts, with_candidates: bool):
+    keep = ["k"] + (["candidates"] if with_candidates else []) + ["hits", "recall"]
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        outs = []
+        for variant, (f_, _), cols in parts:
+            df = f_(spark, sf_dir)
+            cfg = (
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+                        for c in cols
+                    ],
+                )
+                if cols
+                else F.lit("")
+            )
+            outs.append(
+                df.select(
+                    F.lit(variant).alias("variant"), cfg.alias("config"), *keep
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.union(o)
+        return out.orderBy("variant", "config")
+
+    return fn
+
+
+def _register_family(name: str, parts, with_candidates: bool, doc: str) -> None:
+    fn = _fam_fn(parts, with_candidates)
+    fn.__name__ = name
+    fn.__doc__ = doc
+    query(name, oracle=_fam_oracle(parts, with_candidates))(fn)
+
+
+_register_family(
+    "ann_lsh_family_grid",
+    [
+        ("bands", _absorb("ann_lsh_recall_grid"), ["bands"]),
+        ("multiprobe", _absorb("ann_lsh_multiprobe_recall_grid"), ["probe_level"]),
+        ("d768_tuned", _absorb("ann_lsh_d768_tuned_grid"), ["planes", "bands"]),
+    ],
+    with_candidates=True,
+    doc="""LSH recall/tuning family grid: the bands sweep (recall bought
+    with wider banding), the multi-probe sweep (recall bought with
+    neighbor buckets at fixed banding), and the d=768 tuned geometry
+    pair (dimension-derived ann.lsh_geometry vs the d=64 default) in
+    one normalized (variant, config, k, candidates, hits, recall)
+    output — each member's plan and oracle run unchanged.""",
+)
+
+_register_family(
+    "ann_ivf_family_grid",
+    [
+        ("stride", _absorb("ann_ivf_recall_grid"), ["nprobe"]),
+        ("trained", _absorb("ann_ivf_trained_recall_grid"), ["nprobe"]),
+        ("filtered", _absorb("ann_ivf_filtered_recall_grid"), ["sel", "nprobe"]),
+        ("d768_tuned", _absorb("ann_ivf_d768_tuned_grid"), ["nprobe"]),
+    ],
+    with_candidates=True,
+    doc="""IVF recall/tuning family grid: nprobe sweeps over the
+    stride-seeded and Lloyd-trained quantizers, the filtered-search
+    selectivity grid, and the d=768 tuned probe fraction
+    (ann.ivf_nprobe_frac), normalized to (variant, config, k,
+    candidates, hits, recall).""",
+)
+
+_register_family(
+    "ann_pq_family_grid",
+    [
+        ("pq_adc", _absorb("ann_pq_recall_grid"), ["r"]),
+        ("pq_rerank", _absorb("ann_pq_rerank_recall_grid"), ["shortlist"]),
+        ("pq_trained", _absorb("ann_pq_trained_recall_grid"), ["shortlist"]),
+        ("pq_filtered", _absorb("ann_pq_filtered_recall_grid"), ["sel", "r"]),
+        ("ivfpq", _absorb("ann_ivfpq_recall_grid"), ["nprobe", "shortlist"]),
+        ("sq8", _absorb("ann_sq8_recall"), []),
+    ],
+    with_candidates=False,
+    doc="""Quantized-path recall family grid: PQ ADC, PQ re-rank
+    shortlist sweep (stride and trained codebooks), filtered PQ,
+    IVF-PQ, and SQ8, normalized to (variant, config, k, hits,
+    recall) — the recall ledger of every compressed serving path.""",
+)

@@ -468,3 +468,46 @@ def fusion_dual_model_dim_fallback_d768(spark: SparkSession, sf_dir: str) -> Dat
         "clip64": (emb, 64),
     }
     return dense.topk_cosine_dim_routed("clip768", spaces, QUERY_VEC, k=50, round_to=6)
+
+
+# ---- d=64 dual-model pair consolidation (r7 verdict item 4) -----------------
+# The two-space mechanics proof and its dimension-mismatch routing twin
+# share one output schema (vec_id, score); the production-width d=768
+# pair stays registered separately (fusion_dual_model_true_d768 is a
+# bench anchor).
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from multi_search_retrival_big_data_spark.queries import REGISTRY as _REG  # noqa: E402
+
+
+def _absorb(name: str):
+    qd = _REG.pop(name)
+    return qd.fn, qd.oracle
+
+
+_dm_true_fn, _dm_true_oracle = _absorb("fusion_dual_model_true")
+_dm_fb_fn, _dm_fb_oracle = _absorb("fusion_dual_model_dim_fallback")
+
+
+@query(
+    "fusion_dual_model_d64_arms",
+    oracle=f"""
+    SELECT 'dim_fallback' AS arm, * FROM ({_dm_fb_oracle})
+    UNION ALL
+    SELECT 'true_ensemble' AS arm, * FROM ({_dm_true_oracle})
+    ORDER BY arm, score DESC, vec_id
+    """,
+)
+def fusion_dual_model_d64_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 two-space mechanics at d=64, both arms in one row-set:
+    'true_ensemble' = model A (embeddings) + model B (its signed d=48
+    projection, a genuinely different similarity) fused by Q8;
+    'dim_fallback' = the reference's dimension-mismatch routing
+    (faiss_processing.py:133-152 — a 48-d query asked of model A routes
+    to the index whose dimension matches). Plans and oracles are the
+    originals', unioned; the production-width twins
+    (fusion_dual_model_true_d768 / _dim_fallback_d768) stay separate."""
+    t = _dm_true_fn(spark, sf_dir).select(F.lit("true_ensemble").alias("arm"), "*")
+    fb = _dm_fb_fn(spark, sf_dir).select(F.lit("dim_fallback").alias("arm"), "*")
+    return fb.union(t).orderBy("arm", F.desc("score"), "vec_id")

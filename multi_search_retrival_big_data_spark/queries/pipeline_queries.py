@@ -1927,3 +1927,237 @@ def dedup_semantic_retrain_policy(spark: SparkSession, sf_dir: str) -> DataFrame
         ).select(F.lit(arm).alias("arm"), "*")
 
     return stats(fa, "frozen").union(stats(ra, "retrained")).orderBy("arm")
+
+
+# ---- recall-audit consolidation (r7 verdict item 4 + advice item 3) --------
+#
+# The capped and uncapped recall audits of each dedup family are one
+# governance product read together; registering them separately cost
+# registry rows without adding capability. Each merged row unions the
+# arms under (arm, ...) — the LSH pair reuses both original plans and
+# oracles verbatim; the semantic pair is REWRITTEN to also decompose
+# the cap's loss into its two mechanisms (advice r7 item 3): band_loss
+# (pairs whose members share no SRP band inside their mega cell) vs
+# chain_break_loss (pairs banding kept but the over-cap sub-bucket's
+# chain+star spanning emission dropped — the clique-assumption trade).
+
+from multi_search_retrival_big_data_spark.queries import REGISTRY as _REG  # noqa: E402
+
+
+def _absorb(name: str):
+    qd = _REG.pop(name)
+    return qd.fn, qd.oracle
+
+
+_lsh_audit_fn, _lsh_audit_oracle = _absorb("dedup_lsh_recall_audit")
+_lsh_capped_fn, _lsh_capped_oracle = _absorb("dedup_lsh_capped_recall_audit")
+_absorb("dedup_semantic_recall_audit")
+_absorb("dedup_semantic_capped_recall_audit")
+
+
+@query(
+    "dedup_lsh_recall_audits",
+    oracle=f"""
+    SELECT 'capped' AS arm, * FROM ({_lsh_capped_oracle})
+    UNION ALL
+    SELECT 'uncapped' AS arm, * FROM ({_lsh_audit_oracle})
+    ORDER BY arm
+    """,
+)
+def dedup_lsh_recall_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall governance, both arms in one row-pair:
+    'uncapped' = banded candidates vs the exact all-pairs ground truth
+    (recall alone prices the banding — precision is 1 by construction);
+    'capped' = the same audit through the mega-bucket cap (spanning
+    pair sets intentionally drop within-mega-bucket PAIRS while CLUSTER
+    recall stays exact — dedup_cluster_components_capped proves
+    identical clusters). Each arm's plan and oracle are the original
+    audits', unioned."""
+    capped = _lsh_capped_fn(spark, sf_dir).select(F.lit("capped").alias("arm"), "*")
+    unc = _lsh_audit_fn(spark, sf_dir).select(F.lit("uncapped").alias("arm"), "*")
+    return capped.union(unc).orderBy("arm")
+
+
+@query(
+    "dedup_semantic_recall_audits",
+    oracle=f"""
+    WITH {KEM_CTE},
+    {_SEM_MODEL_CTES},
+    {_SEM_PAIRS_CTE},
+    {_SEM_CAPPED_CAND},
+    strue AS (
+      SELECT ea.vec_id AS id_a, eb.vec_id AS id_b
+      FROM kem ea JOIN kem eb ON ea.vec_id < eb.vec_id
+      WHERE {sql_det_round(_sem_cos('ea.v', 'eb.v'))} >= {SEMANTIC_DUP_THRESHOLD}
+    ),
+    megatrue AS MATERIALIZED (
+      SELECT p.id_a, p.id_b FROM spairs p
+      JOIN tassign ta ON ta.vec_id = p.id_a
+      JOIN msize z ON z.cid = ta.cid AND z.m > {_SEM_MAX_CELL}
+    ),
+    bandkept AS MATERIALIZED (
+      SELECT DISTINCT p.id_a, p.id_b
+      FROM megatrue p
+      JOIN sbanded a ON a.vec_id = p.id_a
+      JOIN sbanded b ON b.vec_id = p.id_b AND b.cid = a.cid
+                    AND b.band = a.band AND b.bval = a.bval
+    ),
+    emitkept AS (
+      SELECT p.id_a, p.id_b FROM megatrue p
+      JOIN vcap v ON v.id_a = p.id_a AND v.id_b = p.id_b
+    )
+    SELECT 'cap' AS arm,
+           (SELECT count(*) FROM vcap) AS found,
+           (SELECT count(*) FROM spairs) AS base_pairs,
+           CAST((SELECT count(*) FROM vcap) AS DOUBLE)
+             / CAST((SELECT count(*) FROM spairs) AS DOUBLE) AS recall,
+           (SELECT count(*) FROM megatrue) - (SELECT count(*) FROM bandkept) AS band_loss,
+           (SELECT count(*) FROM bandkept) - (SELECT count(*) FROM emitkept) AS chain_break_loss
+    UNION ALL
+    SELECT 'cell_boundary',
+           (SELECT count(*) FROM spairs),
+           (SELECT count(*) FROM strue),
+           CAST((SELECT count(*) FROM spairs) AS DOUBLE)
+             / CAST((SELECT count(*) FROM strue) AS DOUBLE),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    ORDER BY arm
+    """,
+)
+def dedup_semantic_recall_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup recall governance, both approximations priced in one
+    row-pair, and the cap arm's loss DECOMPOSED by mechanism:
+
+    - arm='cell_boundary': uncapped within-cell verified pairs vs the
+      exact all-pairs ground truth — what the k-means cell bounding
+      itself drops (pairs straddling cells; knob = centroid count /
+      ann.ivf_nlist).
+    - arm='cap': capped-path verified pairs vs the uncapped within-cell
+      set (the guard's own loss, audit cap = {_SEM_MAX_CELL} so it
+      fires non-vacuously at gate scale), split into `band_loss`
+      (members of a true pair share NO SRP band inside their mega
+      cell — the probabilistic LSH trade, bought back with more
+      planes/bands) and `chain_break_loss` (banding kept the pair but
+      the over-cap sub-bucket emitted only its chain+star spanning set
+      — the clique-likeness assumption's residual price, advice r7
+      item 3). found = base_pairs - band_loss - chain_break_loss over
+      the mega cells plus the small-cell all-pairs, so the cap's total
+      price is fully attributed.
+
+    Loss columns are 0 on the cell_boundary arm (no cap there)."""
+    from multi_search_retrival_big_data_spark import index_store
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    _, assign = index_store.ivf_trained(spark, sf_dir, iters=_SEM_ITERS)
+    spairs = dedup.semantic_candidate_pairs(assign, SEMANTIC_DUP_THRESHOLD)
+    strue = ann.embedding_near_dup_pairs(
+        emb, SEMANTIC_DUP_THRESHOLD, use_lsh=False, round_to=6
+    )
+    capped = dedup.semantic_candidate_pairs(
+        assign, SEMANTIC_DUP_THRESHOLD, max_cell=_SEM_MAX_CELL, dim=EMB_DIM
+    ).select("id_a", "id_b")
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("__m"))
+    mega_assign = assign.join(
+        F.broadcast(sizes.filter(F.col("__m") > _SEM_MAX_CELL).select("cid")), "cid"
+    )
+    mega_true = dedup.semantic_candidate_pairs(
+        mega_assign, SEMANTIC_DUP_THRESHOLD
+    ).select("id_a", "id_b")
+    band_pairs = dedup._mega_cell_band_pairs(
+        mega_assign, "vec_id", "embedding", "cid", EMB_DIM, sub_cap=None
+    )
+    band_kept = mega_true.join(band_pairs, ["id_a", "id_b"], "left_semi")
+    emit_kept = mega_true.join(capped, ["id_a", "id_b"], "left_semi")
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    # 1-row × 1-row scalar combines throughout (SCALAR_BROADCAST_OK)
+    cap_row = (
+        cnt(capped, "found")
+        .crossJoin(F.broadcast(cnt(spairs, "base_pairs")))
+        .crossJoin(F.broadcast(cnt(mega_true, "__n_megatrue")))
+        .crossJoin(F.broadcast(cnt(band_kept, "__n_bandkept")))
+        .crossJoin(F.broadcast(cnt(emit_kept, "__n_emit")))
+        .select(
+            F.lit("cap").alias("arm"),
+            "found",
+            "base_pairs",
+            (F.col("found").cast("double") / F.col("base_pairs").cast("double")).alias(
+                "recall"
+            ),
+            (F.col("__n_megatrue") - F.col("__n_bandkept")).alias("band_loss"),
+            (F.col("__n_bandkept") - F.col("__n_emit")).alias("chain_break_loss"),
+        )
+    )
+    cb_row = (
+        cnt(spairs, "found")
+        .crossJoin(F.broadcast(cnt(strue, "base_pairs")))
+        .select(
+            F.lit("cell_boundary").alias("arm"),
+            "found",
+            "base_pairs",
+            (F.col("found").cast("double") / F.col("base_pairs").cast("double")).alias(
+                "recall"
+            ),
+            F.lit(0).cast("bigint").alias("band_loss"),
+            F.lit(0).cast("bigint").alias("chain_break_loss"),
+        )
+    )
+    return cap_row.union(cb_row).orderBy("arm")
+
+
+# ---- same-schema arm consolidations (r7 verdict item 4) ---------------------
+# Each pair below proved two arms of one capability with identical
+# output schemas; the merged row unions them under an `arm` label with
+# every original plan and oracle running unchanged inside.
+
+_pr_simple_fn, _pr_simple_oracle = _absorb("graph_source_pagerank")
+_pr_redist_fn, _pr_redist_oracle = _absorb("graph_source_pagerank_redistributed")
+
+
+@query(
+    "graph_source_pagerank_arms",
+    oracle=f"""
+    SELECT 'redistributed' AS arm, * FROM ({_pr_redist_oracle})
+    UNION ALL
+    SELECT 'simple' AS arm, * FROM ({_pr_simple_oracle})
+    ORDER BY arm, rank DESC, source
+    """,
+)
+def graph_source_pagerank_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the source-level near-dup graph, both variants in
+    one row-set: 'simple' = fixed-round power iteration over the
+    symmetric graph (documented leaky form), 'redistributed' =
+    per-round dangling-mass redistribution over the DIRECTED low→high
+    graph (mass conserved at 1.0 — the production host-rank form).
+    Plans and unrolled-CTE oracles are the originals', unioned."""
+    simple = _pr_simple_fn(spark, sf_dir).select(F.lit("simple").alias("arm"), "*")
+    redist = _pr_redist_fn(spark, sf_dir).select(
+        F.lit("redistributed").alias("arm"), "*"
+    )
+    return redist.union(simple).orderBy("arm", F.desc("rank"), "source")
+
+
+_gs_rollup_fn, _gs_rollup_oracle = _absorb("profile_rollup_lang_source")
+_gs_cube_fn, _gs_cube_oracle = _absorb("profile_cube_lang_source")
+
+
+@query(
+    "profile_grouping_sets_lang_source",
+    oracle=f"""
+    SELECT 'cube' AS arm, * FROM ({_gs_cube_oracle})
+    UNION ALL
+    SELECT 'rollup' AS arm, * FROM ({_gs_rollup_oracle})
+    ORDER BY arm, lang NULLS FIRST, source NULLS FIRST
+    """,
+)
+def profile_grouping_sets_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP grouping-set profiling over (lang, source), both operators
+    in one row-set: 'rollup' (hierarchical subtotals + grand total) and
+    'cube' (all four grouping sets via Spark's Expand). Each arm's plan
+    and oracle are the originals', unioned under the arm label."""
+    ro = _gs_rollup_fn(spark, sf_dir).select(F.lit("rollup").alias("arm"), "*")
+    cu = _gs_cube_fn(spark, sf_dir).select(F.lit("cube").alias("arm"), "*")
+    return cu.union(ro).orderBy(
+        "arm", F.asc_nulls_first("lang"), F.asc_nulls_first("source")
+    )

@@ -183,81 +183,47 @@ def hydrate_dense_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "temporal_requery_next_shots",
+    "temporal_requery_shots",
     oracle=f"""
     WITH {_SEQ},
     anchors AS (
       SELECT * FROM seqd WHERE event_type = 'view'
       ORDER BY value DESC, event_id LIMIT 20
     ),
-    cands AS (
+    candsn AS (
       SELECT DISTINCT s.user_id, s.event_id, s.value
       FROM seqd s JOIN anchors a
         ON s.user_id = a.user_id AND s.seq > a.seq AND s.seq <= a.seq + 3
     ),
-    prevb AS (SELECT user_id, MAX(value) AS prev_best FROM anchors GROUP BY 1),
-    curb AS (SELECT user_id, MAX(value) AS cur_best FROM cands GROUP BY 1)
-    SELECT c.user_id, c.cur_best + p.prev_best AS combined
-    FROM curb c JOIN prevb p USING(user_id)
-    ORDER BY combined DESC, user_id
-    """,
-)
-def temporal_requery_next_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q16 — 'filter video' temporal re-query
-    (search_utils.py:96-221): anchors from a previous result expand to
-    the next R=3 positions in their group's timeline; candidates are
-    re-scored and the group's final rank is current best + previous
-    best (:216-220)."""
-    ev = tables.load(spark, "events", sf_dir)
-    seqd = temporal.sequence_rank(ev, ["user_id"], ["ts", "event_id"])
-    anchors = (
-        seqd.filter(F.col("event_type") == "view")
-        .orderBy(F.desc("value"), F.asc("event_id"))
-        .limit(20)
-    )
-    cands = temporal.temporal_neighborhood(
-        anchors.select("user_id", "seq"), seqd.select("user_id", "event_id", "value", "seq"),
-        keys=["user_id"], mode=1, range_filter=3,
-    ).select("user_id", "event_id", "value").distinct()
-    prevb = anchors.groupBy("user_id").agg(F.max("value").alias("prev_best"))
-    curb = cands.groupBy("user_id").agg(F.max("value").alias("cur_best"))
-    return (
-        curb.join(prevb, "user_id")
-        .select("user_id", (F.col("cur_best") + F.col("prev_best")).alias("combined"))
-        .orderBy(F.desc("combined"), F.asc("user_id"))
-    )
-
-
-@query(
-    "temporal_requery_prev_shots",
-    oracle=f"""
-    WITH {_SEQ},
-    anchors AS (
-      SELECT * FROM seqd WHERE event_type = 'view'
-      ORDER BY value DESC, event_id LIMIT 20
-    ),
-    cands AS (
+    candsp AS (
       SELECT DISTINCT s.user_id, s.event_id, s.value
       FROM seqd s JOIN anchors a
         ON s.user_id = a.user_id AND s.seq < a.seq AND s.seq >= a.seq - 3
     ),
     prevb AS (SELECT user_id, MAX(value) AS prev_best FROM anchors GROUP BY 1),
-    curb AS (SELECT user_id, MAX(value) AS cur_best FROM cands GROUP BY 1)
-    SELECT c.user_id, c.cur_best, p.prev_best,
+    curbn AS (SELECT user_id, MAX(value) AS cur_best FROM candsn GROUP BY 1),
+    curbp AS (SELECT user_id, MAX(value) AS cur_best FROM candsp GROUP BY 1)
+    SELECT 'next' AS mode, c.user_id, c.cur_best, p.prev_best,
            c.cur_best + p.prev_best AS combined
-    FROM curb c JOIN prevb p USING(user_id)
-    ORDER BY combined DESC, user_id
+    FROM curbn c JOIN prevb p USING(user_id)
+    UNION ALL
+    SELECT 'prev', c.user_id, c.cur_best, p.prev_best,
+           c.cur_best + p.prev_best
+    FROM curbp c JOIN prevb p USING(user_id)
+    ORDER BY mode, combined DESC, user_id
     """,
 )
-def temporal_requery_prev_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q16 mode 2 — the backwards temporal re-query
-    (search_utils.py:151-158, `start, end = shot-R, shot-1`): anchors
-    expand to the PREVIOUS R=3 positions in their group's timeline;
-    the group's final rank is current best + previous best (:216-220),
-    emitted here with its two addends so the oracle pins the combined
-    rank AND its decomposition. Same plan shape as the mode-1 query:
-    one bounded range condition riding the group equi-join, then two
-    bounded-cardinality aggregates."""
+def temporal_requery_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 — 'filter video' temporal re-query, BOTH modes in one
+    row-set (search_utils.py:96-221): anchors from a previous result
+    expand to the next (mode='next', :96-150) or previous (mode='prev',
+    :151-158) R=3 positions in their group's timeline; candidates are
+    re-scored and the group's final rank is current best + previous
+    best (:216-220), emitted with its two addends so the oracle pins
+    the combined rank AND its decomposition for each mode. One shared
+    anchor pass; per mode, one bounded range condition riding the group
+    equi-join, then two bounded-cardinality aggregates. (Merged from
+    the next/prev row pair — r7 verdict item 4.)"""
     ev = tables.load(spark, "events", sf_dir)
     seqd = temporal.sequence_rank(ev, ["user_id"], ["ts", "event_id"])
     anchors = (
@@ -265,21 +231,23 @@ def temporal_requery_prev_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("value"), F.asc("event_id"))
         .limit(20)
     )
-    cands = temporal.temporal_neighborhood(
-        anchors.select("user_id", "seq"),
-        seqd.select("user_id", "event_id", "value", "seq"),
-        keys=["user_id"], mode=2, range_filter=3,
-    ).select("user_id", "event_id", "value").distinct()
     prevb = anchors.groupBy("user_id").agg(F.max("value").alias("prev_best"))
-    curb = cands.groupBy("user_id").agg(F.max("value").alias("cur_best"))
-    return (
-        curb.join(prevb, "user_id")
-        .select(
-            "user_id", "cur_best", "prev_best",
-            (F.col("cur_best") + F.col("prev_best")).alias("combined"),
+    outs = []
+    for label, mode in (("next", 1), ("prev", 2)):
+        cands = temporal.temporal_neighborhood(
+            anchors.select("user_id", "seq"),
+            seqd.select("user_id", "event_id", "value", "seq"),
+            keys=["user_id"], mode=mode, range_filter=3,
+        ).select("user_id", "event_id", "value").distinct()
+        curb = cands.groupBy("user_id").agg(F.max("value").alias("cur_best"))
+        outs.append(
+            curb.join(prevb, "user_id").select(
+                F.lit(label).alias("mode"),
+                "user_id", "cur_best", "prev_best",
+                (F.col("cur_best") + F.col("prev_best")).alias("combined"),
+            )
         )
-        .orderBy(F.desc("combined"), F.asc("user_id"))
-    )
+    return outs[0].union(outs[1]).orderBy("mode", F.desc("combined"), "user_id")
 
 
 @query(

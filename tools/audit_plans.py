@@ -21,7 +21,7 @@ sys.path.insert(0, "/root/repo")
 # aggregate (min/max/norm/count) back into the plan.
 SCALAR_BROADCAST_OK = {
     "fusion_dual_model_ensemble",
-    "fusion_dual_model_true",    # min-max norm: 1-row scalar broadcast per list
+    "fusion_dual_model_d64_arms",  # min-max norm: 1-row scalar broadcast per list
     "fusion_dual_model_true_d768",  # same min-max 1-row broadcasts, at width
     "fusion_l2_dedup_max",
     "fusion_hybrid_sparse_dense",
@@ -47,15 +47,10 @@ SCALAR_BROADCAST_OK = {
     "emb_near_dup_exact",    # all-pairs audit path: cross join BY DESIGN
     # (ann_ivf_topk_cosine / ann_recall_at_k no longer need an entry:
     # the quantizer assignment is precomputed — index_store.ivf_assignments)
-    "ann_lsh_recall_grid",   # 1-row candidates × 1-row hits scalar combine per config
-    "ann_lsh_multiprobe_recall_grid",  # same 1-row scalar combine per probe level
-    "ann_ivf_recall_grid",   # same 1-row scalar combine per nprobe config
-    "ann_ivf_trained_recall_grid",  # same 1-row scalar combine, trained centroids
-    "ann_lsh_d768_tuned_grid",   # same 1-row candidates × hits combine per geometry
-    "ann_ivf_d768_tuned_grid",   # same 1-row scalar combine per nprobe at width
-    "ann_ivf_filtered_recall_grid",  # same 1-row candidates × hits combine per (sel, nprobe)
+    "ann_lsh_family_grid",   # 1-row candidates × 1-row hits scalar combine per config
+    "ann_ivf_family_grid",   # same 1-row scalar combine per (variant, config)
+    "ann_pq_family_grid",    # tiny LUT crosses + 1-row scalar combines per variant
     "ann_ivfpq_adc_topk",     # nprobe-row probe x M.KS-row codebook LUT build
-    "ann_ivfpq_recall_grid",  # same tiny LUT cross + 1-row scalar combines
     "ann_pq_batch_adc_topk",  # request-sized query batch fanout + LUT cross
     "dense_batch_topk_cosine",  # corpus × request-sized query batch
     "text_bigram_lm_scores",    # 1-row vocabulary-size scalar broadcast
@@ -65,14 +60,12 @@ SCALAR_BROADCAST_OK = {
     "skew_salted_join_lang",    # salted_join replicates the dim across shards BY DESIGN
     "sketch_kmv_distinct_tokens",  # 1-row sketch × 1-row exact-count scalar combine
     "sketch_binned_quantiles",     # bins × quantile-target theta join: both driver-sized
-    "dedup_lsh_recall_audit",      # 1-row n_true × 1-row n_found scalar combine
-    "dedup_lsh_capped_recall_audit",  # same 1-row scalar combine, capped path
+    "dedup_lsh_recall_audits",     # 1-row n_true × n_found scalar combines, both arms
     "monitor_token_drift",         # two 1-row corpus-total scalar broadcasts
     "events_resample_hourly_gapfill",  # hour-grid × type-dim densify: the product space IS the output
     "ann_incremental_recall_drift",  # 1-row candidates × hits × max-cell scalar combine per arm
     "index_lifecycle_end_to_end",    # 1-row per-stage gauge scalar combines
-    "dedup_semantic_recall_audit",   # exact all-pairs audit side + 1-row found × true combine
-    "dedup_semantic_capped_recall_audit",  # 1-row capped × uncapped count combine
+    "dedup_semantic_recall_audits",  # exact all-pairs audit side + 1-row count combines, both arms
     "curation_quality_threshold_grid",     # 4-row threshold-dim fanout + 1-row total combine
 }
 
