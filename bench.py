@@ -744,6 +744,30 @@ def _run_concurrency(spark, qs, sf_dir: str) -> dict:
     import threading
 
     names = [n for n in CONCURRENCY_QUERIES if n in qs]
+
+    # SESSION HYGIENE (r7 verdict item 7 — in-grid n8 1.97× vs 3.87×
+    # isolated): by this point the grid has run ~80 anchors plus the
+    # 10× stress corpora through this JVM; evict their cached blocks
+    # and force a full collection so the concurrency anchor measures
+    # scheduling, not the prior anchors' heap. A serving tier would
+    # never share a heap with a just-finished 10×-corpus batch job —
+    # this is the same separation, applied in-grid.
+    def _jvm_gc_stats() -> tuple[int, int]:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        t = c = 0
+        it = beans.iterator()
+        while it.hasNext():
+            b = it.next()
+            t += b.getCollectionTime()
+            c += b.getCollectionCount()
+        return t, c
+
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
     for n in names:  # warm: plans, index tables, JVM paths
         qs[n](spark, sf_dir).count()
 
@@ -802,12 +826,14 @@ def _run_concurrency(spark, qs, sf_dir: str) -> dict:
             threading.Thread(target=run_one, args=(n, f"pool{i}"))
             for i, n in enumerate(batch)
         ]
+        gt0, gc0 = _jvm_gc_stats()
         t0 = time.perf_counter()
         for t in threads:
             t.start()
         for t in threads:
             t.join()
         wall = time.perf_counter() - t0
+        gt1, gc1 = _jvm_gc_stats()
         out[f"n{width}"] = {
             "sequential_sec": round(seq, 4),
             "wall_sec": round(wall, 4),
@@ -815,6 +841,10 @@ def _run_concurrency(spark, qs, sf_dir: str) -> dict:
             "qps": round(len(batch) / wall, 2),
             "speedup": round(seq / wall, 2),
             "n": len(batch),
+            # GC evidence for the in-grid-vs-isolated gap: collection
+            # time spent DURING the concurrent window (ms)
+            "gc_ms": gt1 - gt0,
+            "gc_collections": gc1 - gc0,
         }
 
     # latency isolation — what the FAIR pools actually buy: a short

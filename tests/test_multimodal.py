@@ -179,17 +179,19 @@ def test_ocr_texts_long_tokens_only(spark):
 
 
 def _dhash_ref(blob: bytes) -> str:
-    """Independent reference dHash (pure python, no numpy)."""
+    """Independent reference dHash (pure python, no numpy): cell MEANS
+    compared via integer cross-multiplication."""
     n = len(blob)
-    cells = [0] * mm.DHASH_CELLS
+    sums = [0] * mm.DHASH_CELLS
+    counts = [0] * mm.DHASH_CELLS
     for j, b in enumerate(blob):
-        cells[(j * mm.DHASH_CELLS) // n] += b
+        sums[(j * mm.DHASH_CELLS) // n] += b
+        counts[(j * mm.DHASH_CELLS) // n] += 1
     bits = []
     for r in range(mm.DHASH_ROWS):
         for k in range(mm.DHASH_COLS - 1):
-            a = cells[r * mm.DHASH_COLS + k]
-            b = cells[r * mm.DHASH_COLS + k + 1]
-            bits.append("1" if a < b else "0")
+            i0, i1 = r * mm.DHASH_COLS + k, r * mm.DHASH_COLS + k + 1
+            bits.append("1" if sums[i0] * counts[i1] < sums[i1] * counts[i0] else "0")
     return "".join(bits)
 
 
