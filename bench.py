@@ -819,32 +819,44 @@ def _run_concurrency(spark, qs, sf_dir: str) -> dict:
         if avg_cores > 0
         else None,
     }
+    # MEDIAN OF 3 concurrent rounds per width: a single 2-4 s
+    # concurrent window is scheduling-noise-dominated — identical code
+    # measured n8 speedup 1.41 / 1.97 / 2.84 across three grid runs
+    # (r7-r8), while the per-round GC deltas (recorded below) show the
+    # window spends <100 ms collecting, exonerating heap pressure.
     for width in (4, 8):
         batch = names[:width]
         seq = sum(per_query[n] for n in batch)
-        threads = [
-            threading.Thread(target=run_one, args=(n, f"pool{i}"))
-            for i, n in enumerate(batch)
-        ]
-        gt0, gc0 = _jvm_gc_stats()
-        t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        wall = time.perf_counter() - t0
-        gt1, gc1 = _jvm_gc_stats()
+        walls, gcs_ms, gcs_n = [], [], []
+        for _rep in range(3):
+            threads = [
+                threading.Thread(target=run_one, args=(n, f"pool{i}"))
+                for i, n in enumerate(batch)
+            ]
+            gt0, gc0 = _jvm_gc_stats()
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            walls.append(time.perf_counter() - t0)
+            gt1, gc1 = _jvm_gc_stats()
+            gcs_ms.append(gt1 - gt0)
+            gcs_n.append(gc1 - gc0)
+        wall = statistics.median(walls)
         out[f"n{width}"] = {
             "sequential_sec": round(seq, 4),
             "wall_sec": round(wall, 4),
+            "wall_spread": [round(w, 4) for w in sorted(walls)],
             "sequential_qps": round(len(batch) / seq, 2),
             "qps": round(len(batch) / wall, 2),
             "speedup": round(seq / wall, 2),
+            "speedup_spread": sorted(round(seq / w, 2) for w in walls),
             "n": len(batch),
             # GC evidence for the in-grid-vs-isolated gap: collection
-            # time spent DURING the concurrent window (ms)
-            "gc_ms": gt1 - gt0,
-            "gc_collections": gc1 - gc0,
+            # time spent DURING the concurrent windows (ms, per round)
+            "gc_ms": gcs_ms,
+            "gc_collections": gcs_n,
         }
 
     # latency isolation — what the FAIR pools actually buy: a short
@@ -882,11 +894,29 @@ def _run_concurrency(spark, qs, sf_dir: str) -> dict:
     return out
 
 
+# Grid hygiene cadence: without it, anchors late in an ~84-query grid
+# measured 2-4× their isolated cost (r8: rerank_cross_encoder 7.47 s
+# in-grid vs 2.16 s isolated, sparse_prf 8.42 vs 3.49) — the session
+# accumulates cached blocks, lingering torrent broadcasts, and codegen
+# churn that a serving JVM would never carry. Evicting caches and
+# forcing a collection every few anchors keeps each measurement about
+# the QUERY, not about the 60 anchors before it; the untimed warm-up
+# run right after repopulates whatever the next anchor needs.
+HYGIENE_EVERY = 15
+
+
+def _session_hygiene(spark) -> None:
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
+
 def _time_queries(
     spark, qs, names, sf_dir: str, spreads: dict | None = None
 ) -> dict[str, float]:
     timings: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
+        if i % HYGIENE_EVERY == 0 and i > 0:
+            _session_hygiene(spark)
         fn = qs[name]
         fn(spark, sf_dir).count()  # warm-up (also builds index tables)
         watched = spreads is not None and name in DRIFT_WATCH
