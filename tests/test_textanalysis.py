@@ -137,3 +137,34 @@ def test_repetition_features_flags_repeats(spark):
     assert got[2]["dup_line_frac"] == 0.0
     assert got[2]["top_bigram_count"] == 1
     assert got[2]["dup_trigram_frac"] == 0.0
+
+
+def test_hamming_distance_matches_positional_definition(spark):
+    """The packed conv/XOR/bit_count hamming must equal the positional
+    mismatch count for arbitrary bit strings, including all-zero,
+    all-one, and single-bit cases (it replaced an interpreted
+    per-position substr fold that dominated the near-dup verify)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from multi_search_retrival_big_data_spark.operators.textanalysis import (
+        hamming_distance,
+    )
+
+    rng = random.Random(8)
+    rows = [("0" * 64, "0" * 64), ("1" * 64, "0" * 64)]
+    for _ in range(20):
+        a = "".join(rng.choice("01") for _ in range(64))
+        flip = rng.sample(range(64), rng.randint(0, 64))
+        b = "".join(
+            ("1" if a[i] == "0" else "0") if i in flip else a[i] for i in range(64)
+        )
+        rows.append((a, b))
+    df = spark.createDataFrame(rows, "a STRING, b STRING")
+    got = df.select(
+        "a", "b", hamming_distance(F.col("a"), F.col("b")).alias("h")
+    ).collect()
+    for r in got:
+        expected = sum(1 for x, y in zip(r["a"], r["b"]) if x != y)
+        assert r["h"] == expected, (r["a"], r["b"], r["h"], expected)
