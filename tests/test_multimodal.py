@@ -239,3 +239,188 @@ def test_image_near_dup_unrelated_items_far(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in mm.image_near_duplicates(fp).collect()}
     cross = {(a, b) for a, b in pairs if a // 10 != b // 10}
     assert cross == set()
+
+
+# ---- audio landmark near-dup ------------------------------------------------
+
+
+def _audio_media(spark, rows):
+    docs = spark.createDataFrame(
+        [(i, t, f"s{i}") for i, t in rows],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    return mm.as_media_table(docs)
+
+
+def _py_landmarks(blob: bytes):
+    """Reference implementation of audio_landmarks for one clip."""
+    w = mm.AUDIO_WIN
+    nw = len(blob) // w
+    if nw < 3:
+        return []
+    env = [sum(blob[i * w : (i + 1) * w]) for i in range(nw)]
+    peaks = [
+        i
+        for i in range(1, nw - 1)
+        if env[i] > env[i - 1] and env[i] >= env[i + 1]
+    ]
+    out = []
+    for a in range(len(peaks)):
+        for b in range(a + 1, min(a + 1 + mm.AUDIO_FAN, len(peaks))):
+            dt = peaks[b] - peaks[a]
+            if dt > mm.AUDIO_MAX_DT:
+                break
+            key = (
+                (env[peaks[a]] // mm.AUDIO_QUANT) * 512
+                + env[peaks[b]] // mm.AUDIO_QUANT
+            ) * (mm.AUDIO_MAX_DT + 1) + dt
+            out.append((peaks[a], key))
+    return out
+
+
+def test_audio_landmarks_match_reference_impl(spark):
+    # media_id 1 -> audio; deliberately bumpy so peaks exist
+    text = "aAzZbByYcCxXdDwWeEvVfFuUgGtT" * 6
+    media = _audio_media(spark, [(1, text)])
+    clips = mm.synth_audio_clips(media)
+    got = sorted(
+        (r["clip_id"], r["t"], r["key"])
+        for r in mm.audio_landmarks(clips).collect()
+    )
+    blob = text.encode()
+    want = sorted(
+        [(10, t, k) for t, k in _py_landmarks(blob)]
+        + [(11, t, k) for t, k in _py_landmarks(blob[mm.AUDIO_CLIP_SHIFT:])]
+    )
+    assert got == want
+
+
+def test_audio_clip_shift_found_at_offset_minus_two(spark):
+    # long noisy payload -> many peaks; its shifted clip must vote
+    # the whole overlap onto offset -2 and clear MIN_VOTES
+    import random
+
+    rng = random.Random(7)
+    text = "".join(chr(32 + rng.randrange(90)) for _ in range(400))
+    media = _audio_media(spark, [(7, text)])  # 7 % 3 == 1 -> audio
+    # (7 // 3) % 2 == 0 -> clip 1 exists
+    clips = mm.synth_audio_clips(media)
+    assert {r["clip_id"] for r in clips.select("clip_id").collect()} == {70, 71}
+    out = mm.audio_near_duplicates(mm.audio_landmarks(clips)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"], r["offset"]) == (70, 71, -2)
+    assert r["votes"] >= mm.AUDIO_MIN_VOTES
+
+
+def test_audio_unrelated_clips_not_paired(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (1 + 3 * i, "".join(chr(32 + rng.randrange(90)) for _ in range(300)))
+        for i in range(6)
+    ]
+    media = _audio_media(spark, rows)
+    lm = mm.audio_landmarks(mm.synth_audio_clips(media))
+    pairs = mm.audio_near_duplicates(lm).collect()
+    # only the planted shifted clips pair up; unrelated clips never
+    # reach MIN_VOTES at one offset
+    assert all(r["id_a"] // 10 == r["id_b"] // 10 for r in pairs)
+
+
+def test_audio_viral_key_df_cap(spark):
+    # one landmark key planted in many clips: with the cap lowered
+    # below the clip count the key contributes nothing
+    lm_rows = [(cid, 3, 777) for cid in range(20)] + [
+        (cid, 9, 1000 + cid) for cid in range(20)
+    ]
+    lm = spark.createDataFrame(lm_rows, "clip_id BIGINT, t BIGINT, key BIGINT")
+    hits = mm.audio_near_duplicates(lm, max_key_df=10, min_votes=1).collect()
+    assert hits == []
+    # with the cap above the df the viral key pairs everything
+    hits = mm.audio_near_duplicates(lm, max_key_df=64, min_votes=1).collect()
+    assert len(hits) == 20 * 19 // 2
+
+
+# ---- video frame-sequence near-dup ------------------------------------------
+
+
+def _py_video_frames(mid: int, blob: bytes):
+    """Reference implementation of synth_video_sequences for one video."""
+    n = len(blob)
+    rot = n // mm.VIDEO_ROT_DIV + 1
+    out = {}
+    for t in range(mm.VIDEO_FRAME_COUNT):
+        k = (t * rot) % n
+        out[mid * 100 + t] = blob[k:] + blob[:k]
+    for tp in range(mm.VIDEO_FRAME_COUNT - mm.VIDEO_SHIFT):
+        k = ((tp + mm.VIDEO_SHIFT) * rot) % n
+        fb = blob[k:] + blob[:k]
+        q = (tp * mm.KEYFRAME_STRIDE) % n
+        fb = fb[:q] + bytes([32 + (fb[q] + mm.VIDEO_SALT) % 90]) + fb[q + 1 :]
+        out[mid * 100 + 10 + tp] = fb
+    return out
+
+
+def test_video_sequences_match_reference_impl(spark):
+    text = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [(2, text, "s2"), (5, text, "s5"), (4, text, "s4")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    frames = mm.synth_video_sequences(mm.as_media_table(docs))
+    got = {
+        r["frame_id"]: bytes(r["content"]) for r in frames.collect()
+    }
+    # id 5 is video but odd -> skipped; id 4 is audio -> skipped
+    want = _py_video_frames(2, text.encode())
+    assert got == want
+
+
+def test_video_near_dup_trimmed_reencode_found(spark):
+    import random
+
+    rng = random.Random(3)
+    text = "".join(chr(32 + rng.randrange(90)) for _ in range(360))
+    docs = spark.createDataFrame(
+        [(8, text, "s")], "doc_id BIGINT, text STRING, source STRING"
+    )
+    fp = mm.dhash_fingerprints(
+        mm.synth_video_sequences(mm.as_media_table(docs))
+    )
+    out = mm.video_near_duplicates(fp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"], r["offset"]) == (80, 81, -mm.VIDEO_SHIFT)
+    assert r["votes"] == mm.VIDEO_FRAME_COUNT - mm.VIDEO_SHIFT
+
+
+def test_video_unrelated_clips_not_paired(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (2 + 6 * i, "".join(chr(32 + rng.randrange(90)) for _ in range(300)), "s")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    fp = mm.dhash_fingerprints(
+        mm.synth_video_sequences(mm.as_media_table(docs))
+    )
+    pairs = mm.video_near_duplicates(fp).collect()
+    assert all(r["id_a"] // 10 == r["id_b"] // 10 for r in pairs)
+    assert len(pairs) == 5  # exactly the planted re-encodes
+
+
+def test_video_single_frame_match_below_vote_bar(spark):
+    # two clips sharing ONE near-identical frame are NOT video dups
+    fp_rows = [
+        (100, "0" * 64),  # clip 10, t=0
+        (200, "0" * 63 + "1"),  # clip 20, t=0: hamming 1 -> frame match
+        (201, "1" * 64),
+        (101, "0" * 32 + "1" * 32),
+    ]
+    fp = spark.createDataFrame(fp_rows, "frame_id BIGINT, dhash STRING")
+    assert mm.video_near_duplicates(fp).collect() == []
+    assert mm.video_near_duplicates(fp, min_votes=1).count() == 1
