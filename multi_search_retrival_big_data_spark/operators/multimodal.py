@@ -614,10 +614,14 @@ def dhash_fingerprints(frames: DataFrame, decoder: str = FAKE_DECODER) -> DataFr
     return frames.mapInPandas(_dhash, "frame_id BIGINT, dhash STRING")
 
 
+DHASH_MAX_BUCKET = 64  # viral-bucket guard for the capped production path
+
+
 def image_near_duplicates(
     fingerprints: DataFrame,
     id_col: str = "frame_id",
     max_hamming: int = DHASH_MAX_HAMMING,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate pairs over dHash fingerprints —
     REUSES the SimHash Hamming-band LSH verbatim (pigeonhole over 8
@@ -634,6 +638,7 @@ def image_near_duplicates(
         fingerprints.select(F.col(id_col), F.col("dhash").alias("simhash")),
         id_col,
         max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )
 
 

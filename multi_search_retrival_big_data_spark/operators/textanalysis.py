@@ -105,11 +105,26 @@ def simhash_near_duplicates(
     id_col: str,
     max_hamming: int = SIMHASH_CHUNKS - 1,
     chunks: int = SIMHASH_CHUNKS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates share at least one
     exact 8-bit chunk (pigeonhole guarantees 100% recall for distance
     ≤ chunks-1), then verified hamming ≤ max_hamming.
-    Returns (id_a, id_b, hamming)."""
+    Returns (id_a, id_b, hamming).
+
+    `max_bucket=None` emits all pairs per (chunk_idx, chunk) bucket —
+    O(m²) in the bucket size. A byte-identical duplicate storm (one
+    viral page / frame replicated 10⁶ times) puts every copy in the
+    SAME buckets and the stage dies at m², exactly the MinHash
+    mega-bucket pathology. With `max_bucket=B`, over-cap buckets emit
+    only the id-sorted consecutive CHAIN plus a STAR to the bucket
+    minimum (the dedup.lsh_candidate_pairs guard, dedup.py:168): O(m)
+    pairs per bucket under any skew. Since members of a byte-identical
+    storm have hamming 0 pairwise, chain+star keeps the whole storm
+    connected through the hamming verify for downstream clustering;
+    the pairs dropped are only the non-adjacent combinations inside
+    over-cap buckets (the same recall trade the SemDeDup viral-cell
+    guard prices, dedup.py:899)."""
     width = SIMHASH_BITS // chunks
     chunked = fingerprints.select(
         F.col(id_col),
@@ -126,18 +141,59 @@ def simhash_near_duplicates(
             )
         ).alias("e"),
     ).select(id_col, "simhash", "e.chunk_idx", "e.chunk")
-    a = chunked.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk"
-    )
-    b = chunked.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk"
-    )
-    cand = (
-        a.join(b, ["chunk_idx", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    if max_bucket is None:
+        a = chunked.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk"
+        )
+        b = chunked.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk"
+        )
+        cand = (
+            a.join(b, ["chunk_idx", "chunk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .distinct()
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("chunk_idx", "chunk")
+        wo = w.orderBy(id_col)
+        # carry (id, simhash) together through min/lag so mega-bucket
+        # pairs need no fingerprint re-join
+        me = F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
+        ann = chunked.select(
+            me.alias("me"),
+            "chunk_idx",
+            "chunk",
+            F.count(F.lit(1)).over(w).alias("m"),
+            F.min(me).over(w).alias("mn"),
+            F.lag(me).over(wo).alias("prev"),
+        )
+        small = ann.filter(F.col("m") <= max_bucket)
+        sa = small.select(
+            F.col("me.id").alias("id_a"), F.col("me.sh").alias("sh_a"),
+            "chunk_idx", "chunk",
+        )
+        sb = small.select(
+            F.col("me.id").alias("id_b"), F.col("me.sh").alias("sh_b"),
+            "chunk_idx", "chunk",
+        )
+        small_pairs = (
+            sa.join(sb, ["chunk_idx", "chunk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+        )
+        mega = ann.filter(F.col("m") > max_bucket)
+        chain = mega.filter(F.col("prev").isNotNull()).select(
+            F.col("prev.id").alias("id_a"), F.col("prev.sh").alias("sh_a"),
+            F.col("me.id").alias("id_b"), F.col("me.sh").alias("sh_b"),
+        )
+        star = mega.filter(F.col("me.id") > F.col("mn.id")).select(
+            F.col("mn.id").alias("id_a"), F.col("mn.sh").alias("sh_a"),
+            F.col("me.id").alias("id_b"), F.col("me.sh").alias("sh_b"),
+        )
+        cand = small_pairs.unionByName(chain).unionByName(star).distinct()
     return (
         cand.withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)

@@ -429,12 +429,14 @@ _KF_N = mm.KEYFRAME_COUNT
 _KF_STRIDE = mm.KEYFRAME_STRIDE
 _KF_SALT = mm.KEYFRAME_SALT
 
-# dHash tail shared by the image and video near-dup oracles: consumes
-# CTEs frames(frame_id, ..., n) and bytes(frame_id, j, n, b), produces
-# scored(id_a, id_b, hamming) via grid -> gradient bits -> 8-chunk
-# Hamming banding -> exact Hamming verify — the SQL mirror of
+# dHash CTEs shared by the image and video near-dup oracles: the FP
+# block consumes frames(frame_id, ..., n) and bytes(frame_id, j, n, b)
+# and produces fp(frame_id, dhash) + chunks (the 8-bit bands); the
+# PAIR blocks turn chunks into scored(id_a, id_b, hamming) — uncapped
+# (all pairs per bucket) or capped (chain+star inside over-cap
+# buckets, the lsh_candidate_pairs viral-bucket guard). SQL mirrors of
 # dhash_fingerprints + simhash_near_duplicates.
-_DHASH_TAIL_CTES = f"""
+_DHASH_FP_CTES = f"""
     cells AS (
       SELECT frame_id, (j * {_DH_CELLS}) // n AS c, SUM(b) AS v, COUNT(*) AS cnt
       FROM bytes GROUP BY frame_id, (j * {_DH_CELLS}) // n
@@ -461,14 +463,9 @@ _DHASH_TAIL_CTES = f"""
       SELECT frame_id, dhash, CAST(k AS INTEGER) AS chunk_idx,
              substring(dhash, CAST(k AS INTEGER) * 8 + 1, 8) AS chunk
       FROM fp, unnest(range(0, 8)) AS t(k)
-    ),
-    cand AS (
-      SELECT DISTINCT a.frame_id AS id_a, b.frame_id AS id_b,
-             a.dhash AS da, b.dhash AS db
-      FROM chunks a
-      JOIN chunks b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
-                   AND a.frame_id < b.frame_id
-    ),
+    )"""
+
+_DHASH_SCORE_CTE = f"""
     scored AS (
       SELECT id_a, id_b,
              len(list_filter(range(1, {_DH_BITS + 1}),
@@ -476,6 +473,16 @@ _DHASH_TAIL_CTES = f"""
                    <> substring(db, CAST(p AS INTEGER), 1))) AS hamming
       FROM cand
     )"""
+
+_DHASH_PAIR_CTES = f"""
+    cand AS (
+      SELECT DISTINCT a.frame_id AS id_a, b.frame_id AS id_b,
+             a.dhash AS da, b.dhash AS db
+      FROM chunks a
+      JOIN chunks b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+                   AND a.frame_id < b.frame_id
+    ),
+    {_DHASH_SCORE_CTE.strip()}"""
 
 
 @query(
@@ -494,7 +501,8 @@ _DHASH_TAIL_CTES = f"""
                   ELSE ord(substring(text, CAST(i AS INTEGER), 1)) END AS b
       FROM frames, unnest(range(1, n + 1)) AS t(i)
     ),
-    {_DHASH_TAIL_CTES}
+    {_DHASH_FP_CTES},
+    {_DHASH_PAIR_CTES}
     SELECT id_a, id_b, hamming FROM scored
     WHERE hamming <= {_DH_MAXH}
     ORDER BY hamming, id_a, id_b
@@ -659,7 +667,8 @@ _VID_MINV = mm.VIDEO_MIN_VOTES
                   ELSE ord(substring(ftext, CAST(i AS INTEGER), 1)) END AS b
       FROM frames, unnest(range(1, n + 1)) AS t(i)
     ),
-    {_DHASH_TAIL_CTES},
+    {_DHASH_FP_CTES},
+    {_DHASH_PAIR_CTES},
     hits AS (
       SELECT id_a // 10 AS clip_a, id_a % 10 AS ta,
              id_b // 10 AS clip_b, id_b % 10 AS tb
@@ -704,3 +713,107 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("offset").cast("bigint").alias("offset"),
         F.col("votes").cast("bigint").alias("votes"),
     ).orderBy("id_a", "id_b")
+
+
+# ---- capped (viral-bucket-guarded) perceptual near-dup ----------------------
+
+_DH_BUCKET = mm.DHASH_MAX_BUCKET
+_DH_BUCKET_GUARDED = 16  # forced-guard arm: fires on real gate-scale buckets
+
+
+def _dhash_capped_pair_ctes(cap: int, sfx: str) -> str:
+    """Chain+star pair CTEs for over-cap buckets, instantiated once per
+    arm — the SQL mirror of simhash_near_duplicates(max_bucket=cap):
+    buckets of size m <= cap emit all pairs, larger buckets emit the
+    id-sorted consecutive chain plus a star to the bucket minimum
+    (O(m), not O(m^2), under any skew)."""
+    return f"""
+    rawpairs{sfx} AS (
+      SELECT a.frame_id AS id_a, b.frame_id AS id_b
+      FROM ann a
+      JOIN ann b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+                AND a.frame_id < b.frame_id
+      WHERE a.m <= {cap}
+      UNION
+      SELECT prev, frame_id FROM ann
+      WHERE m > {cap} AND prev IS NOT NULL
+      UNION
+      SELECT mn, frame_id FROM ann
+      WHERE m > {cap} AND frame_id > mn
+    ),
+    cand{sfx} AS (
+      SELECT DISTINCT p.id_a, p.id_b, fa.dhash AS da, fb.dhash AS db
+      FROM rawpairs{sfx} p
+      JOIN fp fa ON fa.frame_id = p.id_a
+      JOIN fp fb ON fb.frame_id = p.id_b
+    ),
+    scored{sfx} AS (
+      SELECT id_a, id_b,
+             len(list_filter(range(1, {mm.DHASH_BITS + 1}),
+                 p -> substring(da, CAST(p AS INTEGER), 1)
+                   <> substring(db, CAST(p AS INTEGER), 1))) AS hamming
+      FROM cand{sfx}
+    )"""
+
+
+@query(
+    "multimodal_image_near_dup_capped",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id * 10 + f AS frame_id, CAST(f AS BIGINT) AS f,
+             text, length(text) AS n
+      FROM documents, unnest(range(0, {_KF_N})) AS t(f)
+      WHERE doc_id % 3 = 0 AND length(text) > 0
+    ),
+    bytes AS (
+      SELECT frame_id, CAST(i AS BIGINT) - 1 AS j, n,
+             CASE WHEN CAST(i AS BIGINT) - 1 = (f * {_KF_STRIDE}) % n
+                  THEN 32 + (ord(substring(text, CAST(i AS INTEGER), 1)) + f * {_KF_SALT}) % 90
+                  ELSE ord(substring(text, CAST(i AS INTEGER), 1)) END AS b
+      FROM frames, unnest(range(1, n + 1)) AS t(i)
+    ),
+    {_DHASH_FP_CTES},
+    ann AS (
+      SELECT frame_id, dhash, chunk_idx, chunk,
+             COUNT(*) OVER (PARTITION BY chunk_idx, chunk) AS m,
+             MIN(frame_id) OVER (PARTITION BY chunk_idx, chunk) AS mn,
+             LAG(frame_id) OVER (PARTITION BY chunk_idx, chunk
+                                 ORDER BY frame_id) AS prev
+      FROM chunks
+    ),
+    {_dhash_capped_pair_ctes(_DH_BUCKET, "_p").strip()},
+    {_dhash_capped_pair_ctes(_DH_BUCKET_GUARDED, "_g").strip()}
+    SELECT 'production' AS arm, id_a, id_b, hamming FROM scored_p
+    WHERE hamming <= {_DH_MAXH}
+    UNION ALL
+    SELECT 'guarded', id_a, id_b, hamming FROM scored_g
+    WHERE hamming <= {_DH_MAXH}
+    ORDER BY arm, hamming, id_a, id_b
+    """,
+)
+def multimodal_image_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup on the viral-bucket-GUARDED path, two arms in one
+    row: 'production' runs max_bucket=DHASH_MAX_BUCKET (a byte-identical
+    frame storm lands every copy in the same 8-bit Hamming bands and the
+    uncapped banding join dies at O(m²); the guard emits chain+star
+    inside over-cap buckets — O(m) pairs that keep hamming-0 storms
+    fully connected for downstream clustering); 'guarded' forces
+    max_bucket={_DH_BUCKET_GUARDED} so the chain+star election FIRES on
+    naturally-over-cap gate-scale buckets and is proven bit-for-bit on
+    both engines (no gate-scale bucket exceeds the production cap —
+    tests/test_multimodal.py asserts that precondition loudly, the
+    SemDeDup cap-soundness pattern). Same guard and same recall trade
+    as dedup_minhash_lsh_capped; completes the viral-skew guards across
+    the MinHash, SemDeDup, and perceptual-fingerprint families."""
+    docs = tables.load(spark, "documents", sf_dir)
+    frames = mm.synth_keyframes(mm.as_media_table(docs))
+    fp = mm.dhash_fingerprints(frames).persist()
+    prod = mm.image_near_duplicates(fp, max_bucket=mm.DHASH_MAX_BUCKET).select(
+        F.lit("production").alias("arm"), "id_a", "id_b",
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+    guarded = mm.image_near_duplicates(fp, max_bucket=_DH_BUCKET_GUARDED).select(
+        F.lit("guarded").alias("arm"), "id_a", "id_b",
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+    return prod.unionByName(guarded).orderBy("arm", "hamming", "id_a", "id_b")

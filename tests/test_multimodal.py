@@ -424,3 +424,82 @@ def test_video_single_frame_match_below_vote_bar(spark):
     fp = spark.createDataFrame(fp_rows, "frame_id BIGINT, dhash STRING")
     assert mm.video_near_duplicates(fp).collect() == []
     assert mm.video_near_duplicates(fp, min_votes=1).count() == 1
+
+
+# ---- viral-bucket guard (capped Hamming banding) -----------------------------
+
+
+def test_simhash_max_bucket_chain_star_on_storm(spark):
+    from multi_search_retrival_big_data_spark.operators.textanalysis import (
+        simhash_near_duplicates,
+    )
+
+    # a byte-identical storm: 200 frames with ONE fingerprint
+    storm = [(i, "01" * 32) for i in range(200)]
+    fp = spark.createDataFrame(storm, "frame_id BIGINT, simhash STRING")
+    uncapped = simhash_near_duplicates(fp, "frame_id", max_hamming=6)
+    capped = simhash_near_duplicates(fp, "frame_id", max_hamming=6, max_bucket=50)
+    assert uncapped.count() == 200 * 199 // 2
+    got = capped.collect()
+    # chain (m-1) + star (m-1), overlapping on (min, min+1): 2m-3
+    assert len(got) == 2 * 200 - 3
+    assert all(r["hamming"] == 0 for r in got)
+    # the storm stays CONNECTED: union-find over emitted pairs -> 1 component
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in got:
+        parent[find(r["id_a"])] = find(r["id_b"])
+    assert len({find(i) for i in range(200)}) == 1
+
+
+def test_simhash_max_bucket_small_buckets_unchanged(spark):
+    from multi_search_retrival_big_data_spark.operators.textanalysis import (
+        simhash_near_duplicates,
+    )
+
+    rows = [(1, "0" * 64), (2, "0" * 63 + "1"), (3, "1" * 64)]
+    fp = spark.createDataFrame(rows, "frame_id BIGINT, simhash STRING")
+    base = {(r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_duplicates(fp, "frame_id").collect()}
+    capped = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in simhash_near_duplicates(fp, "frame_id", max_bucket=10).collect()}
+    assert base == capped == {(1, 2, 1)}
+
+
+def test_dhash_bucket_cap_sound_at_gate_scale(spark):
+    """multimodal_image_near_dup (uncapped oracle) and the capped row's
+    'production' arm agree only while no gate-scale (chunk_idx, chunk)
+    bucket exceeds DHASH_MAX_BUCKET. Make that precondition fail LOUDLY
+    (the SemDeDup cap-soundness pattern) instead of as a confusing
+    oracle mismatch after a corpus change."""
+    from multi_search_retrival_big_data_spark import tables
+
+    docs = tables.load(spark, "documents", "/root/testdata/sf0.01")
+    fp = mm.dhash_fingerprints(mm.synth_keyframes(mm.as_media_table(docs)))
+    chunked = fp.select(
+        "frame_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_idx"),
+                    F.substring("dhash", c * 8 + 1, 8).alias("chunk"),
+                )
+                for c in range(8)
+            ])
+        ).alias("e"),
+    ).select("frame_id", "e.chunk_idx", "e.chunk")
+    max_bucket = (
+        chunked.groupBy("chunk_idx", "chunk").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_bucket < mm.DHASH_MAX_BUCKET, (
+        f"gate-scale max dHash band bucket {max_bucket} >= production cap "
+        f"{mm.DHASH_MAX_BUCKET}: multimodal_image_near_dup's uncapped oracle "
+        "no longer mirrors the capped production arm — raise the cap or "
+        "move the row to the capped-mirror oracle"
+    )
