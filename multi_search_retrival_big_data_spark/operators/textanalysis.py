@@ -85,7 +85,10 @@ def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
     substr(a,p,1) != substr(b,p,1))` evaluated 2·bits interpreted
     variable-position substrings per row and dominated the near-dup
     verify stage (measured 35 s of a 40 s image-near-dup run at sf0.1
-    over 1.15M candidate pairs)."""
+    over 1.15M candidate pairs). simhash_near_duplicates now packs the
+    halves to bigints BEFORE its banding join (narrower shuffle, one
+    conv per fingerprint instead of per pair), so this string-input
+    helper serves ad-hoc comparisons, not the serving path."""
     terms = []
     lo = 1
     while lo <= bits:
@@ -126,9 +129,18 @@ def simhash_near_duplicates(
     over-cap buckets (the same recall trade the SemDeDup viral-cell
     guard prices, dedup.py:899)."""
     width = SIMHASH_BITS // chunks
+    # pack the 64-bit fingerprint into two 32-bit halves BEFORE the
+    # banding join: the candidate shuffle then carries 2 bigints per
+    # side instead of a 64-char string (~8x narrower distinct), and
+    # the verify is two xor/bit_count ops instead of conv-parsing the
+    # string per pair (same exact hamming; measured 6.1 s -> see
+    # BASELINE.md r8 close for the image near-dup anchor)
+    p0 = F.conv(F.substring("simhash", 1, 32), 2, 10).cast("bigint")
+    p1 = F.conv(F.substring("simhash", 33, 32), 2, 10).cast("bigint")
     chunked = fingerprints.select(
         F.col(id_col),
-        F.col("simhash"),
+        p0.alias("p0"),
+        p1.alias("p1"),
         F.explode(
             F.array(
                 *[
@@ -140,18 +152,20 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("e"),
-    ).select(id_col, "simhash", "e.chunk_idx", "e.chunk")
+    ).select(id_col, "p0", "p1", "e.chunk_idx", "e.chunk")
     if max_bucket is None:
         a = chunked.select(
-            F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk"
+            F.col(id_col).alias("id_a"), F.col("p0").alias("a0"),
+            F.col("p1").alias("a1"), "chunk_idx", "chunk",
         )
         b = chunked.select(
-            F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk"
+            F.col(id_col).alias("id_b"), F.col("p0").alias("b0"),
+            F.col("p1").alias("b1"), "chunk_idx", "chunk",
         )
         cand = (
             a.join(b, ["chunk_idx", "chunk"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
+            .select("id_a", "id_b", "a0", "a1", "b0", "b1")
             .distinct()
         )
     else:
@@ -159,9 +173,14 @@ def simhash_near_duplicates(
 
         w = Window.partitionBy("chunk_idx", "chunk")
         wo = w.orderBy(id_col)
-        # carry (id, simhash) together through min/lag so mega-bucket
-        # pairs need no fingerprint re-join
-        me = F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
+        # carry (id, packed halves) together through min/lag so
+        # mega-bucket pairs need no fingerprint re-join; struct
+        # ordering is by the leading id field, matching the oracle's
+        # MIN(frame_id)/LAG(... ORDER BY frame_id)
+        me = F.struct(
+            F.col(id_col).alias("id"), F.col("p0").alias("p0"),
+            F.col("p1").alias("p1"),
+        )
         ann = chunked.select(
             me.alias("me"),
             "chunk_idx",
@@ -172,30 +191,38 @@ def simhash_near_duplicates(
         )
         small = ann.filter(F.col("m") <= max_bucket)
         sa = small.select(
-            F.col("me.id").alias("id_a"), F.col("me.sh").alias("sh_a"),
-            "chunk_idx", "chunk",
+            F.col("me.id").alias("id_a"), F.col("me.p0").alias("a0"),
+            F.col("me.p1").alias("a1"), "chunk_idx", "chunk",
         )
         sb = small.select(
-            F.col("me.id").alias("id_b"), F.col("me.sh").alias("sh_b"),
-            "chunk_idx", "chunk",
+            F.col("me.id").alias("id_b"), F.col("me.p0").alias("b0"),
+            F.col("me.p1").alias("b1"), "chunk_idx", "chunk",
         )
         small_pairs = (
             sa.join(sb, ["chunk_idx", "chunk"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
+            .select("id_a", "id_b", "a0", "a1", "b0", "b1")
         )
         mega = ann.filter(F.col("m") > max_bucket)
         chain = mega.filter(F.col("prev").isNotNull()).select(
-            F.col("prev.id").alias("id_a"), F.col("prev.sh").alias("sh_a"),
-            F.col("me.id").alias("id_b"), F.col("me.sh").alias("sh_b"),
+            F.col("prev.id").alias("id_a"), F.col("prev.p0").alias("a0"),
+            F.col("prev.p1").alias("a1"),
+            F.col("me.id").alias("id_b"), F.col("me.p0").alias("b0"),
+            F.col("me.p1").alias("b1"),
         )
         star = mega.filter(F.col("me.id") > F.col("mn.id")).select(
-            F.col("mn.id").alias("id_a"), F.col("mn.sh").alias("sh_a"),
-            F.col("me.id").alias("id_b"), F.col("me.sh").alias("sh_b"),
+            F.col("mn.id").alias("id_a"), F.col("mn.p0").alias("a0"),
+            F.col("mn.p1").alias("a1"),
+            F.col("me.id").alias("id_b"), F.col("me.p0").alias("b0"),
+            F.col("me.p1").alias("b1"),
         )
         cand = small_pairs.unionByName(chain).unionByName(star).distinct()
+    hamming = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+    ).cast("int")
     return (
-        cand.withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
