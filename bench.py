@@ -136,6 +136,10 @@ STRESS_QUERIES = [
     # track token volume (the Caesar-rotated replicas share no windows,
     # keeping the duplicated-span population exactly 10×)
     "dedup_duplicate_spans",
+    # r8: audio landmark near-dup — the Caesar-rotated replicas have
+    # different byte envelopes, so the landmark population is exactly
+    # 10× and the df-capped key join should track it linearly
+    "multimodal_audio_near_dup",
 ]
 
 # queries timed on BOTH 10× corpora (uniform vs skewed) — each carries
