@@ -311,6 +311,9 @@ OPTIONAL_QUERIES = [
     "multimodal_audio_near_dup",
     # round-8: video frame-sequence near-dup (dHash frames + offset vote)
     "multimodal_video_near_dup",
+    # round-8: perceptual dedup product table (pairs -> components ->
+    # keep cluster-minimum frame) — dedup_keep_canonical's image twin
+    "multimodal_image_dedup_keep",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

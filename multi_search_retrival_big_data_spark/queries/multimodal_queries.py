@@ -817,3 +817,79 @@ def multimodal_image_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("hamming").cast("bigint").alias("hamming"),
     )
     return prod.unionByName(guarded).orderBy("arm", "hamming", "id_a", "id_b")
+
+
+@query(
+    "multimodal_image_dedup_keep",
+    oracle=f"""
+    WITH RECURSIVE frames AS (
+      SELECT doc_id * 10 + f AS frame_id, CAST(f AS BIGINT) AS f,
+             text, length(text) AS n
+      FROM documents, unnest(range(0, {_KF_N})) AS t(f)
+      WHERE doc_id % 3 = 0 AND length(text) > 0
+    ),
+    bytes AS (
+      SELECT frame_id, CAST(i AS BIGINT) - 1 AS j, n,
+             CASE WHEN CAST(i AS BIGINT) - 1 = (f * {_KF_STRIDE}) % n
+                  THEN 32 + (ord(substring(text, CAST(i AS INTEGER), 1)) + f * {_KF_SALT}) % 90
+                  ELSE ord(substring(text, CAST(i AS INTEGER), 1)) END AS b
+      FROM frames, unnest(range(1, n + 1)) AS t(i)
+    ),
+    {_DHASH_FP_CTES},
+    {_DHASH_PAIR_CTES},
+    pairs AS (
+      SELECT id_a, id_b FROM scored WHERE hamming <= {_DH_MAXH}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS nd FROM edges),
+    reach AS (
+      SELECT nd, nd AS m FROM nodes
+      UNION
+      SELECT r.nd, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (SELECT nd AS frame_id, min(m) AS cluster_id FROM reach GROUP BY nd)
+    SELECT fp.frame_id,
+           COALESCE(c.cluster_id, fp.frame_id) AS cluster_id,
+           (fp.frame_id = COALESCE(c.cluster_id, fp.frame_id)) AS keep
+    FROM fp LEFT JOIN comp c USING (frame_id)
+    ORDER BY fp.frame_id
+    """,
+)
+def multimodal_image_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual dedup family's PRODUCT table: per-frame keep/drop
+    decisions over the dHash near-dup pair graph — pairs -> connected
+    components (transitive closure; A~B, B~C means one cluster keeps
+    ONE frame) -> keep = the cluster-minimum frame, every unclustered
+    frame survives. This is dedup_keep_canonical's shape for the image
+    modality: the table a keyframe-corpus filter stage semi-joins
+    against before encoding (the reference encodes EVERY keyframe with
+    CLIP, data_extraction/clip/clip.ipynb cell 7 — near-identical
+    within-shot frames are exactly the redundancy this removes).
+    Closure runs on the pair graph (candidate-volume-sized, not
+    corpus-sized); the corpus pays one left equi-join on frame_id.
+    Oracle re-derives the closure with a recursive CTE over the same
+    dHash pair CTEs."""
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    docs = tables.load(spark, "documents", sf_dir)
+    fp = mm.dhash_fingerprints(mm.synth_keyframes(mm.as_media_table(docs)))
+    pairs = mm.image_near_duplicates(fp)
+    comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
+    out = (
+        fp.select("frame_id")
+        .join(
+            comp.select(F.col("node").alias("frame_id"), "cluster_id"),
+            "frame_id",
+            "left",
+        )
+        .select(
+            "frame_id",
+            F.coalesce(F.col("cluster_id"), F.col("frame_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("frame_id") == F.col("cluster_id"))
+    )
+    return out.orderBy("frame_id")

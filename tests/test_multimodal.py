@@ -503,3 +503,29 @@ def test_dhash_bucket_cap_sound_at_gate_scale(spark):
         "no longer mirrors the capped production arm — raise the cap or "
         "move the row to the capped-mirror oracle"
     )
+
+
+def test_image_dedup_keep_one_frame_per_cluster(spark):
+    import random
+
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    rng = random.Random(13)
+    rows = [
+        (i, "".join(chr(32 + rng.randrange(90)) for _ in range(300)), "s")
+        for i in (0, 3)  # both % 3 == 0 -> image items
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    fp = mm.dhash_fingerprints(mm.synth_keyframes(mm.as_media_table(docs)))
+    pairs = mm.image_near_duplicates(fp)
+    comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
+    got = {
+        r["frame_id"]: (r["cluster_id"],)
+        for r in comp.select(F.col("node").alias("frame_id"), "cluster_id").collect()
+    }
+    # each doc's 3 near-identical frames form ONE cluster labeled by
+    # its min frame id; the two docs never merge
+    assert got == {
+        0: (0,), 1: (0,), 2: (0,),
+        30: (30,), 31: (30,), 32: (30,),
+    }
