@@ -893,3 +893,88 @@ def multimodal_image_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.col("frame_id") == F.col("cluster_id"))
     )
     return out.orderBy("frame_id")
+
+
+@query(
+    "monitor_dhash_band_density",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id * 10 + f AS frame_id, CAST(f AS BIGINT) AS f,
+             text, length(text) AS n
+      FROM documents, unnest(range(0, {_KF_N})) AS t(f)
+      WHERE doc_id % 3 = 0 AND length(text) > 0
+    ),
+    bytes AS (
+      SELECT frame_id, CAST(i AS BIGINT) - 1 AS j, n,
+             CASE WHEN CAST(i AS BIGINT) - 1 = (f * {_KF_STRIDE}) % n
+                  THEN 32 + (ord(substring(text, CAST(i AS INTEGER), 1)) + f * {_KF_SALT}) % 90
+                  ELSE ord(substring(text, CAST(i AS INTEGER), 1)) END AS b
+      FROM frames, unnest(range(1, n + 1)) AS t(i)
+    ),
+    {_DHASH_FP_CTES},
+    bsz AS (
+      SELECT chunk_idx, chunk, CAST(COUNT(*) AS BIGINT) AS m
+      FROM chunks GROUP BY 1, 2
+    )
+    SELECT m,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) * m * (m - 1) // 2 AS BIGINT) AS all_pairs,
+           CAST(COUNT(*) * (CASE WHEN m > {_DH_BUCKET} THEN 2 * m - 3
+                                 ELSE m * (m - 1) // 2 END) AS BIGINT) AS capped_pairs
+    FROM bsz GROUP BY m
+    ORDER BY m
+    """,
+)
+def monitor_dhash_band_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-density gauge for the perceptual fingerprint family — the
+    measured signal that 8-bit Hamming banding is SATURATING: per
+    bucket size m, how many (chunk_idx, chunk) buckets exist and what
+    pair budget they imply, uncapped vs chain+star-capped. Bucket
+    population is density-bound (a fixed 256-value band space over a
+    growing corpus ⇒ mean bucket size grows linearly ⇒ UNCAPPED pair
+    budget grows quadratically even with zero duplicate storms); when
+    all_pairs pulls away from capped_pairs at the bulk of the mass —
+    not just in storm outliers — the fix is a WIDER fingerprint (e.g.
+    256-bit pHash with 16-bit bands), not a bigger cap. This is the
+    retrain-gauge pattern (monitor_text_oov_rate, ann_incremental_
+    recall_drift): the monitor is cheap (one groupBy over the
+    fingerprint table, never the pairs), runs on samples in
+    production, and makes the widen/cap decision a measured one.
+    Measured: sf0.01 all_pairs == capped_pairs (max bucket 39, no
+    saturation); sf0.1 all_pairs 1.25M vs capped 397k (ratio 3.14,
+    over-cap mass spread across ~40 bucket sizes, not one storm) —
+    the widen signal fires an order of magnitude before the join
+    would hurt."""
+    docs = tables.load(spark, "documents", sf_dir)
+    fp = mm.dhash_fingerprints(mm.synth_keyframes(mm.as_media_table(docs)))
+    chunked = fp.select(
+        "frame_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_idx"),
+                    F.substring("dhash", c * 8 + 1, 8).alias("chunk"),
+                )
+                for c in range(8)
+            ])
+        ).alias("e"),
+    ).select("frame_id", "e.chunk_idx", "e.chunk")
+    bsz = chunked.groupBy("chunk_idx", "chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    capped_per_bucket = F.when(
+        F.col("m") > mm.DHASH_MAX_BUCKET, 2 * F.col("m") - 3
+    ).otherwise(F.col("m") * (F.col("m") - 1) / 2)
+    return (
+        bsz.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            (F.count(F.lit(1)) * F.floor(F.col("m") * (F.col("m") - 1) / 2))
+            .cast("bigint")
+            .alias("all_pairs"),
+            (F.count(F.lit(1)) * F.floor(capped_per_bucket))
+            .cast("bigint")
+            .alias("capped_pairs"),
+        )
+        .orderBy("m")
+    )
