@@ -314,6 +314,7 @@ OPTIONAL_QUERIES = [
     # round-8: perceptual dedup product table (pairs -> components ->
     # keep cluster-minimum frame) — dedup_keep_canonical's image twin
     "multimodal_image_dedup_keep",
+    "multimodal_audio_dedup_keep",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

@@ -537,10 +537,10 @@ _AU_MINV = mm.AUDIO_MIN_VOTES
 _AU_SHIFT = mm.AUDIO_CLIP_SHIFT
 
 
-@query(
-    "multimodal_audio_near_dup",
-    oracle=f"""
-    WITH clips AS (
+# audio landmark near-dup CTE chain (clips -> envelope -> peaks ->
+# landmark keys -> df-cap -> offset votes -> best) shared by the pair
+# query and the keep/drop product table.
+_AUDIO_NEARDUP_CTES = f"""clips AS (
       SELECT doc_id * 10 AS clip_id, text FROM documents
       WHERE doc_id % 3 = 1 AND length(text) > 0
       UNION ALL
@@ -590,7 +590,13 @@ _AU_SHIFT = mm.AUDIO_CLIP_SHIFT
              row_number() OVER (PARTITION BY id_a, id_b
                                 ORDER BY votes DESC, "offset") AS rn
       FROM votes
-    )
+    )"""
+
+
+@query(
+    "multimodal_audio_near_dup",
+    oracle=f"""
+    WITH {_AUDIO_NEARDUP_CTES}
     SELECT id_a, id_b, "offset", votes FROM best
     WHERE rn = 1 AND votes >= {_AU_MINV}
     ORDER BY id_a, id_b
@@ -978,3 +984,62 @@ def monitor_dhash_band_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+@query(
+    "multimodal_audio_dedup_keep",
+    oracle=f"""
+    WITH RECURSIVE {_AUDIO_NEARDUP_CTES},
+    hits AS (
+      SELECT id_a, id_b FROM best WHERE rn = 1 AND votes >= {_AU_MINV}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM hits
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM hits
+    ),
+    cnodes AS (SELECT DISTINCT src AS nd FROM edges),
+    reach AS (
+      SELECT nd, nd AS m FROM cnodes
+      UNION
+      SELECT r.nd, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (SELECT nd AS clip_id, min(m) AS cluster_id FROM reach GROUP BY nd)
+    SELECT cl.clip_id,
+           COALESCE(c.cluster_id, cl.clip_id) AS cluster_id,
+           (cl.clip_id = COALESCE(c.cluster_id, cl.clip_id)) AS keep
+    FROM clips cl LEFT JOIN comp c USING (clip_id)
+    ORDER BY cl.clip_id
+    """,
+)
+def multimodal_audio_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio dedup family's PRODUCT table: per-clip keep/drop
+    decisions over the landmark near-dup pair graph — offset-voted
+    pairs -> connected components (a recording and ALL its shifted
+    clips form one cluster keeping one member) -> keep = the cluster-
+    minimum clip, every unmatched clip survives. Completes
+    detection -> decision for the audio modality the way
+    multimodal_image_dedup_keep does for frames and
+    dedup_keep_canonical for text; closure runs on the pair graph,
+    the corpus pays one left equi-join on clip_id. Oracle re-derives
+    the closure with a recursive CTE over the shared landmark CTEs."""
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    docs = tables.load(spark, "documents", sf_dir)
+    clips = mm.synth_audio_clips(mm.as_media_table(docs))
+    pairs = mm.audio_near_duplicates(mm.audio_landmarks(clips.persist()))
+    comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
+    out = (
+        clips.select("clip_id")
+        .join(
+            comp.select(F.col("node").alias("clip_id"), "cluster_id"),
+            "clip_id",
+            "left",
+        )
+        .select(
+            "clip_id",
+            F.coalesce(F.col("cluster_id"), F.col("clip_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("clip_id") == F.col("cluster_id"))
+    )
+    return out.orderBy("clip_id")

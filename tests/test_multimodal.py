@@ -529,3 +529,22 @@ def test_image_dedup_keep_one_frame_per_cluster(spark):
         0: (0,), 1: (0,), 2: (0,),
         30: (30,), 31: (30,), 32: (30,),
     }
+
+
+def test_audio_dedup_keep_drops_shifted_clip(spark):
+    import random
+
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    rng = random.Random(17)
+    text = "".join(chr(32 + rng.randrange(90)) for _ in range(400))
+    docs = spark.createDataFrame(
+        [(7, text, "s")], "doc_id BIGINT, text STRING, source STRING"
+    )
+    clips = mm.synth_audio_clips(mm.as_media_table(docs))
+    pairs = mm.audio_near_duplicates(mm.audio_landmarks(clips))
+    comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
+    got = {r["node"]: r["cluster_id"] for r in comp.collect()}
+    # the original (70) and its shifted clip (71) form one cluster
+    # labeled by the minimum -> keep 70, drop 71
+    assert got == {70: 70, 71: 70}
