@@ -59,6 +59,44 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 RUNS = 3
 
+# ---- wall-clock budget (r8 postmortem) ------------------------------------
+# BENCH_r08.json: rc=124 (driver timeout kill) and parsed=null — the
+# compact summary printed only at end-of-run, so a timeout lost every
+# number. Two fixes, belt and suspenders:
+#   1. INCREMENTAL EMISSION — after every timed anchor (and every
+#      tier) the compact summary line is re-printed and
+#      BENCH_DETAIL.json rewritten, so even a hard kill leaves the
+#      driver a parsable final stdout line covering everything that
+#      completed.
+#   2. WALL-CLOCK BUDGET — SPARK_GRAFT_BENCH_BUDGET_S (default 1380 s;
+#      0 = unlimited). Once exceeded, remaining anchors/tiers are
+#      SKIPPED (recorded under "skipped"/"tiers_skipped") and the run
+#      exits 0 with the summary printed — the driver sees a complete
+#      run over a prefix, never rc=124. Tiers are ordered by claim
+#      value (x10 scale → skew → d=768 → concurrency) and each is
+#      gated on a conservative cost reserve so a tier never starts
+#      that it cannot finish. The builder's serialized close run sets
+#      SPARK_GRAFT_BENCH_BUDGET_S=0 for the full grid.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1380"))
+_T0 = time.monotonic()
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _T0
+
+
+def _remaining() -> float:
+    return math.inf if BUDGET_S <= 0 else BUDGET_S - _elapsed()
+
+
+def _scratch_mkdtemp(prefix: str) -> str:
+    """Throwaway corpus dir under the workspace scratch root, NOT /tmp
+    (the r8 run died when external /tmp cleanup reaped live state
+    mid-run); registered for cleanup like tempfile.mkdtemp."""
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_scratch")
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
 # r4→r5: four queries drifted +0.4-0.8 s between rounds at sf0.1 —
 # small absolute, but the bench should distinguish scheduler/GC noise
 # from real cost. These are timed over more runs and their full
@@ -140,6 +178,9 @@ STRESS_QUERIES = [
     # different byte envelopes, so the landmark population is exactly
     # 10× and the df-capped key join should track it linearly
     "multimodal_audio_near_dup",
+    # r9: the CAPPED perceptual image path (its Hamming mega-bucket
+    # guard is the priced claim, like dedup_minhash_lsh_capped)
+    "multimodal_image_near_dup_capped",
 ]
 
 # queries timed on BOTH 10× corpora (uniform vs skewed) — each carries
@@ -180,6 +221,9 @@ SKEW_QUERIES = [
     # df-cap (AUDIO_MAX_KEY_DF) and are dropped before the key join;
     # the skew ratio prices exactly that guard
     "multimodal_audio_near_dup",
+    # r9: the boilerplate replicas fake-decode to byte-identical frames
+    # -> ONE viral dHash bucket; the capped row's guard is priced here
+    "multimodal_image_near_dup_capped",
 ]
 
 # byte-identical boilerplate planted on ~2% of skew-tier rows — the
@@ -315,6 +359,11 @@ OPTIONAL_QUERIES = [
     # keep cluster-minimum frame) — dedup_keep_canonical's image twin
     "multimodal_image_dedup_keep",
     "multimodal_audio_dedup_keep",
+    # r9 (r8 advice): the capped Hamming-banding path and the
+    # band-density gauge get timed like their family precedents
+    # (dedup_minhash_lsh_capped / monitor_text_oov_rate)
+    "multimodal_image_near_dup_capped",
+    "monitor_dhash_band_density",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):
@@ -329,7 +378,7 @@ _REMAP_SRC = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
 def _build_stress_dir(spark, sf_dir: str, replication: int) -> str:
     from pyspark.sql import functions as F
 
-    out = tempfile.mkdtemp(prefix="msrbd_stress_")
+    out = _scratch_mkdtemp("msrbd_stress_")
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     reps = spark.range(replication).select(F.col("id").cast("int").alias("__rep"))
     id_shift = 10_000_000
@@ -398,7 +447,7 @@ def _build_skew_dir(spark, sf_dir: str, replication: int) -> str:
     max_cell guard exists for. Other tables are symlinked."""
     from pyspark.sql import functions as F
 
-    out = tempfile.mkdtemp(prefix="msrbd_skew_")
+    out = _scratch_mkdtemp("msrbd_skew_")
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     reps = spark.range(replication).select(F.col("id").cast("int").alias("__rep"))
     id_shift = 10_000_000
@@ -476,11 +525,18 @@ DIM_TIER = 768
 DIM_K = 50
 
 
-def _time_thunks(thunks: dict, runs: int = RUNS) -> dict[str, float]:
+def _time_thunks(
+    thunks: dict, runs: int = RUNS, skipped: list | None = None
+) -> dict[str, float]:
     """Median wall-clock per named thunk (each returns a DataFrame to
-    count()); one untimed warm-up run builds any index tables."""
+    count()); one untimed warm-up run builds any index tables. Thunks
+    not reached before the wall-clock budget land in `skipped`."""
     out: dict[str, float] = {}
     for name, fn in thunks.items():
+        if _remaining() <= 0:
+            if skipped is not None:
+                skipped.append(name)
+            continue
         fn().count()
         samples = []
         for _ in range(runs):
@@ -514,7 +570,7 @@ def _run_dim_tier(spark, sf_dir: str, paths=None, grids: bool = True) -> dict:
     from multi_search_retrival_big_data_spark.queries.common import QUERY_VEC
 
     qv = dim_expand_encode(QUERY_VEC, 64, DIM_TIER)
-    dim_dir = tempfile.mkdtemp(prefix="msrbd_dim768_")
+    dim_dir = _scratch_mkdtemp("msrbd_dim768_")
     atexit.register(shutil.rmtree, dim_dir, ignore_errors=True)
     base = tables.load(spark, "embeddings", sf_dir)
     dense.expand_to_dim(base, out_dim=DIM_TIER, in_dim=64).write.mode(
@@ -650,7 +706,7 @@ def _run_dim_tier(spark, sf_dir: str, paths=None, grids: bool = True) -> dict:
         "ann_pq_rerank_trained": pq_rerank,
         "ann_sq8_topk": sq8,
     }
-    recalls = {n: recall(fn()) for n, fn in ann_paths.items() if n in thunks}
+    recalls = {n: recall(fn()) for n, fn in ann_paths.items() if n in timings}
 
     # candidate volumes — the scaling variable for each path's cost
     candidates = {
@@ -928,10 +984,25 @@ def _session_hygiene(spark) -> None:
 
 
 def _time_queries(
-    spark, qs, names, sf_dir: str, spreads: dict | None = None
+    spark,
+    qs,
+    names,
+    sf_dir: str,
+    spreads: dict | None = None,
+    on_anchor=None,
+    skipped: list | None = None,
 ) -> dict[str, float]:
+    """Median wall-clock per registered query. `on_anchor(name, med)`
+    fires after EVERY anchor so the caller can re-emit the
+    driver-parsable summary incrementally (r8: a timeout at
+    end-of-run lost all numbers); anchors not reached before the
+    wall-clock budget land in `skipped` instead of running."""
     timings: dict[str, float] = {}
     for i, name in enumerate(names):
+        if _remaining() <= 0:
+            if skipped is not None:
+                skipped.append(name)
+            continue
         if i % HYGIENE_EVERY == 0 and i > 0:
             _session_hygiene(spark)
         fn = qs[name]
@@ -950,6 +1021,8 @@ def _time_queries(
                 "max": round(max(samples), 4),
                 "runs": len(samples),
             }
+        if on_anchor is not None:
+            on_anchor(name, timings[name])
     return timings
 
 
@@ -992,6 +1065,12 @@ def _compact_summary(result: dict, detail_file: str) -> dict:
         },
         "detail_file": os.path.basename(detail_file),
     }
+    if result.get("skipped"):
+        out["skipped_n"] = len(result["skipped"])
+    if result.get("tiers_skipped"):
+        out["tiers_skipped"] = sorted(result["tiers_skipped"])
+    if result.get("elapsed_s") is not None:
+        out["elapsed_s"] = result["elapsed_s"]
     tiers = result.get("tiers", {})
     if tiers:
         sr = tiers.get("scale_ratio", {})
@@ -1031,44 +1110,81 @@ def main() -> None:
     names = [n for n in BENCH_QUERIES if n in qs] + [
         n for n in OPTIONAL_QUERIES if n in qs
     ]
-    spreads: dict = {}
-    timings = _time_queries(spark, qs, names, sf_dir, spreads)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    result = {
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    spreads: dict = {}
+    skipped: list[str] = []
+    tiers_skipped: dict[str, str] = {}
+    result: dict = {
         "metric": "total wall-clock over headline queries (median of 3 runs; 5 for drift_watch entries)",
-        "value": round(sum(timings.values()), 4),
+        "value": 0.0,
         "unit": "sec",
-        "queries": timings,
+        "queries": {},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "drift_watch": spreads,
+        "budget_s": BUDGET_S,
     }
 
-    stress_flag = os.environ.get("SPARK_GRAFT_STRESS", "")
-    run_stress = stress_flag == "1" or (stress_flag == "" and sf == "0.1")
+    def emit() -> None:
+        # r8 postmortem: re-written after EVERY anchor/tier so a hard
+        # kill still leaves the driver a parsable final stdout line
+        result["value"] = round(sum(result["queries"].values()), 4)
+        result["elapsed_s"] = round(_elapsed(), 1)
+        if skipped:
+            result["skipped"] = skipped
+        if tiers_skipped:
+            result["tiers_skipped"] = tiers_skipped
+        with open(detail_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+        print(json.dumps(_compact_summary(result, detail_path)), flush=True)
 
+    timings: dict[str, float] = result["queries"]
+
+    def _on_anchor(name: str, med: float) -> None:
+        timings[name] = med
+        emit()
+
+    _time_queries(
+        spark, qs, names, sf_dir, spreads, on_anchor=_on_anchor, skipped=skipped
+    )
+
+    stress_flag = os.environ.get("SPARK_GRAFT_STRESS", "")
+    want_stress = stress_flag == "1" or (stress_flag == "" and sf == "0.1")
     # production-dimension tier + concurrent-serving anchor: same
     # default trigger as the stress tiers (sf0.1), with their own
     # overrides (SPARK_GRAFT_DIM / SPARK_GRAFT_CONC = 0|1)
     dim_flag = os.environ.get("SPARK_GRAFT_DIM", "")
-    run_dim = dim_flag == "1" or (dim_flag == "" and run_stress)
+    want_dim = dim_flag == "1" or (dim_flag == "" and want_stress)
     conc_flag = os.environ.get("SPARK_GRAFT_CONC", "")
-    run_conc = conc_flag == "1" or (conc_flag == "" and run_stress)
-    if run_dim:
-        result["dim_tier"] = _run_dim_tier(spark, sf_dir)
-        if not run_stress:
-            # the stress block below normally sweeps stale index
-            # generations; without it, retire the dim corpus' tables
-            from multi_search_retrival_big_data_spark import index_store as _ixs
+    want_conc = conc_flag == "1" or (conc_flag == "" and want_stress)
 
-            live = [sf_dir] + sorted(glob.glob("/root/testdata/sf*"))
-            _ixs.gc_stale_index_tables(spark, live)
-    if run_conc:
-        result["concurrency"] = _run_concurrency(spark, qs, sf_dir)
+    # conservative per-tier cost reserves (measured r8 close run): a
+    # tier only STARTS with at least this much budget left, so the run
+    # exits 0 with the summary printed instead of being timeout-killed
+    # mid-tier. Order = claim value: the x10/skew ratios carry the
+    # scale-design evidence, then production width, then concurrency.
+    reserves = {"x10": 420.0, "skew": 330.0, "dim768": 260.0, "concurrency": 200.0}
+
+    def tier_fits(tier: str) -> bool:
+        if _remaining() >= reserves[tier]:
+            return True
+        tiers_skipped[tier] = (
+            f"budget: {round(_remaining(), 1)} s left < {reserves[tier]} s reserve"
+        )
+        return False
+
     result["stress_flag"] = {
-        "enabled": run_stress,
+        "enabled": want_stress,
         "env": stress_flag or "(unset: stress tiers run at sf0.1 only)",
         "disable_with": "SPARK_GRAFT_STRESS=0",
     }
+
+    run_stress = want_stress and tier_fits("x10")
+    stress_dir = None
+    stress: dict[str, float] = {}
+    skew_names = [n for n in SKEW_QUERIES if n in qs]
     if run_stress:
         from multi_search_retrival_big_data_spark import tables as _tables
         from multi_search_retrival_big_data_spark.operators import dedup as _dedup
@@ -1121,94 +1237,165 @@ def main() -> None:
 
         stress_dir = _build_stress_dir(spark, sf_dir, STRESS_REPLICATION)
         stress_names = [n for n in STRESS_QUERIES if n in qs]
-        skew_names = [n for n in SKEW_QUERIES if n in qs]
         uniform_names = list(dict.fromkeys(stress_names + skew_names))
-        stress = _time_queries(spark, qs, uniform_names, stress_dir)
-        cand_counts = {
-            "x1": _lsh_counts(sf_dir),
-            f"x{STRESS_REPLICATION}": _lsh_counts(stress_dir),
-        }
-        sem_counts = {
-            "x1": _sem_counts(sf_dir),
-            f"x{STRESS_REPLICATION}": _sem_counts(stress_dir),
-        }
-
-        # retrain-policy arms (ann.ivf_nlist, r7 verdict item 3): the
-        # x10 _sem_counts above IS the retrained arm (ivf_trained
-        # re-elects ~N/62 seeds from the stress corpus); the FROZEN arm
-        # assigns the same x10 corpus under the x1-trained quantizer —
-        # what the incremental append paths serve without a retrain.
-        # Claim priced here: retrained budget ratio ≈ replication
-        # (linear), frozen ≈ replication² / nlist growth (quadratic in
-        # cell size).
-        from pyspark.sql import functions as _F
-
-        def _frozen_arm_counts() -> dict[str, int]:
-            from multi_search_retrival_big_data_spark.operators import (
-                kmeans as _km,
-            )
-
-            cent_df, _ = _ixs_sem.ivf_trained(spark, sf_dir, iters=_SI)
-            cents = [(r["cid"], r["cv"]) for r in cent_df.collect()]
-            emb10 = _tables.load(spark, "embeddings", stress_dir)
-            per = (
-                emb10.select(_km.assign_cid("embedding", cents).alias("cid"))
-                .groupBy("cid")
-                .agg(_F.count(_F.lit(1)).alias("n"))
-                .agg(
-                    _F.count(_F.lit(1)).alias("n_cells"),
-                    _F.max("n").alias("max_cell_size"),
-                    _F.sum(
-                        (_F.col("n") * (_F.col("n") - _F.lit(1)) / _F.lit(2)).cast(
-                            "bigint"
-                        )
-                    ).alias("uncapped_pairs"),
-                )
-                .collect()[0]
-            )
-            return {
-                "n_cells": per["n_cells"],
-                "max_cell_size": per["max_cell_size"],
-                "uncapped_pairs": per["uncapped_pairs"],
-            }
-
-        frozen_x10 = _frozen_arm_counts()
-        x1_pairs = sem_counts["x1"]["uncapped_pairs"]
-        retrain_arms = {
-            "frozen_x10": frozen_x10,
-            "retrained_x10": {
-                k: sem_counts[f"x{STRESS_REPLICATION}"][k]
-                for k in ("n_cells", "max_cell_size", "uncapped_pairs")
-            },
-            "budget_ratio_frozen": round(
-                frozen_x10["uncapped_pairs"] / max(1, x1_pairs), 2
-            ),
-            "budget_ratio_retrained": round(
-                sem_counts[f"x{STRESS_REPLICATION}"]["uncapped_pairs"]
-                / max(1, x1_pairs),
-                2,
-            ),
-        }
+        stress = _time_queries(
+            spark, qs, uniform_names, stress_dir, skipped=skipped
+        )
         result["tiers"] = {
             "x1": {n: timings[n] for n in uniform_names if n in timings},
             f"x{STRESS_REPLICATION}": stress,
             "scale_ratio": {
                 n: round(stress[n] / timings[n], 2)
                 for n in uniform_names
-                if timings.get(n)
+                if timings.get(n) and n in stress
             },
-            "lsh_candidates": cand_counts,
-            "semantic_cells": sem_counts,
-            "semantic_retrain": retrain_arms,
             "replication": STRESS_REPLICATION,
         }
+        emit()
 
+        # candidate-volume counts: the scaling variables the time
+        # ratios are read against; ~60-90 s of aggregation jobs, so
+        # they respect the deadline too (the timings above still stand)
+        if _remaining() > 90:
+            result["tiers"]["lsh_candidates"] = {
+                "x1": _lsh_counts(sf_dir),
+                f"x{STRESS_REPLICATION}": _lsh_counts(stress_dir),
+            }
+            sem_counts = {
+                "x1": _sem_counts(sf_dir),
+                f"x{STRESS_REPLICATION}": _sem_counts(stress_dir),
+            }
+            result["tiers"]["semantic_cells"] = sem_counts
+
+            # retrain-policy arms (ann.ivf_nlist, r7 verdict item 3):
+            # the x10 _sem_counts above IS the retrained arm — the
+            # TIMED x10/skew dedup_semantic_keep runs ivf_trained on
+            # the grown corpus, i.e. the production policy path
+            # (nlist=⌈N/62⌉ re-elected per corpus; r8 measured time
+            # ratio 10.99 vs pair-budget ratio 10.19 — linear in
+            # budget). The FROZEN arm below is the DRIFT GAUGE only:
+            # the same x10 corpus assigned under the x1-trained
+            # quantizer, what an append-only path would serve without
+            # a retrain (r8: 173.6× pair budget — the policy's
+            # motivation, never its default).
+            from pyspark.sql import functions as _F
+
+            def _frozen_arm_counts() -> dict[str, int]:
+                from multi_search_retrival_big_data_spark.operators import (
+                    kmeans as _km,
+                )
+
+                cent_df, _ = _ixs_sem.ivf_trained(spark, sf_dir, iters=_SI)
+                cents = [(r["cid"], r["cv"]) for r in cent_df.collect()]
+                emb10 = _tables.load(spark, "embeddings", stress_dir)
+                per = (
+                    emb10.select(_km.assign_cid("embedding", cents).alias("cid"))
+                    .groupBy("cid")
+                    .agg(_F.count(_F.lit(1)).alias("n"))
+                    .agg(
+                        _F.count(_F.lit(1)).alias("n_cells"),
+                        _F.max("n").alias("max_cell_size"),
+                        _F.sum(
+                            (_F.col("n") * (_F.col("n") - _F.lit(1)) / _F.lit(2)).cast(
+                                "bigint"
+                            )
+                        ).alias("uncapped_pairs"),
+                    )
+                    .collect()[0]
+                )
+                return {
+                    "n_cells": per["n_cells"],
+                    "max_cell_size": per["max_cell_size"],
+                    "uncapped_pairs": per["uncapped_pairs"],
+                }
+
+            frozen_x10 = _frozen_arm_counts()
+            x1_pairs = sem_counts["x1"]["uncapped_pairs"]
+            result["tiers"]["semantic_retrain"] = {
+                "frozen_x10": frozen_x10,
+                "retrained_x10": {
+                    k: sem_counts[f"x{STRESS_REPLICATION}"][k]
+                    for k in ("n_cells", "max_cell_size", "uncapped_pairs")
+                },
+                "budget_ratio_frozen": round(
+                    frozen_x10["uncapped_pairs"] / max(1, x1_pairs), 2
+                ),
+                "budget_ratio_retrained": round(
+                    sem_counts[f"x{STRESS_REPLICATION}"]["uncapped_pairs"]
+                    / max(1, x1_pairs),
+                    2,
+                ),
+            }
+        else:
+            result["tiers"]["counts_skipped"] = "budget"
+        emit()
+
+        # adversarially skewed 10× tier: same row count as the uniform
+        # tier, hot keys + one mega duplicate cluster; ratio ≈ 1 vs the
+        # uniform tier means the mitigation holds under skew
+        if tier_fits("skew"):
+            skew_dir = _build_skew_dir(spark, sf_dir, STRESS_REPLICATION)
+            skew = _time_queries(spark, qs, skew_names, skew_dir, skipped=skipped)
+            result["tiers"]["skew"] = {
+                "queries": skew,
+                "skew_ratio_vs_uniform_x10": {
+                    n: round(skew[n] / stress[n], 2)
+                    for n in skew_names
+                    if stress.get(n) and n in skew
+                },
+                "shape": "replicas 0-2 -> lang=en/src_hot (~30% one key); "
+                         "2% of rows byte-identical boilerplate (one mega cluster)",
+            }
+            emit()
+            if _remaining() > 60:
+                mega = (
+                    _dedup.lsh_bucket_stats(
+                        _dedup.lsh_buckets(
+                            _dedup.minhash_signatures(
+                                _dedup.char_shingles(
+                                    _tables.load(spark, "documents", skew_dir),
+                                    "doc_id",
+                                    "text",
+                                    _dedup.SHINGLE_K,
+                                ),
+                                "doc_id",
+                                _dedup.NUM_PERM,
+                            ),
+                            "doc_id",
+                            _dedup.LSH_BANDS,
+                            _dedup.LSH_ROWS,
+                        ),
+                        "doc_id",
+                        _CAP,
+                    )
+                    .agg(
+                        {"n_mega_buckets": "sum", "mega_members": "sum",
+                         "full_pairs": "sum", "capped_pairs": "sum"}
+                    )
+                    .collect()[0]
+                )
+                result["tiers"]["skew"]["semantic_cells"] = _sem_counts(skew_dir)
+                result["tiers"]["skew"]["lsh_candidates"] = _lsh_counts(skew_dir)
+                result["tiers"]["skew"]["lsh_mega_buckets"] = {
+                    "n_mega_buckets": mega["sum(n_mega_buckets)"],
+                    "mega_members": mega["sum(mega_members)"],
+                    "full_pairs_uncapped": mega["sum(full_pairs)"],
+                    "pairs_after_cap": mega["sum(capped_pairs)"],
+                }
+            else:
+                result["tiers"]["skew"]["counts_skipped"] = "budget"
+            shutil.rmtree(skew_dir, ignore_errors=True)
+            emit()
+
+    if want_dim and tier_fits("dim768"):
+        result["dim_tier"] = _run_dim_tier(spark, sf_dir)
+        emit()
         # width × scale cross: the d=768 serving subset re-measured on
         # the 10× corpus (20k rows at production width). Ratios should
         # track each path's candidate volume — the dense/ADC scans are
         # corpus-bound by design, the pruned paths grow with bucket /
         # cell membership, never with raw corpus size
-        if run_dim and "dim_tier" in result:
+        if stress_dir is not None and _remaining() > 120:
             x10_paths = (
                 "dense_topk_cosine_arrow",
                 "ann_lsh_topk",
@@ -1223,74 +1410,24 @@ def main() -> None:
                 if x1q.get(n)
             }
             result["dim_tier"][f"x{STRESS_REPLICATION}"] = dim_x10
+            emit()
 
-        # adversarially skewed 10× tier: same row count as the uniform
-        # tier, hot keys + one mega duplicate cluster; ratio ≈ 1 vs the
-        # uniform tier means the mitigation holds under skew
-        skew_dir = _build_skew_dir(spark, sf_dir, STRESS_REPLICATION)
-        skew = _time_queries(spark, qs, skew_names, skew_dir)
-        skew_cand = _lsh_counts(skew_dir)
-        mega = (
-            _dedup.lsh_bucket_stats(
-                _dedup.lsh_buckets(
-                    _dedup.minhash_signatures(
-                        _dedup.char_shingles(
-                            _tables.load(spark, "documents", skew_dir),
-                            "doc_id",
-                            "text",
-                            _dedup.SHINGLE_K,
-                        ),
-                        "doc_id",
-                        _dedup.NUM_PERM,
-                    ),
-                    "doc_id",
-                    _dedup.LSH_BANDS,
-                    _dedup.LSH_ROWS,
-                ),
-                "doc_id",
-                _CAP,
-            )
-            .agg(
-                {"n_mega_buckets": "sum", "mega_members": "sum", "full_pairs": "sum",
-                 "capped_pairs": "sum"}
-            )
-            .collect()[0]
-        )
-        result["tiers"]["skew"] = {
-            "queries": skew,
-            "skew_ratio_vs_uniform_x10": {
-                n: round(skew[n] / stress[n], 2) for n in skew_names if stress.get(n)
-            },
-            # analytic uncapped pair budget under the planted viral
-            # embedding cell vs what the capped path actually generates
-            "semantic_cells": _sem_counts(skew_dir),
-            "lsh_candidates": skew_cand,
-            "lsh_mega_buckets": {
-                "n_mega_buckets": mega["sum(n_mega_buckets)"],
-                "mega_members": mega["sum(mega_members)"],
-                "full_pairs_uncapped": mega["sum(full_pairs)"],
-                "pairs_after_cap": mega["sum(capped_pairs)"],
-            },
-            "shape": "replicas 0-2 -> lang=en/src_hot (~30% one key); "
-                     "2% of rows byte-identical boilerplate (one mega cluster)",
-        }
+    if want_conc and tier_fits("concurrency"):
+        result["concurrency"] = _run_concurrency(spark, qs, sf_dir)
+        emit()
 
-        # the stress corpora are throwaway tempdirs but their index
-        # builds land in the shared warehouse under fresh content
-        # fingerprints — retire them (and any generation stranded by a
-        # prior run) now that the tier timings are recorded
+    # the stress corpora are throwaway scratch dirs but their index
+    # builds land in the shared warehouse under fresh content
+    # fingerprints — retire them (and any generation stranded by a
+    # prior run) now that the tier timings are recorded
+    if stress_dir is not None:
+        shutil.rmtree(stress_dir, ignore_errors=True)
+    if want_stress or want_dim:
         from multi_search_retrival_big_data_spark import index_store as _ixs
 
-        for d in (stress_dir, skew_dir):
-            shutil.rmtree(d, ignore_errors=True)
         live = [sf_dir] + sorted(glob.glob("/root/testdata/sf*"))
         result["index_gc"] = {"dropped": len(_ixs.gc_stale_index_tables(spark, live))}
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(result, fh, indent=1)
-    print(json.dumps(_compact_summary(result, detail_path)))
+    emit()
 
 
 if __name__ == "__main__":

@@ -27,6 +27,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def scratch_dir() -> str:
+    """Workspace-local scratch root for Spark's shuffle/blockmgr spill
+    (spark.local.dir) and for bench-built throwaway corpora.
+
+    Why not /tmp: a long bench run's blockmgr dir vanished mid-run
+    under external /tmp cleanup (BENCH_r08: executor
+    FileNotFoundException on /tmp/blockmgr-* temp-shuffle files at
+    stage 9142, killing the run). The workspace is the one directory
+    nothing else reaps; override with SPARK_GRAFT_LOCAL_DIR."""
+    root = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".spark_local",
+    )
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
 def get_spark(app_name: str = "msrbd-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
@@ -36,6 +53,7 @@ def get_spark(app_name: str = "msrbd-spark", shuffle_partitions: int | None = No
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.local.dir", scratch_dir())
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
