@@ -674,6 +674,18 @@ AUDIO_MIN_VOTES = 12    # near-dup verdict: >= 12 offset-aligned matches
 #   (measured at sf0.01: true shifted clips vote 12-69 at one offset,
 #   coincidental text-envelope collisions never exceed 9)
 AUDIO_CLIP_SHIFT = 2 * AUDIO_WIN  # synthetic clip: drop the first 16 bytes
+# mixed-radix base for packing a (q_i, q_j) quantized-envelope pair into
+# one bigint key: must exceed the max quantized value
+# (255·AUDIO_WIN)//AUDIO_QUANT, else distinct peak pairs collide into
+# one key and match precision silently degrades IN BOTH ENGINES (no
+# oracle mismatch would ever catch it — r8 advice). 512 keeps the
+# historical key values; the assert makes an AUDIO_WIN/AUDIO_QUANT
+# change fail loudly instead.
+AUDIO_KEY_BASE = 512
+assert (255 * AUDIO_WIN) // AUDIO_QUANT < AUDIO_KEY_BASE, (
+    "AUDIO_KEY_BASE must exceed the max quantized envelope value "
+    f"({(255 * AUDIO_WIN) // AUDIO_QUANT}) or landmark keys collide"
+)
 
 
 def synth_audio_clips(media: DataFrame) -> DataFrame:
@@ -720,10 +732,11 @@ def audio_landmarks(clips: DataFrame, decoder: str = FAKE_DECODER) -> DataFrame:
     non-strict-right makes plateau handling deterministic in both
     engines); each peak i pairs with its next AUDIO_FAN peaks j
     (dt = w_j - w_i <= AUDIO_MAX_DT) into the packed key
-    (env_i//Q * 512 + env_j//Q) * (MAX_DT+1) + dt, anchored at
-    t = w_i. Returns (clip_id, t, key). Q trades robustness for key
-    entropy: the fake codec's clip copies are envelope-EXACT, so Q=8
-    keeps ~18 effective levels around the text-byte mean (coarser
+    (env_i//Q * AUDIO_KEY_BASE + env_j//Q) * (MAX_DT+1) + dt, anchored
+    at t = w_i. Returns (clip_id, t, key). Q = AUDIO_QUANT = 4 trades
+    robustness for key entropy: the fake codec's clip copies are
+    envelope-EXACT, so Q=4 keeps ~36 effective levels around the
+    text-byte mean (coarser
     quantization collapses the key space and lets unrelated clips
     reach the vote bar by chance); a lossy real codec would widen Q
     and recover precision from the richer spectral peak values.
@@ -767,7 +780,7 @@ def audio_landmarks(clips: DataFrame, decoder: str = FAKE_DECODER) -> DataFrame:
                         ids.append(cid)
                         ts.append(int(peaks[i]))
                         keys.append(
-                            (int(q[i]) * 512 + int(q[j]))
+                            (int(q[i]) * AUDIO_KEY_BASE + int(q[j]))
                             * (AUDIO_MAX_DT + 1)
                             + dt
                         )
@@ -842,6 +855,10 @@ def audio_near_duplicates(
 # family covers text, embedding, image, audio, and video.
 
 VIDEO_FRAME_COUNT = 4   # sampled frames per synthetic video
+# frame_id packs media_id*100 + variant*10 + t and is decoded with
+# //10 and %10 downstream (video_near_duplicates) — raising the frame
+# count to >= 10 would silently corrupt clip ids/offsets (r8 advice)
+assert VIDEO_FRAME_COUNT <= 9, "frame_id packing requires t <= 9; widen the encoding"
 VIDEO_ROT_DIV = 5       # scene change: frame t rotates bytes by t*(n//5+1)
 VIDEO_SALT = 23         # re-encode variant: one byte perturbed per frame
 VIDEO_SHIFT = 1         # ...and the first frame trimmed (temporal shift)

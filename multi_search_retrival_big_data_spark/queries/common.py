@@ -1,4 +1,17 @@
-"""Shared helpers for the oracle-checked query suite."""
+"""Shared helpers for the oracle-checked query suite.
+
+ASCII-CORPUS ASSUMPTION (r8 advice): several multimodal/audio/video
+oracles treat one CHARACTER of `documents.text` as one BYTE of the
+fake media payload (`ord(substring(text, i, 1))` sums, length(text),
+character rotation/slicing) while the Spark operators read the UTF-8
+BYTES of `text` cast to binary. The two agree only while the corpus
+is pure ASCII — a multi-byte character would silently diverge the
+engines. The testdata corpus IS ASCII, and
+tests/test_registry.py::test_corpus_is_ascii asserts it loudly so a
+future corpus change fails as a named precondition, not as an opaque
+oracle hash mismatch. Production ingest of non-ASCII media bytes is
+unaffected (operators are byte-based; only the char-indexed ORACLES
+assume ASCII)."""
 
 from __future__ import annotations
 

@@ -566,7 +566,7 @@ _AUDIO_NEARDUP_CTES = f"""clips AS (
     ),
     lm AS (
       SELECT a.clip_id, a.w AS t,
-             ((a.v // {_AU_Q}) * 512 + (b.v // {_AU_Q})) * {_AU_DT + 1}
+             ((a.v // {_AU_Q}) * {mm.AUDIO_KEY_BASE} + (b.v // {_AU_Q})) * {_AU_DT + 1}
                + (b.w - a.w) AS key
       FROM peaks a
       JOIN peaks b ON b.clip_id = a.clip_id
@@ -813,7 +813,12 @@ def multimodal_image_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFr
     the MinHash, SemDeDup, and perceptual-fingerprint families."""
     docs = tables.load(spark, "documents", sf_dir)
     frames = mm.synth_keyframes(mm.as_media_table(docs))
-    fp = mm.dhash_fingerprints(frames).persist()
+    # two-consumer plan WITHOUT persist (r8 advice): nothing here
+    # materializes before the caller's single action, so a persist
+    # would live past the query and accumulate across a long driver
+    # session; the recompute is one narrow mapInPandas pass over the
+    # frame table (~0.4 s at sf0.1), cheaper than a leaked cache
+    fp = mm.dhash_fingerprints(frames)
     prod = mm.image_near_duplicates(fp, max_bucket=mm.DHASH_MAX_BUCKET).select(
         F.lit("production").alias("arm"), "id_a", "id_b",
         F.col("hamming").cast("bigint").alias("hamming"),
@@ -1026,9 +1031,18 @@ def multimodal_audio_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multi_search_retrival_big_data_spark.operators import dedup
 
     docs = tables.load(spark, "documents", sf_dir)
-    clips = mm.synth_audio_clips(mm.as_media_table(docs))
-    pairs = mm.audio_near_duplicates(mm.audio_landmarks(clips.persist()))
-    comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
+    clips = mm.synth_audio_clips(mm.as_media_table(docs)).persist()
+    try:
+        # connected_components_auto materializes its edge list (router
+        # count + checkpoint), so the persist IS hit here — and can be
+        # released before returning (r8 advice: the old persist leaked
+        # across a long driver session). The final left join below
+        # recomputes clips once off lineage; comp reads checkpointed
+        # rounds and never touches clips again.
+        pairs = mm.audio_near_duplicates(mm.audio_landmarks(clips))
+        comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
+    finally:
+        clips.unpersist()
     out = (
         clips.select("clip_id")
         .join(

@@ -271,7 +271,7 @@ def _py_landmarks(blob: bytes):
             if dt > mm.AUDIO_MAX_DT:
                 break
             key = (
-                (env[peaks[a]] // mm.AUDIO_QUANT) * 512
+                (env[peaks[a]] // mm.AUDIO_QUANT) * mm.AUDIO_KEY_BASE
                 + env[peaks[b]] // mm.AUDIO_QUANT
             ) * (mm.AUDIO_MAX_DT + 1) + dt
             out.append((peaks[a], key))

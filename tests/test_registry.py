@@ -37,3 +37,25 @@ def test_readme_registry_count_matches():
         m = re.search(r"`len\(load_registry\(\)\)` — (\d+) at this writing", fh.read())
     assert m, "README.md must state the registry count next to its source of truth"
     assert int(m.group(1)) == len(se.queries())
+
+
+def test_corpus_is_ascii(spark, sf_dir):
+    # ASCII-CORPUS PRECONDITION (r8 advice; queries/common.py header):
+    # char-indexed oracles (ord(substring(text,...)), length(text),
+    # character rotation/slicing) equal the operators' UTF-8-byte view
+    # only while documents.text is pure ASCII. Fail loudly here — as a
+    # named precondition — instead of as an opaque oracle hash
+    # mismatch the day the corpus changes.
+    from pyspark.sql import functions as F
+
+    from multi_search_retrival_big_data_spark import tables
+
+    docs = tables.load(spark, "documents", sf_dir)
+    non_ascii = docs.filter(
+        F.length("text") != F.length(F.col("text").cast("binary"))
+    ).count()
+    assert non_ascii == 0, (
+        f"{non_ascii} documents contain non-ASCII text; the char-indexed "
+        "DuckDB oracles no longer match the byte-based operators — see "
+        "queries/common.py ASCII-CORPUS ASSUMPTION"
+    )
