@@ -364,6 +364,8 @@ OPTIONAL_QUERIES = [
     # (dedup_minhash_lsh_capped / monitor_text_oov_rate)
     "multimodal_image_near_dup_capped",
     "monitor_dhash_band_density",
+    # r9: video dedup product table (family symmetry with image/audio)
+    "multimodal_video_dedup_keep",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

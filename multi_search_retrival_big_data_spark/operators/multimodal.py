@@ -681,11 +681,21 @@ AUDIO_CLIP_SHIFT = 2 * AUDIO_WIN  # synthetic clip: drop the first 16 bytes
 # oracle mismatch would ever catch it — r8 advice). 512 keeps the
 # historical key values; the assert makes an AUDIO_WIN/AUDIO_QUANT
 # change fail loudly instead.
-AUDIO_KEY_BASE = 512
+def audio_key_base(quant: int = AUDIO_QUANT) -> int:
+    """Collision-free mixed-radix base for a given quantization step:
+    max quantized envelope value (255·AUDIO_WIN)//quant, plus 2 —
+    which lands exactly on the historical 512 at the default Q=4, so
+    existing keys are unchanged while any AUDIO_WIN/quant change
+    re-derives a safe base instead of silently colliding."""
+    return (255 * AUDIO_WIN) // quant + 2
+
+
+AUDIO_KEY_BASE = audio_key_base()
 assert (255 * AUDIO_WIN) // AUDIO_QUANT < AUDIO_KEY_BASE, (
     "AUDIO_KEY_BASE must exceed the max quantized envelope value "
     f"({(255 * AUDIO_WIN) // AUDIO_QUANT}) or landmark keys collide"
 )
+assert AUDIO_KEY_BASE == 512, "key packing changed: update every oracle CTE"
 
 
 def synth_audio_clips(media: DataFrame) -> DataFrame:
@@ -723,7 +733,12 @@ def synth_audio_clips(media: DataFrame) -> DataFrame:
     )
 
 
-def audio_landmarks(clips: DataFrame, decoder: str = FAKE_DECODER) -> DataFrame:
+def audio_landmarks(
+    clips: DataFrame,
+    decoder: str = FAKE_DECODER,
+    fan: int = AUDIO_FAN,
+    quant: int = AUDIO_QUANT,
+) -> DataFrame:
     """Landmark fingerprints per clip: envelope[w] = integer sum of
     full window w (AUDIO_WIN bytes; a trailing partial window is
     dropped so every envelope value sums the same byte count and
@@ -754,6 +769,8 @@ def audio_landmarks(clips: DataFrame, decoder: str = FAKE_DECODER) -> DataFrame:
         )
     import numpy as np
 
+    key_base = audio_key_base(quant)
+
     def _landmarks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ts, keys = [], [], []
@@ -771,22 +788,51 @@ def audio_landmarks(clips: DataFrame, decoder: str = FAKE_DECODER) -> DataFrame:
                 peaks = (
                     np.nonzero((mid > env[:-2]) & (mid >= env[2:]))[0] + 1
                 )
-                q = env[peaks] // AUDIO_QUANT
+                q = env[peaks] // quant
                 for i in range(len(peaks)):
-                    for j in range(i + 1, min(i + 1 + AUDIO_FAN, len(peaks))):
+                    for j in range(i + 1, min(i + 1 + fan, len(peaks))):
                         dt = int(peaks[j] - peaks[i])
                         if dt > AUDIO_MAX_DT:
                             break
                         ids.append(cid)
                         ts.append(int(peaks[i]))
                         keys.append(
-                            (int(q[i]) * AUDIO_KEY_BASE + int(q[j]))
+                            (int(q[i]) * key_base + int(q[j]))
                             * (AUDIO_MAX_DT + 1)
                             + dt
                         )
             yield pd.DataFrame({"clip_id": ids, "t": ts, "key": keys})
 
     return clips.mapInPandas(_landmarks, "clip_id BIGINT, t BIGINT, key BIGINT")
+
+
+def audio_landmark_stats(
+    landmarks: DataFrame,
+    id_col: str = "clip_id",
+    max_key_df: int = AUDIO_MAX_KEY_DF,
+) -> DataFrame:
+    """ONE-ROW candidate-volume gauge for a landmark configuration:
+    (n_landmarks, kept_landmarks, candidates) where kept_landmarks
+    survives the key-df cap and candidates is the size of the capped
+    key join — the COUNTED scaling variable the recall grid and the
+    bench stress tiers read the landmark family's cost against
+    (the lsh_candidates / semantic_cell_pair_budget pattern). Two
+    map-side-combinable aggregations plus the same capped join the
+    matcher runs; never touches the audio corpus itself."""
+    kept = (
+        landmarks.groupBy("key")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") <= max_key_df)
+        .select("key")
+    )
+    lk = landmarks.join(kept, "key")
+    a = lk.select("key", F.col(id_col).alias("id_a"))
+    b = lk.select("key", F.col(id_col).alias("id_b"))
+    cand = a.join(b, "key").filter(F.col("id_a") < F.col("id_b"))
+    n_all = landmarks.agg(F.count(F.lit(1)).cast("bigint").alias("n_landmarks"))
+    n_kept = lk.agg(F.count(F.lit(1)).cast("bigint").alias("kept_landmarks"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("candidates"))
+    return n_all.crossJoin(n_kept).crossJoin(n_cand)
 
 
 def audio_near_duplicates(

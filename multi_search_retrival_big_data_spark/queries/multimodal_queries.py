@@ -540,7 +540,9 @@ _AU_SHIFT = mm.AUDIO_CLIP_SHIFT
 # audio landmark near-dup CTE chain (clips -> envelope -> peaks ->
 # landmark keys -> df-cap -> offset votes -> best) shared by the pair
 # query and the keep/drop product table.
-_AUDIO_NEARDUP_CTES = f"""clips AS (
+# configuration-independent prefix (clip synthesis -> envelope ->
+# peaks) shared by every landmark configuration in the family grid
+_AUDIO_BASE_CTES = f"""clips AS (
       SELECT doc_id * 10 AS clip_id, text FROM documents
       WHERE doc_id % 3 = 1 AND length(text) > 0
       UNION ALL
@@ -563,7 +565,9 @@ _AUDIO_NEARDUP_CTES = f"""clips AS (
       JOIN env p ON p.clip_id = e.clip_id AND p.w = e.w - 1
       JOIN env q ON q.clip_id = e.clip_id AND q.w = e.w + 1
       WHERE e.v > p.v AND e.v >= q.v
-    ),
+    )"""
+
+_AUDIO_NEARDUP_CTES = f"""{_AUDIO_BASE_CTES},
     lm AS (
       SELECT a.clip_id, a.w AS t,
              ((a.v // {_AU_Q}) * {mm.AUDIO_KEY_BASE} + (b.v // {_AU_Q})) * {_AU_DT + 1}
@@ -644,10 +648,10 @@ _VID_SHIFT = mm.VIDEO_SHIFT
 _VID_MINV = mm.VIDEO_MIN_VOTES
 
 
-@query(
-    "multimodal_video_near_dup",
-    oracle=f"""
-    WITH vids AS (
+# video near-dup CTE chain (clip synthesis -> frame dHash -> banding
+# pairs -> timeline offset vote -> best) shared by the pair query and
+# the keep/drop product table, mirroring _AUDIO_NEARDUP_CTES.
+_VIDEO_NEARDUP_CTES = f"""vids AS (
       SELECT doc_id, text, length(text) AS n,
              length(text) // {_VID_ROT} + 1 AS rot
       FROM documents
@@ -691,7 +695,13 @@ _VID_MINV = mm.VIDEO_MIN_VOTES
              row_number() OVER (PARTITION BY id_a, id_b
                                 ORDER BY votes DESC, "offset") AS rn
       FROM votes
-    )
+    )"""
+
+
+@query(
+    "multimodal_video_near_dup",
+    oracle=f"""
+    WITH {_VIDEO_NEARDUP_CTES}
     SELECT id_a, id_b, "offset", votes FROM best
     WHERE rn = 1 AND votes >= {_VID_MINV}
     ORDER BY id_a, id_b
@@ -1057,3 +1067,248 @@ def multimodal_audio_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.col("clip_id") == F.col("cluster_id"))
     )
     return out.orderBy("clip_id")
+
+
+@query(
+    "multimodal_video_dedup_keep",
+    oracle=f"""
+    WITH RECURSIVE {_VIDEO_NEARDUP_CTES},
+    vclips AS (
+      SELECT doc_id * 10 + v AS clip_id
+      FROM documents, unnest(range(0, 2)) AS t(v)
+      WHERE doc_id % 6 = 2 AND length(text) > 0
+    ),
+    dpairs AS (
+      SELECT id_a, id_b FROM best WHERE rn = 1 AND votes >= {_VID_MINV}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dpairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dpairs
+    ),
+    cnodes AS (SELECT DISTINCT src AS nd FROM edges),
+    reach AS (
+      SELECT nd, nd AS m FROM cnodes
+      UNION
+      SELECT r.nd, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (SELECT nd AS clip_id, min(m) AS cluster_id FROM reach GROUP BY nd)
+    SELECT cl.clip_id,
+           COALESCE(c.cluster_id, cl.clip_id) AS cluster_id,
+           (cl.clip_id = COALESCE(c.cluster_id, cl.clip_id)) AS keep
+    FROM vclips cl LEFT JOIN comp c USING (clip_id)
+    ORDER BY cl.clip_id
+    """,
+)
+def multimodal_video_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video dedup family's PRODUCT table (r8 verdict item 3 — the
+    family was asymmetric: image and audio had keep/drop tables, video
+    emitted only pairs): per-CLIP keep/drop decisions over the
+    frame-sequence near-dup pair graph. Offset-voted clip pairs
+    (video_near_duplicates — reference corpus motivation: the
+    shot/keyframe hierarchy of data_preparation.ipynb cells 4-7) ->
+    connected components (an original and ALL its re-encoded trimmed
+    copies form one cluster) -> keep = the cluster-minimum clip;
+    every unmatched clip survives. Exactly the
+    multimodal_image_dedup_keep / multimodal_audio_dedup_keep /
+    dedup_keep_canonical pattern, completing detection -> decision
+    for all five dedup modalities.
+
+    Scale notes: the closure runs on the near-dup PAIR graph (orders
+    of magnitude smaller than the frame table, which is itself far
+    smaller than the video corpus); the only corpus-shaped work is
+    the inherited fingerprint/banding path plus ONE left equi-join of
+    the clip list against the component labels. Oracle re-derives the
+    closure with a recursive CTE over the shared video near-dup CTE
+    chain."""
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    docs = tables.load(spark, "documents", sf_dir)
+    frames = mm.synth_video_sequences(mm.as_media_table(docs)).persist()
+    try:
+        # connected_components_auto materializes its edge list (router
+        # probe + checkpoint), so the persist is hit here and can be
+        # released before returning; the clip-list recompute below is
+        # one narrow pass off lineage.
+        pairs = mm.video_near_duplicates(mm.dhash_fingerprints(frames))
+        comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
+        clips = frames.select(
+            F.expr("frame_id div 10").alias("clip_id")
+        ).distinct()
+        return (
+            clips.join(
+                comp.select(F.col("node").alias("clip_id"), "cluster_id"),
+                "clip_id",
+                "left",
+            )
+            .select(
+                "clip_id",
+                F.coalesce(F.col("cluster_id"), F.col("clip_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .withColumn("keep", F.col("clip_id") == F.col("cluster_id"))
+            .orderBy("clip_id")
+        )
+    finally:
+        frames.unpersist()
+
+
+# ---- audio landmark family grid (recall-vs-cost governance) ----------------
+
+# (arm, fan, quant, max_key_df) — the landmark family's tuning space:
+#   default    — production constants; prices the 0.71-recall-at-sf0.1
+#                caveat as a measured point instead of a docstring note
+#   df_tight   — cap 8: shows recall COLLAPSING when the cap binds hard
+#                (the knob's failure direction, priced)
+#   fan_wide   — fan 6: more landmarks per peak buy recall back at
+#                ~2x landmark volume (the cost axis of the trade)
+#   hi_entropy — quant 1: the fake codec's key entropy raised toward a
+#                real STFT's ~2^30 key space; the SAME absolute cap
+#                goes nearly free, which is why the cap stays absolute
+_AUDIO_GRID_ARMS = [
+    ("default", mm.AUDIO_FAN, mm.AUDIO_QUANT, mm.AUDIO_MAX_KEY_DF),
+    ("df_tight", mm.AUDIO_FAN, mm.AUDIO_QUANT, 8),
+    ("fan_wide", 2 * mm.AUDIO_FAN, mm.AUDIO_QUANT, mm.AUDIO_MAX_KEY_DF),
+    ("hi_entropy", mm.AUDIO_FAN, 1, mm.AUDIO_MAX_KEY_DF),
+]
+
+
+def _audio_arm_ctes(sfx: str, fan: int, quant: int, df_cap: int) -> str:
+    """Per-configuration CTE chain over the shared clips/env/peaks
+    prefix — the SQL mirror of audio_landmarks(fan=, quant=) +
+    audio_near_duplicates(max_key_df=) for one grid arm."""
+    base = mm.audio_key_base(quant)
+    return f"""lm{sfx} AS (
+      SELECT a.clip_id, a.w AS t,
+             ((a.v // {quant}) * {base} + (b.v // {quant})) * {_AU_DT + 1}
+               + (b.w - a.w) AS key
+      FROM peaks a
+      JOIN peaks b ON b.clip_id = a.clip_id
+                  AND b.r BETWEEN a.r + 1 AND a.r + {fan}
+                  AND b.w - a.w <= {_AU_DT}
+    ),
+    keep{sfx} AS (
+      SELECT key FROM lm{sfx} GROUP BY key
+      HAVING COUNT(DISTINCT clip_id) <= {df_cap}
+    ),
+    kept{sfx} AS (SELECT l.* FROM lm{sfx} l JOIN keep{sfx} USING (key)),
+    cand{sfx} AS (
+      SELECT a.clip_id AS id_a, b.clip_id AS id_b, b.t - a.t AS off
+      FROM kept{sfx} a JOIN kept{sfx} b USING (key)
+      WHERE a.clip_id < b.clip_id
+    ),
+    votes{sfx} AS (
+      SELECT id_a, id_b, off, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM cand{sfx} GROUP BY 1, 2, 3
+    ),
+    best{sfx} AS (
+      SELECT id_a, id_b, votes,
+             row_number() OVER (PARTITION BY id_a, id_b
+                                ORDER BY votes DESC, off) AS rn
+      FROM votes{sfx}
+    ),
+    dup{sfx} AS (
+      SELECT id_a, id_b FROM best{sfx}
+      WHERE rn = 1 AND votes >= {_AU_MINV}
+    )"""
+
+
+def _audio_arm_select(arm: str, sfx: str) -> str:
+    return f"""SELECT '{arm}' AS arm,
+           (SELECT count(*) FROM lm{sfx}) AS n_landmarks,
+           (SELECT count(*) FROM kept{sfx}) AS kept_landmarks,
+           (SELECT count(*) FROM cand{sfx}) AS candidates,
+           (SELECT count(*) FROM planted) AS planted,
+           (SELECT count(*) FROM planted p
+              JOIN dup{sfx} d USING (id_a, id_b)) AS found,
+           CAST((SELECT count(*) FROM planted p
+                   JOIN dup{sfx} d USING (id_a, id_b)) AS DOUBLE)
+             / (SELECT count(*) FROM planted) AS recall"""
+
+
+_AUDIO_GRID_ARM_CTES = (",\n    ").join(
+    _audio_arm_ctes(f"_{a}", f, q, d) for a, f, q, d in _AUDIO_GRID_ARMS
+)
+_AUDIO_GRID_SELECTS = ("\n    UNION ALL\n    ").join(
+    _audio_arm_select(a, f"_{a}") for a, _f, _q, _d in _AUDIO_GRID_ARMS
+)
+
+
+@query(
+    "multimodal_audio_family_grid",
+    oracle=f"""
+    WITH {_AUDIO_BASE_CTES},
+    planted AS (
+      SELECT doc_id * 10 AS id_a, doc_id * 10 + 1 AS id_b FROM documents
+      WHERE doc_id % 3 = 1 AND (doc_id // 3) % 2 = 0
+        AND length(text) > {_AU_SHIFT}
+    ),
+    {_AUDIO_GRID_ARM_CTES}
+    {_AUDIO_GRID_SELECTS}
+    ORDER BY arm
+    """,
+)
+def multimodal_audio_family_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio landmark RECALL-vs-COST grid (r8 verdict item 4): the
+    0.71-planted-pair-recall-at-sf0.1 caveat becomes a priced curve
+    instead of a docstring note, the ann_*_family_grid pattern applied
+    to the landmark family. One row per configuration of
+    (fan, quant, key-df cap) — see _AUDIO_GRID_ARMS for what each arm
+    proves; 'hi_entropy' raises the fake codec's key entropy toward a
+    real STFT's ~2^30 key space (quant=1 -> base 2042) and shows the
+    SAME absolute df-cap going nearly free, the reason the cap is
+    absolute rather than scaled with N. Columns: landmark volume,
+    cap survivors, capped candidate-join size (the counted scaling
+    variable, audio_landmark_stats), planted truth, found, recall.
+
+    Scale notes: every arm reuses the clip/envelope/peak prefix and
+    pays one landmark fan-out + one df-capped key join — the same
+    bounded machinery as the production matcher, ~4x its cost, run as
+    a governance row (sampled in production), never on the serving
+    path."""
+    docs = tables.load(spark, "documents", sf_dir)
+    clips = mm.synth_audio_clips(mm.as_media_table(docs))
+    c = clips.select("clip_id")
+    planted = (
+        c.alias("a")
+        .join(
+            c.alias("b"),
+            F.col("a.clip_id") + 1 == F.col("b.clip_id"),
+        )
+        .filter(F.col("a.clip_id") % 10 == 0)
+        .select(
+            F.col("a.clip_id").alias("id_a"), F.col("b.clip_id").alias("id_b")
+        )
+    )
+    n_planted = planted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("planted")
+    )
+    arms = []
+    for arm, fan, quant, df_cap in _AUDIO_GRID_ARMS:
+        lms = mm.audio_landmarks(clips, fan=fan, quant=quant)
+        stats = mm.audio_landmark_stats(lms, max_key_df=df_cap)
+        pairs = mm.audio_near_duplicates(lms, max_key_df=df_cap)
+        found = planted.join(
+            pairs.select("id_a", "id_b"), ["id_a", "id_b"]
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("found"))
+        arms.append(
+            stats.crossJoin(n_planted)
+            .crossJoin(found)
+            .select(
+                F.lit(arm).alias("arm"),
+                "n_landmarks",
+                "kept_landmarks",
+                "candidates",
+                "planted",
+                "found",
+                (
+                    F.col("found").cast("double")
+                    / F.col("planted").cast("double")
+                ).alias("recall"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("arm")

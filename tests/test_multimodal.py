@@ -548,3 +548,56 @@ def test_audio_dedup_keep_drops_shifted_clip(spark):
     # the original (70) and its shifted clip (71) form one cluster
     # labeled by the minimum -> keep 70, drop 71
     assert got == {70: 70, 71: 70}
+
+
+def test_video_dedup_keep_drops_reencoded_copy(spark):
+    import random
+
+    from multi_search_retrival_big_data_spark.queries.multimodal_queries import (
+        multimodal_video_dedup_keep,
+    )
+
+    rng = random.Random(23)
+    text = "".join(chr(32 + rng.randrange(90)) for _ in range(400))
+    docs = spark.createDataFrame(
+        [(8, text, "s"), (14, text[::-1], "s")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.withColumn("lang", F.lit("en")).withColumn(
+            "n_chars", F.length("text")
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["clip_id"]: (r["cluster_id"], r["keep"])
+               for r in multimodal_video_dedup_keep(spark, d).collect()}
+    # each video's clip 0 (original) and clip 1 (re-encoded trimmed
+    # copy) form one cluster labeled by the minimum: keep clip 0
+    assert out == {
+        80: (80, True), 81: (80, False),
+        140: (140, True), 141: (140, False),
+    }
+
+
+def test_audio_family_grid_prices_the_cap(spark, sf_dir):
+    from multi_search_retrival_big_data_spark.queries.multimodal_queries import (
+        multimodal_audio_family_grid,
+    )
+
+    rows = {r["arm"]: r for r in multimodal_audio_family_grid(spark, sf_dir).collect()}
+    assert set(rows) == {"default", "df_tight", "fan_wide", "hi_entropy"}
+    for r in rows.values():
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["kept_landmarks"] <= r["n_landmarks"]
+        assert r["found"] <= r["planted"]
+    # tightening the df-cap can only drop landmarks/candidates/recall
+    assert rows["df_tight"]["kept_landmarks"] <= rows["default"]["kept_landmarks"]
+    assert rows["df_tight"]["candidates"] <= rows["default"]["candidates"]
+    assert rows["df_tight"]["recall"] <= rows["default"]["recall"]
+    # wider fan mines strictly more landmarks
+    assert rows["fan_wide"]["n_landmarks"] >= rows["default"]["n_landmarks"]
+    # higher key entropy (STFT-like space): the same absolute cap drops
+    # nothing and the key join shrinks — the cap "goes free"
+    assert rows["hi_entropy"]["kept_landmarks"] == rows["hi_entropy"]["n_landmarks"]
+    assert rows["hi_entropy"]["candidates"] <= rows["default"]["candidates"]
+    assert rows["hi_entropy"]["recall"] >= rows["default"]["recall"]

@@ -50,6 +50,7 @@ SCALAR_BROADCAST_OK = {
     "ann_lsh_family_grid",   # 1-row candidates × 1-row hits scalar combine per config
     "ann_ivf_family_grid",   # same 1-row scalar combine per (variant, config)
     "ann_pq_family_grid",    # tiny LUT crosses + 1-row scalar combines per variant
+    "multimodal_audio_family_grid",  # 1-row stats × planted × found scalar combine per arm
     "ann_ivfpq_adc_topk",     # nprobe-row probe x M.KS-row codebook LUT build
     "ann_pq_batch_adc_topk",  # request-sized query batch fanout + LUT cross
     "dense_batch_topk_cosine",  # corpus × request-sized query batch
