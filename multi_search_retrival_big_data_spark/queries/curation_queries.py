@@ -779,3 +779,112 @@ def curation_quality_threshold_grid(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 _REG["curation_quality_threshold_grid"].oracle = _quality_threshold_grid_oracle()
+
+
+# ---- cross-modal corpus manifest (the dedup family composes) ---------------
+
+# the keep-table oracles are reused verbatim as subqueries; importing
+# the defining modules here guarantees their REGISTRY entries exist
+# even when this module is imported directly (outside load_registry)
+from multi_search_retrival_big_data_spark.queries import (  # noqa: E402
+    multimodal_queries as _mmq,
+    pipeline_queries as _plq,
+)
+
+
+def _manifest_arm_sql(modality: str, keep_oracle: str, id_col: str) -> str:
+    """One manifest row over a keep-table oracle: item/keep/drop counts
+    plus the md5-positional checksum (dedup.shingle_int_value) of the
+    kept id set. The text arm instead checksums the kept DOCUMENT
+    BYTES (join back to documents) — the actual corpus content."""
+    if modality == "text":
+        chks = f"""CAST(SUM(CASE WHEN k.keep THEN {_sql_v("d.text")} ELSE 0 END) AS BIGINT)"""
+        src = f"({keep_oracle}) k JOIN documents d ON d.doc_id = k.doc_id"
+    else:
+        chks = f"""CAST(SUM(CASE WHEN k.keep THEN {_sql_v(f"CAST(k.{id_col} AS VARCHAR)")} ELSE 0 END) AS BIGINT)"""
+        src = f"({keep_oracle}) k"
+    return f"""SELECT '{modality}' AS modality,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN k.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           {chks} AS kept_checksum
+    FROM {src}"""
+
+
+_MANIFEST_ARMS = [
+    ("text", "dedup_keep_canonical", "doc_id"),
+    ("image", "multimodal_image_dedup_keep", "frame_id"),
+    ("audio", "multimodal_audio_dedup_keep", "clip_id"),
+    ("video", "multimodal_video_dedup_keep", "clip_id"),
+]
+
+_MANIFEST_ORACLE = "\n    UNION ALL\n    ".join(
+    _manifest_arm_sql(m, _REG[q].oracle, c) for m, q, c in _MANIFEST_ARMS
+) + "\n    ORDER BY modality"
+
+
+@query("pipeline_cross_modal_manifest", oracle=_MANIFEST_ORACLE)
+def pipeline_cross_modal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CROSS-MODAL corpus manifest (r8 verdict item 8): one
+    composed pipeline joining the dedup family's four PRODUCT tables —
+    text (MinHash-LSH keep_canonical), image (dHash Hamming-band),
+    audio (landmark offset vote), video (frame-sequence vote), each
+    already closed over connected components — into a single
+    per-modality manifest: item/keep/drop counts plus a checksum
+    pinning the exact surviving set (text: md5-positional sum over the
+    kept document BYTES; media: over the kept id set, whose synthetic
+    content is id-determined). This is the table a training-data
+    release manifest ships: which items of each modality survived
+    dedup, and a fingerprint to verify a re-run reproduced the same
+    corpus. Proves the family COMPOSES: all four keep tables coexist
+    in one plan with their CC closures and band/cap guards intact.
+
+    Scale notes: each arm aggregates its keep table (item-count-sized,
+    ≪ corpus) with map-side-combinable sums; the only corpus-touching
+    work is inherited from the keep pipelines themselves plus the text
+    arm's one equi-join back to documents for the content checksum.
+    The four arms share nothing and can run as independent jobs at
+    100 TB; the manifest union is 4 rows."""
+    docs = tables.load(spark, "documents", sf_dir)
+    keeps = {
+        "text": _plq.dedup_keep_canonical(spark, sf_dir).withColumnRenamed(
+            "doc_id", "item_id"
+        ),
+        "image": _mmq.multimodal_image_dedup_keep(spark, sf_dir).withColumnRenamed(
+            "frame_id", "item_id"
+        ),
+        "audio": _mmq.multimodal_audio_dedup_keep(spark, sf_dir).withColumnRenamed(
+            "clip_id", "item_id"
+        ),
+        "video": _mmq.multimodal_video_dedup_keep(spark, sf_dir).withColumnRenamed(
+            "clip_id", "item_id"
+        ),
+    }
+    arms = []
+    for modality, k in keeps.items():
+        if modality == "text":
+            joined = k.join(
+                docs.select(F.col("doc_id").alias("item_id"), "text"), "item_id"
+            )
+            v = shingle_int_value(F.col("text"))
+        else:
+            joined = k
+            v = shingle_int_value(F.col("item_id").cast("string"))
+        arms.append(
+            joined.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_kept"),
+                F.sum(F.when(F.col("keep"), 0).otherwise(1))
+                .cast("bigint")
+                .alias("n_dropped"),
+                F.sum(F.when(F.col("keep"), v).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias("kept_checksum"),
+            ).select(F.lit(modality).alias("modality"), "*")
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("modality")

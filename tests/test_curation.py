@@ -369,3 +369,16 @@ def test_shard_manifest_partitions_the_corpus(spark):
     assert sum(r["count"] for r in agg) == 123  # partition: no loss, no dup
     total = s.agg({"n_chars": "sum"}).collect()[0][0]
     assert total == sum(10 + i for i in range(123))
+
+
+def test_cross_modal_manifest_counts_consistent(spark, sf_dir):
+    from multi_search_retrival_big_data_spark.queries.curation_queries import (
+        pipeline_cross_modal_manifest,
+    )
+
+    rows = {r["modality"]: r for r in pipeline_cross_modal_manifest(spark, sf_dir).collect()}
+    assert set(rows) == {"text", "image", "audio", "video"}
+    for m, r in rows.items():
+        assert r["n_kept"] + r["n_dropped"] == r["n_items"], m
+        assert r["n_kept"] >= 1, m
+        assert r["kept_checksum"] != 0, m
