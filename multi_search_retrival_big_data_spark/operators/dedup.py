@@ -367,6 +367,23 @@ def minhash_near_duplicates(
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def _symmetrize_pairs(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """(a,b) ∪ (b,a) as (src,dst) in ONE evaluation of `pairs`: the
+    union-of-two-selects spelling re-runs the (possibly expensive)
+    upstream pair pipeline once PER BRANCH — measured on the LSS
+    anchor at sf0.1, 4.8 s of its 5.5 s was the MinHash shingle/verify
+    pipeline evaluated twice under the first checkpoint. The explode
+    is a narrow per-row fan-out: one pass, no second evaluation."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -402,12 +419,7 @@ def connected_components(
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _symmetrize_pairs(pairs, id_a, id_b).distinct().localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -593,12 +605,12 @@ def connected_components_lss(
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    sym = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
+    # NOT distinct-ed before the checkpoint: duplicate orientations are
+    # harmless to every min-aggregate/join in the loop and the
+    # round-end distinct restores the exact set — skipping the
+    # up-front shuffle keeps the first (most expensive) action at the
+    # upstream pipeline's own cost
+    sym = _symmetrize_pairs(pairs, id_a, id_b).localCheckpoint()
     nodes = sym.select(F.col("src").alias("node")).distinct()
     edges = sym.filter(F.col("src") != F.col("dst"))
 
@@ -607,15 +619,22 @@ def connected_components_lss(
             F.least(F.min("dst"), F.first("src")).alias("m")
         )
 
-    def symmetric(e: DataFrame) -> DataFrame:
-        return (
-            e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
+    def symmetric(e: DataFrame, dedup: bool = True) -> DataFrame:
+        # explode-based: both orientations from ONE evaluation of e
+        # (a union of two selects duplicates e's whole plan subtree —
+        # at 2 stars/round the duplication compounds and the per-round
+        # action cost is plan/stage overhead, not data). dedup=False
+        # skips the mid-round distinct: duplicate edges are harmless
+        # to the min-aggregates and joins between stars, and the
+        # round-end distinct restores the exact edge SET before the
+        # checkpoint/fixed-point compare.
+        out = _symmetrize_pairs(e, "src", "dst").filter(
+            F.col("src") != F.col("dst")
         )
+        return out.distinct() if dedup else out
 
     converged = False
-    prev_count = edges.count()
+    prev_count = -1  # sym is not deduped; no valid count-gate before round 0
     for _ in range(max_iter):
         # large-star: (v, m(u)) for v ∈ Γ(u), v > u
         lm = nbr_min(edges)
@@ -626,7 +645,15 @@ def connected_components_lss(
         )
         # keep each node's link to its min so components cannot split
         keep = lm.select(F.col("src"), F.col("m").alias("dst"))
-        e1 = symmetric(large.union(keep)).localCheckpoint()
+        # NOT checkpointed (r8 verdict item 6 — 5.4 s at sf0.1, the
+        # grid's slowest anchor, was dominated by per-round JOB COUNT,
+        # not data): e1 is consumed twice below (nbr_min + join), so
+        # skipping its materialization recomputes ONE round of
+        # star-rewiring lineage off the last checkpoint — a few narrow
+        # shuffles over an edge set that only ever shrinks — and
+        # halves the eager actions per round. Lineage still cannot
+        # grow across rounds: new_edges checkpoints at round end.
+        e1 = symmetric(large.union(keep), dedup=False)
         # small-star: (v, m(u)) for v ∈ Γ(u) ∪ {u}, v ≤ u
         sm = nbr_min(e1)
         small = (
