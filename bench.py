@@ -1238,6 +1238,12 @@ def main() -> None:
             }
 
         stress_dir = _build_stress_dir(spark, sf_dir, STRESS_REPLICATION)
+        # tier boundary hygiene: the corpus build above is a huge write
+        # job and the grid left ~90 anchors of cached blocks/codegen in
+        # this JVM; the tier's FIRST anchors (the MinHash x10 family)
+        # otherwise measure that residue (r9: 19.9 s in-grid vs 5.4 s
+        # fresh-session for dedup_minhash_lsh_capped at x10)
+        _session_hygiene(spark)
         stress_names = [n for n in STRESS_QUERIES if n in qs]
         uniform_names = list(dict.fromkeys(stress_names + skew_names))
         stress = _time_queries(
@@ -1337,6 +1343,7 @@ def main() -> None:
         # uniform tier means the mitigation holds under skew
         if tier_fits("skew"):
             skew_dir = _build_skew_dir(spark, sf_dir, STRESS_REPLICATION)
+            _session_hygiene(spark)
             skew = _time_queries(spark, qs, skew_names, skew_dir, skipped=skipped)
             result["tiers"]["skew"] = {
                 "queries": skew,
