@@ -1185,7 +1185,7 @@ def main() -> None:
 
     run_stress = want_stress and tier_fits("x10")
     stress_dir = None
-    stress: dict[str, float] = {}
+    stress = {}  # x10 timings; filled per-anchor inside the tier
     skew_names = [n for n in SKEW_QUERIES if n in qs]
     if run_stress:
         from multi_search_retrival_big_data_spark import tables as _tables
@@ -1246,19 +1246,27 @@ def main() -> None:
         _session_hygiene(spark)
         stress_names = [n for n in STRESS_QUERIES if n in qs]
         uniform_names = list(dict.fromkeys(stress_names + skew_names))
-        stress = _time_queries(
-            spark, qs, uniform_names, stress_dir, skipped=skipped
-        )
+        # tier dict wired BEFORE timing and re-emitted per anchor, so a
+        # kill mid-tier still leaves every completed x10 timing parsed
+        stress: dict[str, float] = {}
+        ratios: dict[str, float] = {}
         result["tiers"] = {
             "x1": {n: timings[n] for n in uniform_names if n in timings},
             f"x{STRESS_REPLICATION}": stress,
-            "scale_ratio": {
-                n: round(stress[n] / timings[n], 2)
-                for n in uniform_names
-                if timings.get(n) and n in stress
-            },
+            "scale_ratio": ratios,
             "replication": STRESS_REPLICATION,
         }
+
+        def _tier_anchor(name: str, med: float) -> None:
+            stress[name] = med
+            if timings.get(name):
+                ratios[name] = round(med / timings[name], 2)
+            emit()
+
+        _time_queries(
+            spark, qs, uniform_names, stress_dir,
+            on_anchor=_tier_anchor, skipped=skipped,
+        )
         emit()
 
         # candidate-volume counts: the scaling variables the time
@@ -1344,17 +1352,25 @@ def main() -> None:
         if tier_fits("skew"):
             skew_dir = _build_skew_dir(spark, sf_dir, STRESS_REPLICATION)
             _session_hygiene(spark)
-            skew = _time_queries(spark, qs, skew_names, skew_dir, skipped=skipped)
+            skew: dict[str, float] = {}
+            skew_ratios: dict[str, float] = {}
             result["tiers"]["skew"] = {
                 "queries": skew,
-                "skew_ratio_vs_uniform_x10": {
-                    n: round(skew[n] / stress[n], 2)
-                    for n in skew_names
-                    if stress.get(n) and n in skew
-                },
+                "skew_ratio_vs_uniform_x10": skew_ratios,
                 "shape": "replicas 0-2 -> lang=en/src_hot (~30% one key); "
                          "2% of rows byte-identical boilerplate (one mega cluster)",
             }
+
+            def _skew_anchor(name: str, med: float) -> None:
+                skew[name] = med
+                if stress.get(name):
+                    skew_ratios[name] = round(med / stress[name], 2)
+                emit()
+
+            _time_queries(
+                spark, qs, skew_names, skew_dir,
+                on_anchor=_skew_anchor, skipped=skipped,
+            )
             emit()
             if _remaining() > 60:
                 mega = (
