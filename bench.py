@@ -120,6 +120,11 @@ DRIFT_WATCH = [
     # vs a real shift (verdict r7 item 2); the Arrow batch path is
     # already the designated high-d serving strategy either way
     "dense_batch_topk_cosine",
+    # r9→r10: the one headline anchor above its r1 baseline (0.63 vs
+    # 0.44, 1.4×) in a session with a pinned ambient factor — 5-run
+    # min/med/max either pins it as variance (min ≈ baseline) or
+    # catches a real regression (verdict r9 item 8)
+    "dense_topk_cosine",
 ]
 
 STRESS_REPLICATION = 10

@@ -634,7 +634,17 @@ def connected_components_lss(
         return out.distinct() if dedup else out
 
     converged = False
-    prev_count = -1  # sym is not deduped; no valid count-gate before round 0
+    # sym is not deduped, so there is no valid count-gate before round 0
+    # — which means convergence is detectable only from round 1 onward:
+    # an input already AT the star fixed point needs max_iter >= 2 to be
+    # recognized as converged (round 0 establishes the count, round 1
+    # matches it). With max_iter=1 such an input raises the
+    # non-convergence error below instead of returning — deliberate
+    # fail-loud behavior, noted here because it differs from a
+    # hypothetical eager `prev_count = distinct-count(sym)` gate that
+    # would pay an extra up-front shuffle on EVERY call to save one
+    # round only for already-converged single-round inputs (r9 advice).
+    prev_count = -1
     for _ in range(max_iter):
         # large-star: (v, m(u)) for v ∈ Γ(u), v > u
         lm = nbr_min(edges)

@@ -668,34 +668,50 @@ def image_near_duplicates(
 AUDIO_WIN = 8           # envelope window: 8 payload bytes
 AUDIO_FAN = 3           # each peak pairs with its next 3 peaks...
 AUDIO_MAX_DT = 16       # ...at most 16 windows ahead
-AUDIO_QUANT = 4         # envelope quantization step (sum/4 -> 0..510)
+AUDIO_QUANT = 1         # envelope quantization step (1 = no coarsening)
+# AUDIO_QUANT = 1 is the PROMOTED default (r9 verdict item 4): the r9
+# family grid measured the Q=4 configuration at recall 0.712 / 872k
+# capped candidates (sf0.1) vs Q=1 at 0.795 / 141k — higher recall at
+# ~1/6 the candidate volume, because the fake codec's clip copies are
+# envelope-EXACT and coarsening only collapses the key space (more
+# cross-clip coincidences saturating the df-cap). A lossy real codec
+# would widen Q to recover shift robustness from noisy spectral peaks —
+# that trade stays measured, not assumed: the lo_entropy grid arm keeps
+# the Q=4 point priced in multimodal_audio_family_grid.
 AUDIO_MAX_KEY_DF = 64   # viral-key guard: drop keys seen in > 64 clips
 AUDIO_MIN_VOTES = 12    # near-dup verdict: >= 12 offset-aligned matches
-#   (measured at sf0.01: true shifted clips vote 12-69 at one offset,
-#   coincidental text-envelope collisions never exceed 9)
+#   (calibrated at the former Q=4 default: true shifted clips vote
+#   12-69 at one offset, coincidental collisions never exceed 9; the
+#   promoted Q=1 keys are strictly MORE specific, so coincidental
+#   votes only drop and the same bar holds — re-proven by the oracle
+#   rows and the family grid at both sf0.01 and sf0.1)
 AUDIO_CLIP_SHIFT = 2 * AUDIO_WIN  # synthetic clip: drop the first 16 bytes
 # mixed-radix base for packing a (q_i, q_j) quantized-envelope pair into
 # one bigint key: must exceed the max quantized value
 # (255·AUDIO_WIN)//AUDIO_QUANT, else distinct peak pairs collide into
 # one key and match precision silently degrades IN BOTH ENGINES (no
-# oracle mismatch would ever catch it — r8 advice). 512 keeps the
-# historical key values; the assert makes an AUDIO_WIN/AUDIO_QUANT
-# change fail loudly instead.
+# oracle mismatch would ever catch it — r8 advice). The guard below
+# makes an AUDIO_WIN/AUDIO_QUANT change fail loudly instead.
 def audio_key_base(quant: int = AUDIO_QUANT) -> int:
     """Collision-free mixed-radix base for a given quantization step:
     max quantized envelope value (255·AUDIO_WIN)//quant, plus 2 —
-    which lands exactly on the historical 512 at the default Q=4, so
-    existing keys are unchanged while any AUDIO_WIN/quant change
-    re-derives a safe base instead of silently colliding."""
+    2042 at the promoted Q=1 default (512 at the former Q=4); any
+    AUDIO_WIN/quant change re-derives a safe base instead of silently
+    colliding."""
     return (255 * AUDIO_WIN) // quant + 2
 
 
 AUDIO_KEY_BASE = audio_key_base()
-assert (255 * AUDIO_WIN) // AUDIO_QUANT < AUDIO_KEY_BASE, (
-    "AUDIO_KEY_BASE must exceed the max quantized envelope value "
-    f"({(255 * AUDIO_WIN) // AUDIO_QUANT}) or landmark keys collide"
-)
-assert AUDIO_KEY_BASE == 512, "key packing changed: update every oracle CTE"
+# explicit raises, not `assert` — these are load-bearing packing guards
+# that must survive `python -O` (r9 advice: module-level asserts are
+# stripped under optimized mode, silently disabling the collision check)
+if not (255 * AUDIO_WIN) // AUDIO_QUANT < AUDIO_KEY_BASE:
+    raise AssertionError(
+        "AUDIO_KEY_BASE must exceed the max quantized envelope value "
+        f"({(255 * AUDIO_WIN) // AUDIO_QUANT}) or landmark keys collide"
+    )
+if AUDIO_KEY_BASE != 2042:
+    raise AssertionError("key packing changed: update every oracle CTE")
 
 
 def synth_audio_clips(media: DataFrame) -> DataFrame:
@@ -748,13 +764,14 @@ def audio_landmarks(
     engines); each peak i pairs with its next AUDIO_FAN peaks j
     (dt = w_j - w_i <= AUDIO_MAX_DT) into the packed key
     (env_i//Q * AUDIO_KEY_BASE + env_j//Q) * (MAX_DT+1) + dt, anchored
-    at t = w_i. Returns (clip_id, t, key). Q = AUDIO_QUANT = 4 trades
-    robustness for key entropy: the fake codec's clip copies are
-    envelope-EXACT, so Q=4 keeps ~36 effective levels around the
-    text-byte mean (coarser
-    quantization collapses the key space and lets unrelated clips
-    reach the vote bar by chance); a lossy real codec would widen Q
-    and recover precision from the richer spectral peak values.
+    at t = w_i. Returns (clip_id, t, key). Q = AUDIO_QUANT = 1 is the
+    promoted high-entropy default (r9 family grid: recall 0.795 at
+    141k capped candidates vs 0.712 / 872k at the former Q=4 — the
+    fake codec's clip copies are envelope-EXACT, so quantizing buys no
+    robustness here, it only collapses the key space and saturates the
+    df-cap with cross-clip coincidences); a lossy real codec would
+    widen Q to absorb spectral noise, a trade the grid's lo_entropy
+    arm keeps priced instead of assumed.
 
     Scale notes: one narrow mapInPandas pass (numpy reshape-sum per
     blob, no shuffle); output is ~F rows x 24 bytes per peak — the
@@ -904,7 +921,8 @@ VIDEO_FRAME_COUNT = 4   # sampled frames per synthetic video
 # frame_id packs media_id*100 + variant*10 + t and is decoded with
 # //10 and %10 downstream (video_near_duplicates) — raising the frame
 # count to >= 10 would silently corrupt clip ids/offsets (r8 advice)
-assert VIDEO_FRAME_COUNT <= 9, "frame_id packing requires t <= 9; widen the encoding"
+if VIDEO_FRAME_COUNT > 9:  # explicit raise: must survive `python -O` (r9 advice)
+    raise AssertionError("frame_id packing requires t <= 9; widen the encoding")
 VIDEO_ROT_DIV = 5       # scene change: frame t rotates bytes by t*(n//5+1)
 VIDEO_SALT = 23         # re-encode variant: one byte perturbed per frame
 VIDEO_SHIFT = 1         # ...and the first frame trimmed (temporal shift)

@@ -618,16 +618,17 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never dedups it). Oracle recomputes envelope, peaks, fan-out keys,
     the viral-key df-cap, and the vote in SQL.
 
-    Measured: planted-pair recall 0.90 at sf0.01 / 0.71 at sf0.1 with
-    zero coincidental pairs below the vote bar at either scale (the
-    remaining cross-document pairs share genuine long spans). The
+    Measured (Q=1 promoted default, r10): planted-pair recall 0.87 at
+    sf0.01 / 0.795 at sf0.1 on 141k capped candidates — vs 0.712 on
+    872k candidates for the former Q=4 default (the grid's lo_entropy
+    arm), i.e. higher recall at ~1/6 the join volume. The residual
     recall decay with corpus size is the ABSOLUTE df-cap meeting the
-    fake codec's small key space (8-byte envelope sums of ASCII text,
-    ~10^5 effective keys): common keys saturate the cap and drop. A
-    real STFT landmark key space is ~2^30, where the same cap costs
-    ~nothing — which is why the cap stays absolute (it bounds the key
-    join at max_key_df * |landmarks| under ANY skew) rather than being
-    scaled with N."""
+    fake codec's key space (8-byte envelope sums of ASCII text):
+    common keys saturate the cap and drop. A real STFT landmark key
+    space is ~2^30, where the same cap costs ~nothing — which is why
+    the cap stays absolute (it bounds the key join at
+    max_key_df * |landmarks| under ANY skew) rather than being scaled
+    with N."""
     docs = tables.load(spark, "documents", sf_dir)
     clips = mm.synth_audio_clips(mm.as_media_table(docs))
     out = mm.audio_near_duplicates(mm.audio_landmarks(clips))
@@ -1157,20 +1158,23 @@ def multimodal_video_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- audio landmark family grid (recall-vs-cost governance) ----------------
 
 # (arm, fan, quant, max_key_df) — the landmark family's tuning space:
-#   default    — production constants; prices the 0.71-recall-at-sf0.1
-#                caveat as a measured point instead of a docstring note
+#   default    — production constants (Q=1 since r10: the r9 grid
+#                measured the high-entropy keys at recall 0.795 / 141k
+#                candidates vs 0.712 / 872k for the former Q=4 default,
+#                so the better point was PROMOTED, verdict r9 item 4)
 #   df_tight   — cap 8: shows recall COLLAPSING when the cap binds hard
 #                (the knob's failure direction, priced)
 #   fan_wide   — fan 6: more landmarks per peak buy recall back at
 #                ~2x landmark volume (the cost axis of the trade)
-#   hi_entropy — quant 1: the fake codec's key entropy raised toward a
-#                real STFT's ~2^30 key space; the SAME absolute cap
-#                goes nearly free, which is why the cap stays absolute
+#   lo_entropy — quant 4: the FORMER default, kept as the coarse-
+#                quantization failure direction — collapsing the key
+#                space saturates the absolute df-cap with cross-clip
+#                coincidences and recall drops at ~6x the candidates
 _AUDIO_GRID_ARMS = [
     ("default", mm.AUDIO_FAN, mm.AUDIO_QUANT, mm.AUDIO_MAX_KEY_DF),
     ("df_tight", mm.AUDIO_FAN, mm.AUDIO_QUANT, 8),
     ("fan_wide", 2 * mm.AUDIO_FAN, mm.AUDIO_QUANT, mm.AUDIO_MAX_KEY_DF),
-    ("hi_entropy", mm.AUDIO_FAN, 1, mm.AUDIO_MAX_KEY_DF),
+    ("lo_entropy", mm.AUDIO_FAN, 4, mm.AUDIO_MAX_KEY_DF),
 ]
 
 
@@ -1266,49 +1270,58 @@ def multimodal_audio_family_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pays one landmark fan-out + one df-capped key join — the same
     bounded machinery as the production matcher, ~4x its cost, run as
     a governance row (sampled in production), never on the serving
-    path."""
+    path. The arms are evaluated EAGERLY over persisted clip and
+    per-arm landmark tables (r9 advice: the lazy union re-ran clip
+    synthesis + landmark extraction ~5 times per arm — the stats
+    aggregate fans out into 3 count branches plus the capped join, and
+    Spark does not share subplans across branches without a persist);
+    every persist is released in a finally, and what the caller gets
+    is the 4-row grid rebuilt from the collected aggregate scalars —
+    the same bounded driver-side shape as the ANN recall grids."""
     docs = tables.load(spark, "documents", sf_dir)
-    clips = mm.synth_audio_clips(mm.as_media_table(docs))
-    c = clips.select("clip_id")
-    planted = (
-        c.alias("a")
-        .join(
-            c.alias("b"),
-            F.col("a.clip_id") + 1 == F.col("b.clip_id"),
-        )
-        .filter(F.col("a.clip_id") % 10 == 0)
-        .select(
-            F.col("a.clip_id").alias("id_a"), F.col("b.clip_id").alias("id_b")
-        )
-    )
-    n_planted = planted.agg(
-        F.count(F.lit(1)).cast("bigint").alias("planted")
-    )
-    arms = []
-    for arm, fan, quant, df_cap in _AUDIO_GRID_ARMS:
-        lms = mm.audio_landmarks(clips, fan=fan, quant=quant)
-        stats = mm.audio_landmark_stats(lms, max_key_df=df_cap)
-        pairs = mm.audio_near_duplicates(lms, max_key_df=df_cap)
-        found = planted.join(
-            pairs.select("id_a", "id_b"), ["id_a", "id_b"]
-        ).agg(F.count(F.lit(1)).cast("bigint").alias("found"))
-        arms.append(
-            stats.crossJoin(n_planted)
-            .crossJoin(found)
-            .select(
-                F.lit(arm).alias("arm"),
-                "n_landmarks",
-                "kept_landmarks",
-                "candidates",
-                "planted",
-                "found",
-                (
-                    F.col("found").cast("double")
-                    / F.col("planted").cast("double")
-                ).alias("recall"),
+    clips = mm.synth_audio_clips(mm.as_media_table(docs)).persist()
+    try:
+        c = clips.select("clip_id")
+        planted = (
+            c.alias("a")
+            .join(
+                c.alias("b"),
+                F.col("a.clip_id") + 1 == F.col("b.clip_id"),
             )
+            .filter(F.col("a.clip_id") % 10 == 0)
+            .select(
+                F.col("a.clip_id").alias("id_a"), F.col("b.clip_id").alias("id_b")
+            )
+            .persist()
         )
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
-    return out.orderBy("arm")
+        n_planted = planted.count()
+        rows = []
+        for arm, fan, quant, df_cap in _AUDIO_GRID_ARMS:
+            lms = mm.audio_landmarks(clips, fan=fan, quant=quant).persist()
+            try:
+                stats = mm.audio_landmark_stats(lms, max_key_df=df_cap).collect()[0]
+                pairs = mm.audio_near_duplicates(lms, max_key_df=df_cap)
+                found = planted.join(
+                    pairs.select("id_a", "id_b"), ["id_a", "id_b"]
+                ).count()
+            finally:
+                lms.unpersist()
+            rows.append(
+                (
+                    arm,
+                    int(stats["n_landmarks"]),
+                    int(stats["kept_landmarks"]),
+                    int(stats["candidates"]),
+                    int(n_planted),
+                    int(found),
+                    float(found) / float(n_planted),
+                )
+            )
+        planted.unpersist()
+    finally:
+        clips.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "arm STRING, n_landmarks BIGINT, kept_landmarks BIGINT, "
+        "candidates BIGINT, planted BIGINT, found BIGINT, recall DOUBLE",
+    ).orderBy("arm")

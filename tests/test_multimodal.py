@@ -585,7 +585,7 @@ def test_audio_family_grid_prices_the_cap(spark, sf_dir):
     )
 
     rows = {r["arm"]: r for r in multimodal_audio_family_grid(spark, sf_dir).collect()}
-    assert set(rows) == {"default", "df_tight", "fan_wide", "hi_entropy"}
+    assert set(rows) == {"default", "df_tight", "fan_wide", "lo_entropy"}
     for r in rows.values():
         assert 0.0 <= r["recall"] <= 1.0
         assert r["kept_landmarks"] <= r["n_landmarks"]
@@ -596,8 +596,10 @@ def test_audio_family_grid_prices_the_cap(spark, sf_dir):
     assert rows["df_tight"]["recall"] <= rows["default"]["recall"]
     # wider fan mines strictly more landmarks
     assert rows["fan_wide"]["n_landmarks"] >= rows["default"]["n_landmarks"]
-    # higher key entropy (STFT-like space): the same absolute cap drops
-    # nothing and the key join shrinks — the cap "goes free"
-    assert rows["hi_entropy"]["kept_landmarks"] == rows["hi_entropy"]["n_landmarks"]
-    assert rows["hi_entropy"]["candidates"] <= rows["default"]["candidates"]
-    assert rows["hi_entropy"]["recall"] >= rows["default"]["recall"]
+    # the promoted Q=1 default keeps the high-entropy key space: the
+    # absolute cap drops nothing at gate scale, and coarsening the keys
+    # back to the former Q=4 (lo_entropy) can only inflate the key join
+    # and lose recall — the direction the r10 promotion is based on
+    assert rows["default"]["kept_landmarks"] == rows["default"]["n_landmarks"]
+    assert rows["lo_entropy"]["candidates"] >= rows["default"]["candidates"]
+    assert rows["lo_entropy"]["recall"] <= rows["default"]["recall"]

@@ -39,6 +39,18 @@ def test_readme_registry_count_matches():
     assert int(m.group(1)) == len(se.queries())
 
 
+def test_coverage_registry_count_matches():
+    # VERDICT r9 item 6: COVERAGE.md's footer count drifted (said 208 at
+    # 211 registered) because only README.md was test-gated. Same gate,
+    # second document — both stated counts now fail loudly on drift.
+    import re
+
+    with open("/root/repo/COVERAGE.md") as fh:
+        m = re.search(r"(\d+) registered queries", fh.read())
+    assert m, "COVERAGE.md must state the registry count"
+    assert int(m.group(1)) == len(se.queries())
+
+
 def test_corpus_is_ascii(spark, sf_dir):
     # ASCII-CORPUS PRECONDITION (r8 advice; queries/common.py header):
     # char-indexed oracles (ord(substring(text,...)), length(text),
