@@ -550,7 +550,13 @@ def synth_keyframes(media: DataFrame, n_frames: int = KEYFRAME_COUNT) -> DataFra
     )
 
 
-def dhash_fingerprints(frames: DataFrame, decoder: str = FAKE_DECODER) -> DataFrame:
+def dhash_fingerprints(
+    frames: DataFrame,
+    decoder: str = FAKE_DECODER,
+    rows: int = DHASH_ROWS,
+    cols: int = DHASH_COLS,
+    fill_empty: bool = False,
+) -> DataFrame:
     """dHash perceptual fingerprint per frame: 'decode + resize' the
     payload to an 8×9 grid of cell AVERAGES (fake codec: cell c =
     mean of the bytes j with (j·72)//n == c), then bit (r,k) =
@@ -577,7 +583,14 @@ def dhash_fingerprints(frames: DataFrame, decoder: str = FAKE_DECODER) -> DataFr
     persisted/banded, exactly like the MinHash signature table. If a
     production corpus still produces a viral chunk bucket (byte-true
     duplicate storms), the lsh_candidate_pairs max_bucket chain+star
-    pattern applies unchanged to the (chunk_idx, chunk) buckets."""
+    pattern applies unchanged to the (chunk_idx, chunk) buckets.
+
+    `rows`/`cols` widen the fingerprint when the band-density gauge
+    (monitor_dhash_band_density) says the default 64-bit / 8-bit-band
+    geometry is SATURATING: rows=WIDE_DHASH_ROWS (16) yields the
+    128-bit fingerprint wide_image_near_duplicates bands with 16-bit
+    chunks — same grid arithmetic, same bit rule, 2× the fingerprint
+    bytes, ~256× lower bucket density."""
     if decoder != FAKE_DECODER:
         raise NotImplementedError(
             f"decoder {decoder!r}: real image decode (PIL/cv2 grayscale "
@@ -585,6 +598,8 @@ def dhash_fingerprints(frames: DataFrame, decoder: str = FAKE_DECODER) -> DataFr
             "here. Grid → bits → banding below stay identical."
         )
     import numpy as np
+
+    n_cells = rows * cols
 
     def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -594,13 +609,28 @@ def dhash_fingerprints(frames: DataFrame, decoder: str = FAKE_DECODER) -> DataFr
                 n = len(b)
                 if n == 0:
                     continue
-                idx = (np.arange(n, dtype=np.int64) * DHASH_CELLS) // n
-                sums = np.bincount(idx, weights=b, minlength=DHASH_CELLS).astype(
+                idx = (np.arange(n, dtype=np.int64) * n_cells) // n
+                sums = np.bincount(idx, weights=b, minlength=n_cells).astype(
                     np.int64
                 )
-                counts = np.bincount(idx, minlength=DHASH_CELLS).astype(np.int64)
-                s = sums.reshape(DHASH_ROWS, DHASH_COLS)
-                c = counts.reshape(DHASH_ROWS, DHASH_COLS)
+                counts = np.bincount(idx, minlength=n_cells).astype(np.int64)
+                if fill_empty:
+                    # nearest-neighbor upsample: a payload shorter than
+                    # the grid leaves interleaved EMPTY cells whose bits
+                    # degenerate to an n-determined all-zero pattern —
+                    # every short frame then collides in the same
+                    # all-zero bands (measured at sf0.1/128-bit: the
+                    # top buckets were all '0'*16, max bucket 270).
+                    # Real resize interpolates, so the wide geometry
+                    # does too: an empty cell c copies its source byte
+                    # (c*n)//cells, exactly PIL's NEAREST at upsample
+                    empty = counts == 0
+                    if empty.any():
+                        cpos = (np.nonzero(empty)[0] * n) // n_cells
+                        sums[empty] = b[cpos]
+                        counts[empty] = 1
+                s = sums.reshape(rows, cols)
+                c = counts.reshape(rows, cols)
                 # mean(k) < mean(k+1) as an integer cross-multiplication
                 bits = (
                     (s[:, :-1] * c[:, 1:] < s[:, 1:] * c[:, :-1])
@@ -639,6 +669,206 @@ def image_near_duplicates(
         id_col,
         max_hamming=max_hamming,
         max_bucket=max_bucket,
+    )
+
+
+# the WIDE perceptual geometry — the band-density gauge's ACTION
+# (r9 verdict item 3): monitor_dhash_band_density measured the 64-bit /
+# 8-bit-band default saturating at sf0.1 (uncapped pair budget 3.14×
+# the capped one, spread across the bulk of the bucket mass, not one
+# storm) — density-bound quadratic growth a bigger cap cannot fix. The
+# fix is geometry: 16×9 grid → 128 gradient bits, banded as 8 chunks of
+# 16 bits. Same pigeonhole recall bound (8 bands ⇒ hamming ≤ 7
+# guaranteed), but a 65536-value band space instead of 256 — mean
+# bucket size, and with it the uncapped pair budget, drops ~256× at
+# equal corpus size. Cost: 2× fingerprint bytes and 2× verify xors.
+WIDE_DHASH_ROWS = 16
+WIDE_DHASH_BITS = WIDE_DHASH_ROWS * (DHASH_COLS - 1)
+WIDE_BAND_CHUNKS = 8
+WIDE_BAND_WIDTH = WIDE_DHASH_BITS // WIDE_BAND_CHUNKS  # 16-bit bands
+
+
+def wide_image_near_duplicates(
+    fingerprints: DataFrame,
+    id_col: str = "frame_id",
+    bits: int = WIDE_DHASH_BITS,
+    chunks: int = WIDE_BAND_CHUNKS,
+    max_hamming: int = DHASH_MAX_HAMMING,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs over WIDE dHash fingerprints
+    (dhash_fingerprints(rows=WIDE_DHASH_ROWS)) — the Hamming-band LSH
+    generalized to arbitrary bit widths: candidates share one exact
+    (bits/chunks)-bit chunk (pigeonhole: 100% recall for hamming ≤
+    chunks-1), verify packs the '0'/'1' fingerprint into bits/32
+    32-bit words and sums bit_count(xor) per word pair (no per-pair
+    string parsing). `max_bucket` applies the same chain+star
+    viral-bucket guard as the 64-bit path. Returns (id_a, id_b,
+    hamming).
+
+    Scale notes: identical plan shape to
+    textanalysis.simhash_near_duplicates — one equi-join on
+    (chunk_idx, chunk), never all-pairs; the candidate shuffle carries
+    4 bigints per side. The 16-bit default band space divides bucket
+    density ~256× vs 8-bit bands, which is the entire point: at 10⁶+
+    frames the 8-bit geometry's buckets are density-saturated
+    (candidate volume quadratic in corpus size even with zero
+    duplicate storms) while the 16-bit one stays collision-driven."""
+    if bits % 32 != 0 or bits % chunks != 0:
+        raise ValueError(f"bits={bits} must be divisible by 32 and chunks={chunks}")
+    width = bits // chunks
+    words = bits // 32
+    packed = [
+        F.conv(F.substring("dhash", w * 32 + 1, 32), 2, 10)
+        .cast("bigint")
+        .alias(f"p{w}")
+        for w in range(words)
+    ]
+    chunked = fingerprints.select(
+        F.col(id_col),
+        *packed,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.substring("dhash", c * width + 1, width).alias("chunk"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, *[f"p{w}" for w in range(words)], "e.chunk_idx", "e.chunk")
+    wnames = [f"p{w}" for w in range(words)]
+    if max_bucket is None:
+        a = chunked.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(p).alias(f"a{w}") for w, p in enumerate(wnames)],
+            "chunk_idx",
+            "chunk",
+        )
+        b = chunked.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(p).alias(f"b{w}") for w, p in enumerate(wnames)],
+            "chunk_idx",
+            "chunk",
+        )
+        cand = (
+            a.join(b, ["chunk_idx", "chunk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                *[f"a{w}" for w in range(words)],
+                *[f"b{w}" for w in range(words)],
+            )
+            .distinct()
+        )
+    else:
+        from pyspark.sql import Window
+
+        w_ = Window.partitionBy("chunk_idx", "chunk")
+        wo = w_.orderBy(id_col)
+        # struct ordering is by the leading id field, matching the
+        # oracle's MIN(id)/LAG(... ORDER BY id) elections
+        me = F.struct(
+            F.col(id_col).alias("id"),
+            *[F.col(p).alias(p) for p in wnames],
+        )
+        ann = chunked.select(
+            me.alias("me"),
+            "chunk_idx",
+            "chunk",
+            F.count(F.lit(1)).over(w_).alias("m"),
+            F.min(me).over(w_).alias("mn"),
+            F.lag(me).over(wo).alias("prev"),
+        )
+        small = ann.filter(F.col("m") <= max_bucket)
+        sa = small.select(
+            F.col("me.id").alias("id_a"),
+            *[F.col(f"me.{p}").alias(f"a{w}") for w, p in enumerate(wnames)],
+            "chunk_idx",
+            "chunk",
+        )
+        sb = small.select(
+            F.col("me.id").alias("id_b"),
+            *[F.col(f"me.{p}").alias(f"b{w}") for w, p in enumerate(wnames)],
+            "chunk_idx",
+            "chunk",
+        )
+        small_pairs = (
+            sa.join(sb, ["chunk_idx", "chunk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                *[f"a{w}" for w in range(words)],
+                *[f"b{w}" for w in range(words)],
+            )
+        )
+        mega = ann.filter(F.col("m") > max_bucket)
+        chain = mega.filter(F.col("prev").isNotNull()).select(
+            F.col("prev.id").alias("id_a"),
+            *[F.col(f"prev.{p}").alias(f"a{w}") for w, p in enumerate(wnames)],
+            F.col("me.id").alias("id_b"),
+            *[F.col(f"me.{p}").alias(f"b{w}") for w, p in enumerate(wnames)],
+        )
+        star = mega.filter(F.col("me.id") > F.col("mn.id")).select(
+            F.col("mn.id").alias("id_a"),
+            *[F.col(f"mn.{p}").alias(f"a{w}") for w, p in enumerate(wnames)],
+            F.col("me.id").alias("id_b"),
+            *[F.col(f"me.{p}").alias(f"b{w}") for w, p in enumerate(wnames)],
+        )
+        cand = small_pairs.unionByName(chain).unionByName(star).distinct()
+    hamming = sum(
+        F.bit_count(F.col(f"a{w}").bitwiseXOR(F.col(f"b{w}")))
+        for w in range(words)
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dhash_band_density(
+    fingerprints: DataFrame,
+    chunks: int,
+    width: int,
+    max_bucket: int = DHASH_MAX_BUCKET,
+) -> DataFrame:
+    """ONE-PASS pair-budget gauge for any (chunks × width) banding of a
+    fingerprint table: per (chunk_idx, chunk) bucket size m, the
+    all-pairs and chain+star-capped candidate budgets — the COUNTED
+    scaling variable the image family grid and the bench x10 tier read
+    the banding geometry against (monitor_dhash_band_density is this
+    at the default geometry). Never touches pairs, only the
+    fingerprint table: one groupBy."""
+    chunked = fingerprints.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.substring("dhash", c * width + 1, width).alias("chunk"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("e"),
+    ).select("e.chunk_idx", "e.chunk")
+    bsz = chunked.groupBy("chunk_idx", "chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    capped = F.when(F.col("m") > max_bucket, 2 * F.col("m") - 3).otherwise(
+        F.col("m") * (F.col("m") - 1) / 2
+    )
+    return bsz.agg(
+        F.sum(F.floor(F.col("m") * (F.col("m") - 1) / 2))
+        .cast("bigint")
+        .alias("all_pairs"),
+        F.sum(F.floor(capped)).cast("bigint").alias("capped_pairs"),
+        F.max("m").cast("bigint").alias("max_bucket_size"),
     )
 
 

@@ -860,6 +860,14 @@ def pipeline_cross_modal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame
             "clip_id", "item_id"
         ),
     }
+    return _manifest_df(docs, keeps)
+
+
+def _manifest_df(docs: DataFrame, keeps: dict[str, DataFrame]) -> DataFrame:
+    """Manifest assembly shared by the full and incremental manifest
+    queries: per-modality item/keep/drop counts + the md5-positional
+    checksum of the surviving set (text arm checksums the kept document
+    BYTES). `keeps` values carry (item_id, keep)."""
     arms = []
     for modality, k in keeps.items():
         if modality == "text":
@@ -888,3 +896,96 @@ def pipeline_cross_modal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("modality")
+
+
+def _keep_table(items: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """keep/drop product table over a near-dup pair graph: connected
+    components (pair-graph-sized) -> keep = cluster-minimum item,
+    unmatched items survive — the shared tail of the image/audio/video
+    keep pipelines, here parameterized so the incremental manifest can
+    run it over APPENDED candidate state."""
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
+    return (
+        items.select(id_col)
+        .join(
+            comp.select(F.col("node").alias(id_col), "cluster_id"),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+@query("pipeline_manifest_incremental", oracle=_MANIFEST_ORACLE)
+def pipeline_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL cross-modal manifest (r9 verdict item 5 — the full
+    manifest recomputes all four keep pipelines from the raw corpus;
+    this one rebuilds it from APPENDED candidate state): the five
+    per-item state tables (text shingles + minhash signatures, image /
+    video dHash fingerprints, audio landmarks) are built from the BASE
+    60% media slice and the remaining 40% arrives as a DELTA APPEND
+    (index_store.manifest_media_state_incremental — per-item pure
+    functions, so appends are exact); the pair mining, df-caps,
+    connected components, winner elections, and manifest aggregation
+    then RECOMPUTE over the post-append state. The oracle is the FULL-
+    recompute manifest SQL (_MANIFEST_ORACLE, verbatim), so the driver
+    hash-match IS the parity proof: manifest-from-appended-state ≡
+    from-scratch manifest.
+
+    Scale notes: this is the media pipeline's production append
+    boundary — decode/shingle/fingerprint (the corpus-bound Python-seam
+    work) runs only over the new batch, while cap and df statistics
+    are corpus-global model state recomputed over the candidate tables
+    (thousands of times smaller than the corpus) — the same train/add
+    split as the IVF/TF-IDF/BM25 incrementals. The text verify reads
+    the bucketed appended shingle/signature tables exchange-free."""
+    from multi_search_retrival_big_data_spark import index_store
+    from multi_search_retrival_big_data_spark.operators import (
+        dedup,
+        multimodal as mm,
+    )
+
+    base_f, (d1, d2) = index_store.incremental_split_filters(
+        spark, sf_dir, table="documents", id_col="doc_id"
+    )
+    st = index_store.manifest_media_state_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})"
+    )
+    docs = tables.load(spark, "documents", sf_dir)
+    pairs_t = dedup.minhash_near_duplicates(
+        docs,
+        "doc_id",
+        "text",
+        _plq.JACCARD_THRESHOLD,
+        shingles=st["shingles"],
+        signatures=st["signatures"],
+        max_bucket=_plq.LSH_MAX_BUCKET,
+    )
+    comp_t = dedup.connected_components_auto(pairs_t.select("id_a", "id_b"))
+    keep_text = dedup.keep_canonical(docs, comp_t, "doc_id", "n_chars")
+    keep_img = _keep_table(
+        st["image_fp"], "frame_id", mm.image_near_duplicates(st["image_fp"])
+    )
+    clips = mm.synth_audio_clips(mm.as_media_table(docs))
+    keep_aud = _keep_table(
+        clips, "clip_id", mm.audio_near_duplicates(st["audio_landmarks"])
+    )
+    vclips = st["video_fp"].select(
+        F.expr("frame_id div 10").alias("clip_id")
+    ).distinct()
+    keep_vid = _keep_table(
+        vclips, "clip_id", mm.video_near_duplicates(st["video_fp"])
+    )
+    keeps = {
+        "text": keep_text.withColumnRenamed("doc_id", "item_id"),
+        "image": keep_img.withColumnRenamed("frame_id", "item_id"),
+        "audio": keep_aud.withColumnRenamed("clip_id", "item_id"),
+        "video": keep_vid.withColumnRenamed("clip_id", "item_id"),
+    }
+    return _manifest_df(docs, keeps)

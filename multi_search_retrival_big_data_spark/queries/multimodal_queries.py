@@ -966,7 +966,12 @@ def monitor_dhash_band_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturation); sf0.1 all_pairs 1.25M vs capped 397k (ratio 3.14,
     over-cap mass spread across ~40 bucket sizes, not one storm) —
     the widen signal fires an order of magnitude before the join
-    would hurt."""
+    would hurt. The ACTION this trigger fires is implemented and
+    priced since r10: the 128-bit / 16-bit-band geometry
+    (dhash_fingerprints(rows=16, fill_empty=True) +
+    wide_image_near_duplicates), graded against this path by
+    multimodal_image_family_grid — at sf0.1 it erases the saturation
+    entirely (68.1k/68.1k, max bucket 38) at planted recall 1.0."""
     docs = tables.load(spark, "documents", sf_dir)
     fp = mm.dhash_fingerprints(mm.synth_keyframes(mm.as_media_table(docs)))
     chunked = fp.select(
@@ -1324,4 +1329,251 @@ def multimodal_audio_family_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "arm STRING, n_landmarks BIGINT, kept_landmarks BIGINT, "
         "candidates BIGINT, planted BIGINT, found BIGINT, recall DOUBLE",
+    ).orderBy("arm")
+
+
+# ---- image fingerprint family grid (banding-geometry governance) -----------
+
+# the two geometries under governance: the production 64-bit / 8-bit-band
+# path and the WIDE 128-bit / 16-bit-band path the band-density gauge's
+# saturation signal promotes to (r9 verdict item 3) — same pigeonhole
+# recall bound (8 bands each), ~256x lower bucket density at width
+_IMAGE_GRID_ARMS = [
+    # (arm, rows, chunk_width, fill_empty)
+    ("fp64_b8", mm.DHASH_ROWS, 8, False),
+    ("fp128_b16", mm.WIDE_DHASH_ROWS, mm.WIDE_BAND_WIDTH, True),
+]
+
+
+def _dhash_param_ctes(sfx: str, rows: int, chunk_w: int, cap: int, fill: bool) -> str:
+    """Parameterized dHash CTE chain (fingerprint -> chunks -> capped
+    chain+star pairs -> hamming verify -> density budgets) for one
+    (rows x 9 grid, 8 x chunk_w banding) geometry — the SQL mirror of
+    dhash_fingerprints(rows=, fill_empty=) + wide_image_near_duplicates
+    / image_near_duplicates(max_bucket=cap) + dhash_band_density.
+    Consumes the shared frames/bytes CTEs. `fill` mirrors the wide
+    geometry's nearest-neighbor upsample: an empty cell c copies its
+    source byte (c*n)//cells instead of degenerating to a 0 bit."""
+    cells = rows * mm.DHASH_COLS
+    nbits = rows * (mm.DHASH_COLS - 1)
+    cols = mm.DHASH_COLS
+    if fill:
+        grid_cte = f"""grid{sfx} AS (
+      SELECT a.frame_id, a.c,
+             COALESCE(s.v, eb.b) AS v, COALESCE(s.cnt, 1) AS cnt
+      FROM allc{sfx} a
+      JOIN frames f ON f.frame_id = a.frame_id
+      LEFT JOIN cells{sfx} s ON s.frame_id = a.frame_id AND s.c = a.c
+      LEFT JOIN bytes eb ON eb.frame_id = a.frame_id
+                        AND eb.j = (a.c * f.n) // {cells}
+    )"""
+    else:
+        grid_cte = f"""grid{sfx} AS (
+      SELECT a.frame_id, a.c, COALESCE(s.v, 0) AS v, COALESCE(s.cnt, 0) AS cnt
+      FROM allc{sfx} a LEFT JOIN cells{sfx} s USING (frame_id, c)
+    )"""
+    return f"""cells{sfx} AS (
+      SELECT frame_id, (j * {cells}) // n AS c, SUM(b) AS v, COUNT(*) AS cnt
+      FROM bytes GROUP BY frame_id, (j * {cells}) // n
+    ),
+    allc{sfx} AS (
+      SELECT frame_id, CAST(c AS BIGINT) AS c
+      FROM frames, unnest(range(0, {cells})) AS t(c)
+    ),
+    {grid_cte},
+    bits{sfx} AS (
+      SELECT g.frame_id, g.c,
+             CASE WHEN g.v * h.cnt < h.v * g.cnt THEN '1' ELSE '0' END AS bit
+      FROM grid{sfx} g JOIN grid{sfx} h ON h.frame_id = g.frame_id AND h.c = g.c + 1
+      WHERE g.c % {cols} < {cols - 1}
+    ),
+    fp{sfx} AS (
+      SELECT frame_id, string_agg(bit, '' ORDER BY c) AS dhash
+      FROM bits{sfx} GROUP BY frame_id
+    ),
+    chunks{sfx} AS (
+      SELECT frame_id, CAST(k AS INTEGER) AS chunk_idx,
+             substring(dhash, CAST(k AS INTEGER) * {chunk_w} + 1, {chunk_w}) AS chunk
+      FROM fp{sfx}, unnest(range(0, 8)) AS t(k)
+    ),
+    ann{sfx} AS (
+      SELECT frame_id, chunk_idx, chunk,
+             COUNT(*) OVER (PARTITION BY chunk_idx, chunk) AS m,
+             MIN(frame_id) OVER (PARTITION BY chunk_idx, chunk) AS mn,
+             LAG(frame_id) OVER (PARTITION BY chunk_idx, chunk
+                                 ORDER BY frame_id) AS prev
+      FROM chunks{sfx}
+    ),
+    rawpairs{sfx} AS (
+      SELECT a.frame_id AS id_a, b.frame_id AS id_b
+      FROM ann{sfx} a
+      JOIN ann{sfx} b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+                AND a.frame_id < b.frame_id
+      WHERE a.m <= {cap}
+      UNION
+      SELECT prev, frame_id FROM ann{sfx}
+      WHERE m > {cap} AND prev IS NOT NULL
+      UNION
+      SELECT mn, frame_id FROM ann{sfx}
+      WHERE m > {cap} AND frame_id > mn
+    ),
+    pcand{sfx} AS (
+      SELECT DISTINCT p.id_a, p.id_b, fa.dhash AS da, fb.dhash AS db
+      FROM rawpairs{sfx} p
+      JOIN fp{sfx} fa ON fa.frame_id = p.id_a
+      JOIN fp{sfx} fb ON fb.frame_id = p.id_b
+    ),
+    dup{sfx} AS (
+      SELECT id_a, id_b FROM pcand{sfx}
+      WHERE len(list_filter(range(1, {nbits + 1}),
+                p -> substring(da, CAST(p AS INTEGER), 1)
+                  <> substring(db, CAST(p AS INTEGER), 1))) <= {_DH_MAXH}
+    ),
+    density{sfx} AS (
+      SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS all_pairs,
+             CAST(SUM(CASE WHEN m > {cap} THEN 2 * m - 3
+                           ELSE m * (m - 1) // 2 END) AS BIGINT) AS capped_pairs,
+             CAST(MAX(m) AS BIGINT) AS max_bucket_size
+      FROM (SELECT chunk_idx, chunk, COUNT(*) AS m
+            FROM chunks{sfx} GROUP BY 1, 2)
+    )"""
+
+
+def _image_arm_select(arm: str, sfx: str) -> str:
+    return f"""SELECT '{arm}' AS arm,
+           (SELECT all_pairs FROM density{sfx}) AS all_pairs,
+           (SELECT capped_pairs FROM density{sfx}) AS capped_pairs,
+           (SELECT max_bucket_size FROM density{sfx}) AS max_bucket_size,
+           (SELECT count(*) FROM planted) AS planted,
+           (SELECT count(*) FROM planted p
+              JOIN dup{sfx} d USING (id_a, id_b)) AS found,
+           CAST((SELECT count(*) FROM planted p
+                   JOIN dup{sfx} d USING (id_a, id_b)) AS DOUBLE)
+             / (SELECT count(*) FROM planted) AS recall"""
+
+
+_IMAGE_GRID_ARM_CTES = (",\n    ").join(
+    _dhash_param_ctes(f"_{a}", r, w, mm.DHASH_MAX_BUCKET, fl)
+    for a, r, w, fl in _IMAGE_GRID_ARMS
+)
+_IMAGE_GRID_SELECTS = ("\n    UNION ALL\n    ").join(
+    _image_arm_select(a, f"_{a}") for a, _r, _w, _fl in _IMAGE_GRID_ARMS
+)
+
+
+@query(
+    "multimodal_image_family_grid",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id * 10 + f AS frame_id, CAST(f AS BIGINT) AS f,
+             text, length(text) AS n
+      FROM documents, unnest(range(0, {_KF_N})) AS t(f)
+      WHERE doc_id % 3 = 0 AND length(text) > 0
+    ),
+    bytes AS (
+      SELECT frame_id, CAST(i AS BIGINT) - 1 AS j, n,
+             CASE WHEN CAST(i AS BIGINT) - 1 = (f * {_KF_STRIDE}) % n
+                  THEN 32 + (ord(substring(text, CAST(i AS INTEGER), 1)) + f * {_KF_SALT}) % 90
+                  ELSE ord(substring(text, CAST(i AS INTEGER), 1)) END AS b
+      FROM frames, unnest(range(1, n + 1)) AS t(i)
+    ),
+    planted AS (
+      SELECT a.frame_id AS id_a, b.frame_id AS id_b
+      FROM frames a JOIN frames b
+        ON a.frame_id // 10 = b.frame_id // 10 AND a.frame_id < b.frame_id
+    ),
+    {_IMAGE_GRID_ARM_CTES}
+    {_IMAGE_GRID_SELECTS}
+    ORDER BY arm
+    """,
+)
+def multimodal_image_family_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual fingerprint GEOMETRY grid (r9 verdict item 3 — the
+    band-density gauge's trigger now has an action): one row per
+    banding geometry, production 64-bit/8-bit-band vs WIDE
+    128-bit/16-bit-band (dhash_fingerprints(rows=16) +
+    wide_image_near_duplicates), both on the production chain+star cap.
+    Columns: the uncapped and capped PAIR BUDGETS and max bucket size
+    (dhash_band_density — the counted scaling variables), planted
+    same-item frame-pair truth, found through the capped verify, and
+    recall. What it proves, priced: the 8-bit band space is
+    density-SATURATED (capped budget a large fraction of corpus-
+    quadratic all_pairs) while the 16-bit space at the SAME pigeonhole
+    recall bound collapses the budget toward the true-duplicate
+    population at equal-or-better planted recall — the measured basis
+    for widening the fingerprint instead of raising the cap when
+    monitor_dhash_band_density fires. The wide geometry also
+    interpolates empty cells (fill_empty — nearest-neighbor upsample,
+    what a real resize does): without it, payloads shorter than the
+    144-cell grid degenerate to n-determined all-zero bands and the
+    hot buckets just move (measured: max bucket 270, ratio 4.05).
+    Measured at sf0.1: fp64_b8 all/capped 1.25M/397k (ratio 3.14,
+    max bucket 248) recall 0.9984 vs fp128_b16 68.1k/68.1k (ratio
+    1.0, max bucket 38 — NO over-cap buckets, 18x smaller uncapped
+    budget) recall 1.0; every planted pair sits within hamming 4 of
+    the 128-bit space, inside both the ≤6 verify and the 8-band
+    pigeonhole guarantee.
+
+    Scale notes: the arms are evaluated eagerly over a persisted frame
+    table and per-arm persisted fingerprint tables (the audio grid
+    pattern — density is one groupBy over fingerprints, the capped
+    pair join is production-bounded); the caller gets the 2-row grid
+    rebuilt from the collected aggregate scalars."""
+    docs = tables.load(spark, "documents", sf_dir)
+    frames = mm.synth_keyframes(mm.as_media_table(docs)).persist()
+    try:
+        fpairs = (
+            frames.select(F.expr("frame_id div 10").alias("mid"),
+                          F.col("frame_id").alias("id_a"))
+            .alias("a")
+            .join(
+                frames.select(
+                    F.expr("frame_id div 10").alias("mid"),
+                    F.col("frame_id").alias("id_b"),
+                ).alias("b"),
+                ["mid"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .persist()
+        )
+        n_planted = fpairs.count()
+        rows = []
+        for arm, nrows, chunk_w, fill in _IMAGE_GRID_ARMS:
+            fp = mm.dhash_fingerprints(frames, rows=nrows, fill_empty=fill).persist()
+            try:
+                dens = mm.dhash_band_density(
+                    fp, chunks=8, width=chunk_w, max_bucket=mm.DHASH_MAX_BUCKET
+                ).collect()[0]
+                if nrows == mm.DHASH_ROWS:
+                    pairs = mm.image_near_duplicates(
+                        fp, max_bucket=mm.DHASH_MAX_BUCKET
+                    )
+                else:
+                    pairs = mm.wide_image_near_duplicates(
+                        fp, max_bucket=mm.DHASH_MAX_BUCKET
+                    )
+                found = fpairs.join(
+                    pairs.select("id_a", "id_b"), ["id_a", "id_b"]
+                ).count()
+            finally:
+                fp.unpersist()
+            rows.append(
+                (
+                    arm,
+                    int(dens["all_pairs"]),
+                    int(dens["capped_pairs"]),
+                    int(dens["max_bucket_size"]),
+                    int(n_planted),
+                    int(found),
+                    float(found) / float(n_planted),
+                )
+            )
+        fpairs.unpersist()
+    finally:
+        frames.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "arm STRING, all_pairs BIGINT, capped_pairs BIGINT, "
+        "max_bucket_size BIGINT, planted BIGINT, found BIGINT, recall DOUBLE",
     ).orderBy("arm")

@@ -362,3 +362,41 @@ def test_ivf_drifted_frozen_append_vs_retrained(spark, sf_dir):
     frozen_cells = frozen_t.filter(delta_f).select("cid").distinct().count()
     retr_cells = retr.filter(delta_f).select("cid").distinct().count()
     assert frozen_cells < retr_cells
+
+
+def test_manifest_media_state_append_matches_rebuild(spark, sf_dir):
+    # r9 verdict item 5: the incremental manifest's candidate state —
+    # every state row is a per-item pure function, so base-write +
+    # delta-append must equal a from-scratch build row-for-row (the
+    # oracle row pipeline_manifest_incremental proves the downstream
+    # manifest equivalence; this pins the append algebra itself)
+    from multi_search_retrival_big_data_spark.operators import (
+        dedup,
+        multimodal as mm,
+    )
+
+    base_f, (d1, d2) = index_store.incremental_split_filters(
+        spark, sf_dir, table="documents", id_col="doc_id"
+    )
+    st = index_store.manifest_media_state_incremental(
+        spark, sf_dir, base_f, f"({d1}) OR ({d2})"
+    )
+    docs = tables.load(spark, "documents", sf_dir)
+    scratch_sigs = {
+        tuple(r)
+        for r in dedup.minhash_signatures(
+            dedup.char_shingles(docs, "doc_id", "text", dedup.SHINGLE_K),
+            "doc_id",
+            dedup.NUM_PERM,
+        ).collect()
+    }
+    assert {tuple(r) for r in st["signatures"].collect()} == scratch_sigs
+    scratch_fp = {
+        (r["frame_id"], r["dhash"])
+        for r in mm.dhash_fingerprints(
+            mm.synth_keyframes(mm.as_media_table(docs))
+        ).collect()
+    }
+    assert {
+        (r["frame_id"], r["dhash"]) for r in st["image_fp"].collect()
+    } == scratch_fp

@@ -228,6 +228,63 @@ def test_image_near_dup_finds_within_item_frames(spark):
     assert len(set(blobs)) == len(blobs)
 
 
+def test_wide_dhash_finds_planted_and_interpolates(spark):
+    """The 128-bit / 16-bit-band wide geometry (r9 verdict item 3):
+    finds the same within-item planted pairs as the 64-bit path, and
+    the fill_empty nearest-neighbor upsample gives SHORT payloads
+    (n < 144 cells) data-driven fingerprints instead of n-determined
+    all-zero bands."""
+    rows = [(i * 3, f"scene {i} " + "pixel data block " * 12 + f"tail {i}", "s")
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    frames = mm.synth_keyframes(mm.as_media_table(docs))
+    fp = mm.dhash_fingerprints(frames, rows=mm.WIDE_DHASH_ROWS, fill_empty=True)
+    got = fp.collect()
+    assert all(len(r["dhash"]) == mm.WIDE_DHASH_BITS for r in got)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in mm.wide_image_near_duplicates(fp).collect()
+    }
+    for i in range(6):
+        base = i * 3 * 10
+        for a, b in [(base, base + 1), (base, base + 2), (base + 1, base + 2)]:
+            assert (a, b) in pairs, f"missing within-item pair {(a, b)}"
+    # interpolation: a 60-byte payload fills all 144 cells — its wide
+    # fingerprint must differ from the degenerate no-fill one, whose
+    # empty-cell comparisons force structural-zero bit runs
+    short = spark.createDataFrame(
+        [(0, "short doc with few bytes here yes truly tiny wee one", "s")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    sframes = mm.synth_keyframes(mm.as_media_table(short), n_frames=1)
+    nofill = mm.dhash_fingerprints(sframes, rows=mm.WIDE_DHASH_ROWS).collect()[0]
+    filled = mm.dhash_fingerprints(
+        sframes, rows=mm.WIDE_DHASH_ROWS, fill_empty=True
+    ).collect()[0]
+    assert nofill["dhash"] != filled["dhash"]
+    assert filled["dhash"].count("1") > nofill["dhash"].count("1")
+
+
+def test_wide_dhash_capped_keeps_storms_connected(spark):
+    """chain+star on the wide path: byte-identical frames (hamming 0,
+    one mega bucket in every band) stay connected under a tiny cap."""
+    text = "the same viral image payload repeated " * 8
+    docs = spark.createDataFrame(
+        [(i * 3, text, "s") for i in range(8)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    frames = mm.synth_keyframes(mm.as_media_table(docs), n_frames=1)
+    fp = mm.dhash_fingerprints(frames, rows=mm.WIDE_DHASH_ROWS, fill_empty=True)
+    pairs = mm.wide_image_near_duplicates(fp, max_bucket=3)
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
+    clusters = {r["cluster_id"] for r in comp.collect()}
+    nodes = {r["node"] for r in comp.collect()}
+    assert nodes == {i * 30 for i in range(8)}
+    assert clusters == {0}
+
+
 def test_image_near_dup_unrelated_items_far(spark):
     """Two items with completely different byte distributions must not
     pair up (their dHash hamming is large)."""
