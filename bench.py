@@ -386,6 +386,11 @@ OPTIONAL_QUERIES = [
     "monitor_dhash_band_density",
     # r9: video dedup product table (family symmetry with image/audio)
     "multimodal_video_dedup_keep",
+    # r10: the WIDE-geometry image near-dup serving path (128-bit
+    # interpolated dHash, 16-bit bands) — the band-saturation escape
+    # hatch the dHash gauge triggers; x1 anchor, width evidence at x10
+    # comes from tiers.dhash_band_density
+    "multimodal_image_near_dup_wide",
 ]
 
 # per-replica Caesar rotation over the FULL alphabet (both cases):

@@ -1423,11 +1423,15 @@ def _dhash_param_ctes(sfx: str, rows: int, chunk_w: int, cap: int, fill: bool) -
       JOIN fp{sfx} fa ON fa.frame_id = p.id_a
       JOIN fp{sfx} fb ON fb.frame_id = p.id_b
     ),
+    pscored{sfx} AS (
+      SELECT id_a, id_b,
+             len(list_filter(range(1, {nbits + 1}),
+                 p -> substring(da, CAST(p AS INTEGER), 1)
+                   <> substring(db, CAST(p AS INTEGER), 1))) AS hamming
+      FROM pcand{sfx}
+    ),
     dup{sfx} AS (
-      SELECT id_a, id_b FROM pcand{sfx}
-      WHERE len(list_filter(range(1, {nbits + 1}),
-                p -> substring(da, CAST(p AS INTEGER), 1)
-                  <> substring(db, CAST(p AS INTEGER), 1))) <= {_DH_MAXH}
+      SELECT id_a, id_b FROM pscored{sfx} WHERE hamming <= {_DH_MAXH}
     ),
     density{sfx} AS (
       SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS all_pairs,
@@ -1577,3 +1581,58 @@ def multimodal_image_family_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arm STRING, all_pairs BIGINT, capped_pairs BIGINT, "
         "max_bucket_size BIGINT, planted BIGINT, found BIGINT, recall DOUBLE",
     ).orderBy("arm")
+
+
+_WIDE_FRAME_BYTE_CTES = f"""frames AS (
+      SELECT doc_id * 10 + f AS frame_id, CAST(f AS BIGINT) AS f,
+             text, length(text) AS n
+      FROM documents, unnest(range(0, {_KF_N})) AS t(f)
+      WHERE doc_id % 3 = 0 AND length(text) > 0
+    ),
+    bytes AS (
+      SELECT frame_id, CAST(i AS BIGINT) - 1 AS j, n,
+             CASE WHEN CAST(i AS BIGINT) - 1 = (f * {_KF_STRIDE}) % n
+                  THEN 32 + (ord(substring(text, CAST(i AS INTEGER), 1)) + f * {_KF_SALT}) % 90
+                  ELSE ord(substring(text, CAST(i AS INTEGER), 1)) END AS b
+      FROM frames, unnest(range(1, n + 1)) AS t(i)
+    )"""
+
+
+@query(
+    "multimodal_image_near_dup_wide",
+    oracle=f"""
+    WITH {_WIDE_FRAME_BYTE_CTES},
+    {_dhash_param_ctes("_w", mm.WIDE_DHASH_ROWS, mm.WIDE_BAND_WIDTH,
+                       mm.DHASH_MAX_BUCKET, True)}
+    SELECT id_a, id_b, hamming FROM pscored_w
+    WHERE hamming <= {_DH_MAXH}
+    ORDER BY hamming, id_a, id_b
+    """,
+)
+def multimodal_image_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup on the WIDE production geometry — the serving row
+    a corpus that has outgrown 8-bit banding switches to (the family
+    grid multimodal_image_family_grid grades the two geometries; the
+    gauge monitor_dhash_band_density decides when): 128-bit interpolated
+    dHash (16×9 grid, nearest-neighbor fill of empty cells) banded as
+    8 × 16-bit chunks with the production chain+star cap, exact-Hamming
+    verify over 4 packed 32-bit words. Same pigeonhole recall bound as
+    the 64-bit path (8 bands ⇒ 100% recall to hamming 7) at ~256× lower
+    band density. Returns the verified pair set, oracle-pinned pair for
+    pair — the pair-level proof on top of the grid's count-level one.
+
+    Scale notes: identical plan shape to multimodal_image_near_dup —
+    one (chunk_idx, chunk) equi-join over the fingerprint table, never
+    all-pairs; the candidate shuffle carries 4 bigints per side; at
+    sf0.1 the capped candidate budget is 68.1k vs the 64-bit path's
+    397k (the whole point of the width)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    fp = mm.dhash_fingerprints(
+        mm.synth_keyframes(mm.as_media_table(docs)),
+        rows=mm.WIDE_DHASH_ROWS,
+        fill_empty=True,
+    )
+    out = mm.wide_image_near_duplicates(fp, max_bucket=mm.DHASH_MAX_BUCKET)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    ).orderBy("hamming", "id_a", "id_b")
