@@ -68,7 +68,7 @@ RUNS = 3
 #      BENCH_DETAIL.json rewritten, so even a hard kill leaves the
 #      driver a parsable final stdout line covering everything that
 #      completed.
-#   2. WALL-CLOCK BUDGET — SPARK_GRAFT_BENCH_BUDGET_S (default 1380 s;
+#   2. WALL-CLOCK BUDGET — SPARK_GRAFT_BENCH_BUDGET_S (default 1340 s;
 #      0 = unlimited). Anchors are gated on a PER-ANCHOR cost estimate
 #      (last observed median × (runs+1), r9 advice — a bare
 #      remaining<=0 check let an anchor start just under the deadline
@@ -90,10 +90,48 @@ RUNS = 3
 #      ~3 rounds). Tiers also drop to median-of-2 runs under a budget.
 #      The builder's close run sets SPARK_GRAFT_BENCH_BUDGET_S=0:
 #      full grid up front, median-of-3 everywhere, all gauges.
-BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1380"))
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1340"))
 TIER_RUNS = 2 if BUDGET_S > 0 else 3
+# the skewed tier re-times queries ALREADY measured (med-of-2+) on the
+# uniform x10 corpus; its ratios are read coarsely (~1 = guard holds),
+# so the driver profile takes one timed run after the warm-up — the
+# close run keeps median-of-3
+SKEW_RUNS = 1 if BUDGET_S > 0 else 3
+X1_RUNS = 2 if BUDGET_S > 0 else 3
 ROTATION_GROUPS = 3
 _T0 = time.monotonic()
+
+# x10/skew anchors OMITTED from the driver profile (close run keeps
+# them): each has round-over-round STABLE scale evidence (r5-r9) and a
+# cheap-or-row-local plan whose ratio never moved — the budget they
+# free keeps all four tiers inside the driver's 1380 s. These do NOT
+# rotate: they are the lowest-information re-measurements, not a
+# coverage gap (their x1 anchors and prior-round ratios stand).
+DRIVER_X10_OMIT = {
+    "dedup_cluster_components",   # uncapped audit twin; capped prod path stays
+    "text_bigram_lm_scores",      # row-local agg, ratio ~linear since r5
+    "text_simhash_fingerprints",  # banding precursor, stable since r5
+    "corpus_embedding_build",     # embarrassingly-parallel Arrow seam
+    "curation_pii_redaction",     # row-local regex chain, scan-bound
+}
+DRIVER_SKEW_OMIT = {
+    "dedup_exact_groups",              # hash-groupBy guard, stable since r4
+    "group_hits_by_source",            # hot-source groupBy, stable since r4
+    "curation_weighted_sample_per_lang",  # per-lang window, stable since r5
+    "decontamination_semantic_overlap",   # |eval|*|cell| probe, linear r7-r9
+}
+# d=768 serving paths measured under the driver profile — the TUNED
+# production-geometry configs (what a d=768 deployment actually runs:
+# dimension-derived band/probe depth) plus the two strategies that need
+# no tuning; the untuned audit variants and PQ (d=768 codebook train)
+# belong in the close run, where their recalls are pinned every round
+DRIVER_DIM_PATHS = (
+    "dense_topk_cosine_arrow",
+    "ann_lsh_topk_tuned",
+    "ann_ivf_trained_topk_tuned",
+    "ann_sq8_topk",
+)
+CONC_REPS = 2 if BUDGET_S > 0 else 3
 
 
 def _elapsed() -> float:
@@ -117,7 +155,7 @@ def _scratch_mkdtemp(prefix: str) -> str:
 # from real cost. These are timed over more runs and their full
 # (min, med, max) spread is recorded under "drift_watch" so a drifted
 # median can be read against its own floor.
-DRIFT_RUNS = 5
+DRIFT_RUNS = 4 if BUDGET_S > 0 else 5
 DRIFT_WATCH = [
     "group_hits_by_source",
     "dedup_minhash_lsh",
@@ -554,10 +592,14 @@ DIM_K = 50
 
 def _anchor_reserve(last_med: float, runs: int) -> float:
     """Cost estimate for the NEXT anchor: the last observed median ×
-    (runs + warm-up), floored at 2 s — the r9-advice gate that bounds
+    (runs + warm-up), floored at 40 s — the r9-advice gate that bounds
     budget overshoot to one mis-estimated anchor instead of letting an
-    anchor start with epsilon budget and run its full warm-up + runs."""
-    return max(last_med * (runs + 1), 2.0)
+    anchor start with epsilon budget and run its full warm-up + runs.
+    The floor is deliberately fat: an anchor with no cost history can
+    hide an index build in its warm-up (r10: a rotation anchor started
+    with ~40 s left and ran ~140 s past the budget), so near the
+    deadline only anchors with real headroom start."""
+    return max(last_med * (runs + 1), 40.0)
 
 
 def _time_thunks(
@@ -841,7 +883,7 @@ ISOLATION_HEAVY_QUERIES = [
 ]
 
 
-def _run_concurrency(spark, qs, sf_dir: str) -> dict:
+def _run_concurrency(spark, qs, sf_dir: str, reps: int = 3) -> dict:
     """CONCURRENT-SERVING anchor: the reference is a threaded Flask
     server (app.py:571 `threaded=True`) — many simultaneous small
     queries through shared state. Here N distinct dense+sparse serving
@@ -928,16 +970,17 @@ def _run_concurrency(spark, qs, sf_dir: str) -> dict:
         if avg_cores > 0
         else None,
     }
-    # MEDIAN OF 3 concurrent rounds per width: a single 2-4 s
-    # concurrent window is scheduling-noise-dominated — identical code
-    # measured n8 speedup 1.41 / 1.97 / 2.84 across three grid runs
-    # (r7-r8), while the per-round GC deltas (recorded below) show the
-    # window spends <100 ms collecting, exonerating heap pressure.
+    # MEDIAN OF `reps` concurrent rounds per width (3 on close runs; 2
+    # under the driver budget): a single 2-4 s concurrent window is
+    # scheduling-noise-dominated — identical code measured n8 speedup
+    # 1.41 / 1.97 / 2.84 across three grid runs (r7-r8), while the
+    # per-round GC deltas (recorded below) show the window spends
+    # <100 ms collecting, exonerating heap pressure.
     for width in (4, 8):
         batch = names[:width]
         seq = sum(per_query[n] for n in batch)
         walls, gcs_ms, gcs_n = [], [], []
-        for _rep in range(3):
+        for _rep in range(reps):
             threads = [
                 threading.Thread(target=run_one, args=(n, f"pool{i}"))
                 for i, n in enumerate(batch)
@@ -1028,6 +1071,7 @@ def _time_queries(
     on_anchor=None,
     skipped: list | None = None,
     runs: int = RUNS,
+    cost_hints: dict | None = None,
 ) -> dict[str, float]:
     """Median wall-clock per registered query. `on_anchor(name, med)`
     fires after EVERY anchor so the caller can re-emit the
@@ -1040,7 +1084,13 @@ def _time_queries(
     for i, name in enumerate(names):
         watched = spreads is not None and name in DRIFT_WATCH
         runs_eff = DRIFT_RUNS if watched else runs
-        if _remaining() < _anchor_reserve(last_med, runs_eff):
+        # per-anchor estimate: a known prior for THIS anchor (the skew
+        # tier passes its x10 medians — skew ≈ uniform-x10 when the
+        # guards hold) beats the last anchor's median, which
+        # over-estimates every cheap anchor that follows an expensive
+        # one (r10: one 17 s skew anchor starved four ~3 s guards)
+        est = (cost_hints or {}).get(name) or last_med
+        if _remaining() < _anchor_reserve(est, runs_eff):
             if skipped is not None:
                 skipped.append(name)
             continue
@@ -1167,7 +1217,8 @@ def main() -> None:
     skipped: list[str] = []
     tiers_skipped: dict[str, str] = {}
     result: dict = {
-        "metric": "total wall-clock over headline queries (median of 3 runs; 5 for drift_watch entries)",
+        "metric": "total wall-clock over headline queries (median of "
+        f"{X1_RUNS} runs; {DRIFT_RUNS} for drift_watch entries)",
         "value": 0.0,
         "unit": "sec",
         "queries": {},
@@ -1204,14 +1255,17 @@ def main() -> None:
     # 91 x1 anchors + x10 and skipped skew/dim768/concurrency whole).
     rotation_names: list[str] = []
     if BUDGET_S > 0:
+        # tier-ratio denominators only for the anchors the driver
+        # profile actually re-times at x10/skew; the omitted
+        # stable-evidence anchors and the concurrency/isolation sets
+        # (which warm and measure their own baselines inside
+        # _run_concurrency) rotate with the rest of the x1 grid
         core = list(
             dict.fromkeys(
                 BENCH_QUERIES
                 + HEADLINE_SUMMARY
-                + STRESS_QUERIES
-                + SKEW_QUERIES
-                + CONCURRENCY_QUERIES
-                + ISOLATION_HEAVY_QUERIES
+                + [n for n in STRESS_QUERIES if n not in DRIVER_X10_OMIT]
+                + [n for n in SKEW_QUERIES if n not in DRIVER_SKEW_OMIT]
                 + DRIFT_WATCH
             )
         )
@@ -1234,7 +1288,8 @@ def main() -> None:
         }
         names = core
     _time_queries(
-        spark, qs, names, sf_dir, spreads, on_anchor=_on_anchor, skipped=skipped
+        spark, qs, names, sf_dir, spreads,
+        on_anchor=_on_anchor, skipped=skipped, runs=X1_RUNS,
     )
 
     stress_flag = os.environ.get("SPARK_GRAFT_STRESS", "")
@@ -1247,13 +1302,15 @@ def main() -> None:
     conc_flag = os.environ.get("SPARK_GRAFT_CONC", "")
     want_conc = conc_flag == "1" or (conc_flag == "" and want_stress)
 
-    # conservative per-tier cost reserves (sized from the r9 close-run
-    # medians at TIER_RUNS=2): a tier only STARTS with at least this
-    # much budget left, so the run exits 0 with the summary printed
-    # instead of being timeout-killed mid-tier. Order = claim value:
-    # the x10/skew ratios carry the scale-design evidence, then
-    # production width, then concurrency, then the rotating x1 tail.
-    reserves = {"x10": 420.0, "skew": 300.0, "dim768": 240.0, "concurrency": 150.0}
+    # conservative per-tier cost reserves: a tier only STARTS with at
+    # least this much budget left, so the run exits 0 with the summary
+    # printed instead of being timeout-killed mid-tier. Tier ORDER
+    # (r10): x10 first (the scale evidence and every ratio's
+    # denominator), then the FIXED-COST tiers (dim768, concurrency —
+    # all-or-nothing reserves), then skew LAST because it degrades
+    # per-anchor (claim-value order) instead of whole, then the
+    # rotating x1 tail.
+    reserves = {"x10": 400.0, "skew": 140.0, "dim768": 200.0, "concurrency": 110.0}
 
     def tier_fits(tier: str) -> bool:
         if _remaining() >= reserves[tier]:
@@ -1272,7 +1329,30 @@ def main() -> None:
     run_stress = want_stress and tier_fits("x10")
     stress_dir = None
     stress = {}  # x10 timings; filled per-anchor inside the tier
-    skew_names = [n for n in SKEW_QUERIES if n in qs]
+    skew_names = [
+        n for n in SKEW_QUERIES
+        if n in qs and (BUDGET_S <= 0 or n not in DRIVER_SKEW_OMIT)
+    ]
+    if BUDGET_S > 0:
+        # claim-value order: the skew tier runs LAST of the four tiers
+        # and thins from the tail under the per-anchor budget gate, so
+        # the guards the skew corpus specifically plants for (viral
+        # semantic cell, LSH mega bucket, landmark-key storm, dHash
+        # frame storm, duplicated-span storm) go first
+        _skew_rank = [
+            "dedup_semantic_keep",
+            "dedup_minhash_lsh_capped",
+            "multimodal_audio_near_dup",
+            "multimodal_image_near_dup_capped",
+            "dedup_duplicate_spans",
+            "dedup_keep_canonical",
+            "curation_pack_bins",
+            "pipeline_curation_end_to_end",
+            "skew_salted_join_lang",
+        ]
+        skew_names.sort(
+            key=lambda n: _skew_rank.index(n) if n in _skew_rank else 99
+        )
     if run_stress:
         from multi_search_retrival_big_data_spark import tables as _tables
         from multi_search_retrival_big_data_spark.operators import dedup as _dedup
@@ -1330,8 +1410,22 @@ def main() -> None:
         # otherwise measure that residue (r9: 19.9 s in-grid vs 5.4 s
         # fresh-session for dedup_minhash_lsh_capped at x10)
         _session_hygiene(spark)
-        stress_names = [n for n in STRESS_QUERIES if n in qs]
+        stress_names = [
+            n for n in STRESS_QUERIES
+            if n in qs and (BUDGET_S <= 0 or n not in DRIVER_X10_OMIT)
+        ]
         uniform_names = list(dict.fromkeys(stress_names + skew_names))
+        if BUDGET_S > 0:
+            result["tier_profile"] = {
+                "x10_omitted": sorted(DRIVER_X10_OMIT),
+                "skew_omitted": sorted(DRIVER_SKEW_OMIT),
+                "x10_runs": TIER_RUNS,
+                "skew_runs": SKEW_RUNS,
+                "note": "driver profile: stable-evidence anchors omitted "
+                        "and tier runs reduced to fit every tier in "
+                        "budget; close run (budget=0) measures the full "
+                        "set at median-of-3",
+            }
         # tier dict wired BEFORE timing and re-emitted per anchor, so a
         # kill mid-tier still leaves every completed x10 timing parsed
         stress: dict[str, float] = {}
@@ -1479,105 +1573,60 @@ def main() -> None:
                     "uncapped_pairs": per["uncapped_pairs"],
                 }
 
-            frozen_x10 = _frozen_arm_counts()
-            x1_pairs = sem_counts["x1"]["uncapped_pairs"]
-            result["tiers"]["semantic_retrain"] = {
-                "frozen_x10": frozen_x10,
-                "retrained_x10": {
-                    k: sem_counts[f"x{STRESS_REPLICATION}"][k]
-                    for k in ("n_cells", "max_cell_size", "uncapped_pairs")
-                },
-                "budget_ratio_frozen": round(
-                    frozen_x10["uncapped_pairs"] / max(1, x1_pairs), 2
-                ),
-                "budget_ratio_retrained": round(
-                    sem_counts[f"x{STRESS_REPLICATION}"]["uncapped_pairs"]
-                    / max(1, x1_pairs),
-                    2,
-                ),
-            }
+            if BUDGET_S <= 0:
+                frozen_x10 = _frozen_arm_counts()
+                x1_pairs = sem_counts["x1"]["uncapped_pairs"]
+                result["tiers"]["semantic_retrain"] = {
+                    "frozen_x10": frozen_x10,
+                    "retrained_x10": {
+                        k: sem_counts[f"x{STRESS_REPLICATION}"][k]
+                        for k in ("n_cells", "max_cell_size", "uncapped_pairs")
+                    },
+                    "budget_ratio_frozen": round(
+                        frozen_x10["uncapped_pairs"] / max(1, x1_pairs), 2
+                    ),
+                    "budget_ratio_retrained": round(
+                        sem_counts[f"x{STRESS_REPLICATION}"]["uncapped_pairs"]
+                        / max(1, x1_pairs),
+                        2,
+                    ),
+                }
+            else:
+                # the frozen-quantizer drift gauge re-assigns the whole
+                # x10 corpus under the x1 model (~45 s) and its verdict
+                # has been stable since r7 (~17x pair blowup, the
+                # retrain policy's motivation) — close-run evidence;
+                # the TIMED x10 path above is always the retrained
+                # production policy either way
+                result["tiers"]["semantic_retrain"] = (
+                    "driver profile: frozen-arm gauge runs on the close "
+                    "run (budget=0); policy path is the timed x10 row"
+                )
         else:
             result["tiers"]["counts_skipped"] = "budget"
         emit()
 
-        # adversarially skewed 10× tier: same row count as the uniform
-        # tier, hot keys + one mega duplicate cluster; ratio ≈ 1 vs the
-        # uniform tier means the mitigation holds under skew
-        if tier_fits("skew"):
-            skew_dir = _build_skew_dir(spark, sf_dir, STRESS_REPLICATION)
-            _session_hygiene(spark)
-            skew: dict[str, float] = {}
-            skew_ratios: dict[str, float] = {}
-            result["tiers"]["skew"] = {
-                "queries": skew,
-                "skew_ratio_vs_uniform_x10": skew_ratios,
-                "shape": "replicas 0-2 -> lang=en/src_hot (~30% one key); "
-                         "2% of rows byte-identical boilerplate (one mega cluster)",
-            }
-
-            def _skew_anchor(name: str, med: float) -> None:
-                skew[name] = med
-                if stress.get(name):
-                    skew_ratios[name] = round(med / stress[name], 2)
-                emit()
-
-            _time_queries(
-                spark, qs, skew_names, skew_dir,
-                on_anchor=_skew_anchor, skipped=skipped, runs=TIER_RUNS,
-            )
-            emit()
-            if _remaining() > 60:
-                mega = (
-                    _dedup.lsh_bucket_stats(
-                        _dedup.lsh_buckets(
-                            _dedup.minhash_signatures(
-                                _dedup.char_shingles(
-                                    _tables.load(spark, "documents", skew_dir),
-                                    "doc_id",
-                                    "text",
-                                    _dedup.SHINGLE_K,
-                                ),
-                                "doc_id",
-                                _dedup.NUM_PERM,
-                            ),
-                            "doc_id",
-                            _dedup.LSH_BANDS,
-                            _dedup.LSH_ROWS,
-                        ),
-                        "doc_id",
-                        _CAP,
-                    )
-                    .agg(
-                        {"n_mega_buckets": "sum", "mega_members": "sum",
-                         "full_pairs": "sum", "capped_pairs": "sum"}
-                    )
-                    .collect()[0]
-                )
-                result["tiers"]["skew"]["semantic_cells"] = _sem_counts(skew_dir)
-                result["tiers"]["skew"]["lsh_candidates"] = _lsh_counts(skew_dir)
-                result["tiers"]["skew"]["lsh_mega_buckets"] = {
-                    "n_mega_buckets": mega["sum(n_mega_buckets)"],
-                    "mega_members": mega["sum(mega_members)"],
-                    "full_pairs_uncapped": mega["sum(full_pairs)"],
-                    "pairs_after_cap": mega["sum(capped_pairs)"],
-                }
-            else:
-                result["tiers"]["skew"]["counts_skipped"] = "budget"
-            shutil.rmtree(skew_dir, ignore_errors=True)
-            emit()
 
     if want_dim and tier_fits("dim768"):
         # the nprobe tuning grid is close-run-only under a budget: cell
         # geometry depends on dim, not round, and the driver profile
         # spends the saved ~40 s on keeping skew/concurrency in-budget
-        result["dim_tier"] = _run_dim_tier(spark, sf_dir, grids=BUDGET_S <= 0)
+        result["dim_tier"] = _run_dim_tier(
+            spark,
+            sf_dir,
+            paths=None if BUDGET_S <= 0 else DRIVER_DIM_PATHS,
+            grids=BUDGET_S <= 0,
+        )
         emit()
         # width × scale cross: the d=768 serving subset re-measured on
         # the 10× corpus (20k rows at production width). Ratios should
         # track each path's candidate volume — the dense/ADC scans are
         # corpus-bound by design, the pruned paths grow with bucket /
         # cell membership, never with raw corpus size
-        if stress_dir is not None and _remaining() > (200 if BUDGET_S > 0 else 120):
+        # close-run only: the cross re-derives the d=768 corpus and its
+        # index tables over the 10× corpus (expensive fixed cost); the
+        # driver profile's scale evidence lives in the x10 tier above
+        if stress_dir is not None and BUDGET_S <= 0 and _remaining() > 120:
             x10_paths = (
                 "dense_topk_cosine_arrow",
                 "ann_lsh_topk",
@@ -1595,7 +1644,86 @@ def main() -> None:
             emit()
 
     if want_conc and tier_fits("concurrency"):
-        result["concurrency"] = _run_concurrency(spark, qs, sf_dir)
+        result["concurrency"] = _run_concurrency(spark, qs, sf_dir, reps=CONC_REPS)
+        emit()
+
+    # adversarially skewed 10× tier: same row count as the uniform
+    # tier, hot keys + one mega duplicate cluster; ratio ≈ 1 vs the
+    # uniform tier means the mitigation holds under skew. Runs AFTER
+    # the fixed-cost dim768/concurrency tiers (r10): those are
+    # all-or-nothing reserves while skew degrades GRACEFULLY one
+    # anchor at a time (claim-value order below), so leftover budget
+    # thins the skew tail instead of dropping a whole tier
+    if run_stress and tier_fits("skew"):
+        skew_dir = _build_skew_dir(spark, sf_dir, STRESS_REPLICATION)
+        _session_hygiene(spark)
+        skew: dict[str, float] = {}
+        skew_ratios: dict[str, float] = {}
+        result["tiers"]["skew"] = {
+            "queries": skew,
+            "skew_ratio_vs_uniform_x10": skew_ratios,
+            "shape": "replicas 0-2 -> lang=en/src_hot (~30% one key); "
+                     "2% of rows byte-identical boilerplate (one mega cluster)",
+        }
+
+        def _skew_anchor(name: str, med: float) -> None:
+            skew[name] = med
+            if stress.get(name):
+                skew_ratios[name] = round(med / stress[name], 2)
+            emit()
+
+        _time_queries(
+            spark, qs, skew_names, skew_dir,
+            on_anchor=_skew_anchor, skipped=skipped, runs=SKEW_RUNS,
+            cost_hints=stress,
+        )
+        emit()
+        # the skew-corpus candidate counts (mega-bucket stats, viral
+        # sem cells) re-derive a Lloyd quantizer + bucket stats on
+        # the skew corpus (~2 min) — close-run evidence; the skew
+        # TIMINGS above are the per-round claim
+        if BUDGET_S <= 0 and _remaining() > 60:
+            mega = (
+                _dedup.lsh_bucket_stats(
+                    _dedup.lsh_buckets(
+                        _dedup.minhash_signatures(
+                            _dedup.char_shingles(
+                                _tables.load(spark, "documents", skew_dir),
+                                "doc_id",
+                                "text",
+                                _dedup.SHINGLE_K,
+                            ),
+                            "doc_id",
+                            _dedup.NUM_PERM,
+                        ),
+                        "doc_id",
+                        _dedup.LSH_BANDS,
+                        _dedup.LSH_ROWS,
+                    ),
+                    "doc_id",
+                    _CAP,
+                )
+                .agg(
+                    {"n_mega_buckets": "sum", "mega_members": "sum",
+                     "full_pairs": "sum", "capped_pairs": "sum"}
+                )
+                .collect()[0]
+            )
+            result["tiers"]["skew"]["semantic_cells"] = _sem_counts(skew_dir)
+            result["tiers"]["skew"]["lsh_candidates"] = _lsh_counts(skew_dir)
+            result["tiers"]["skew"]["lsh_mega_buckets"] = {
+                "n_mega_buckets": mega["sum(n_mega_buckets)"],
+                "mega_members": mega["sum(mega_members)"],
+                "full_pairs_uncapped": mega["sum(full_pairs)"],
+                "pairs_after_cap": mega["sum(capped_pairs)"],
+            }
+        else:
+            result["tiers"]["skew"]["counts_skipped"] = (
+                "budget" if BUDGET_S <= 0 else
+                "driver profile: skew candidate counts run on the "
+                "close run (budget=0)"
+            )
+        shutil.rmtree(skew_dir, ignore_errors=True)
         emit()
 
     # the ROTATING x1 tail (driver profile only): whatever budget is
@@ -1617,10 +1745,19 @@ def main() -> None:
     if stress_dir is not None:
         shutil.rmtree(stress_dir, ignore_errors=True)
     if want_stress or want_dim:
-        from multi_search_retrival_big_data_spark import index_store as _ixs
+        # dropping stale generations is a metadata+rmtree sweep, but
+        # with many stranded generations it can run minutes (r10: 30
+        # generations ≈ 3 min) — under a budget it only starts with
+        # headroom left; close runs always sweep
+        if BUDGET_S <= 0 or _remaining() > 60:
+            from multi_search_retrival_big_data_spark import index_store as _ixs
 
-        live = [sf_dir] + sorted(glob.glob("/root/testdata/sf*"))
-        result["index_gc"] = {"dropped": len(_ixs.gc_stale_index_tables(spark, live))}
+            live = [sf_dir] + sorted(glob.glob("/root/testdata/sf*"))
+            result["index_gc"] = {
+                "dropped": len(_ixs.gc_stale_index_tables(spark, live))
+            }
+        else:
+            result["index_gc"] = "skipped (budget); next close run sweeps"
     emit()
 
 
