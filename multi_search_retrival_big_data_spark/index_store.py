@@ -937,10 +937,15 @@ def manifest_media_state_incremental(
         ),
         "doc_id",
     )
+    # image fingerprints on the WIDE production geometry (r10
+    # promotion — the keep pipeline this state feeds runs
+    # wide_image_near_duplicates)
     out["image_fp"] = _write_split(
         "mimgfpinc",
         lambda d: _mm.dhash_fingerprints(
-            _mm.synth_keyframes(_mm.as_media_table(d))
+            _mm.synth_keyframes(_mm.as_media_table(d)),
+            rows=_mm.WIDE_DHASH_ROWS,
+            fill_empty=True,
         ),
         None,
     )

@@ -827,8 +827,9 @@ _MANIFEST_ORACLE = "\n    UNION ALL\n    ".join(
 def pipeline_cross_modal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CROSS-MODAL corpus manifest (r8 verdict item 8): one
     composed pipeline joining the dedup family's four PRODUCT tables —
-    text (MinHash-LSH keep_canonical), image (dHash Hamming-band),
-    audio (landmark offset vote), video (frame-sequence vote), each
+    text (MinHash-LSH keep_canonical), image (wide 128-bit dHash
+    Hamming-band, r10 promotion), audio (landmark offset vote), video
+    (frame-sequence vote), each
     already closed over connected components — into a single
     per-modality manifest: item/keep/drop counts plus a checksum
     pinning the exact surviving set (text: md5-positional sum over the
@@ -970,7 +971,11 @@ def pipeline_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     comp_t = dedup.connected_components_auto(pairs_t.select("id_a", "id_b"))
     keep_text = dedup.keep_canonical(docs, comp_t, "doc_id", "n_chars")
     keep_img = _keep_table(
-        st["image_fp"], "frame_id", mm.image_near_duplicates(st["image_fp"])
+        st["image_fp"],
+        "frame_id",
+        mm.wide_image_near_duplicates(
+            st["image_fp"], max_bucket=mm.DHASH_MAX_BUCKET
+        ),
     )
     clips = mm.synth_audio_clips(mm.as_media_table(docs))
     keep_aud = _keep_table(

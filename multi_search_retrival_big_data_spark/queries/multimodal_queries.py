@@ -841,46 +841,9 @@ def multimodal_image_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFr
     return prod.unionByName(guarded).orderBy("arm", "hamming", "id_a", "id_b")
 
 
-@query(
-    "multimodal_image_dedup_keep",
-    oracle=f"""
-    WITH RECURSIVE frames AS (
-      SELECT doc_id * 10 + f AS frame_id, CAST(f AS BIGINT) AS f,
-             text, length(text) AS n
-      FROM documents, unnest(range(0, {_KF_N})) AS t(f)
-      WHERE doc_id % 3 = 0 AND length(text) > 0
-    ),
-    bytes AS (
-      SELECT frame_id, CAST(i AS BIGINT) - 1 AS j, n,
-             CASE WHEN CAST(i AS BIGINT) - 1 = (f * {_KF_STRIDE}) % n
-                  THEN 32 + (ord(substring(text, CAST(i AS INTEGER), 1)) + f * {_KF_SALT}) % 90
-                  ELSE ord(substring(text, CAST(i AS INTEGER), 1)) END AS b
-      FROM frames, unnest(range(1, n + 1)) AS t(i)
-    ),
-    {_DHASH_FP_CTES},
-    {_DHASH_PAIR_CTES},
-    pairs AS (
-      SELECT id_a, id_b FROM scored WHERE hamming <= {_DH_MAXH}
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT src AS nd FROM edges),
-    reach AS (
-      SELECT nd, nd AS m FROM nodes
-      UNION
-      SELECT r.nd, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
-    ),
-    comp AS (SELECT nd AS frame_id, min(m) AS cluster_id FROM reach GROUP BY nd)
-    SELECT fp.frame_id,
-           COALESCE(c.cluster_id, fp.frame_id) AS cluster_id,
-           (fp.frame_id = COALESCE(c.cluster_id, fp.frame_id)) AS keep
-    FROM fp LEFT JOIN comp c USING (frame_id)
-    ORDER BY fp.frame_id
-    """,
-)
+# oracle assigned below near _WIDE_FRAME_BYTE_CTES (the wide-geometry
+# CTE helpers it composes are defined later in this module)
+@query("multimodal_image_dedup_keep", oracle=None)
 def multimodal_image_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The perceptual dedup family's PRODUCT table: per-frame keep/drop
     decisions over the dHash near-dup pair graph — pairs -> connected
@@ -894,12 +857,29 @@ def multimodal_image_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Closure runs on the pair graph (candidate-volume-sized, not
     corpus-sized); the corpus pays one left equi-join on frame_id.
     Oracle re-derives the closure with a recursive CTE over the same
-    dHash pair CTEs."""
+    dHash pair CTEs.
+
+    PROMOTED to the WIDE production geometry (r10, mirroring the audio
+    Q=1 promotion): 128-bit interpolated dHash banded as 8×16-bit
+    chunks with the production chain+star cap
+    (wide_image_near_duplicates). The band-density gauge this decision
+    keys on (monitor_dhash_band_density) crossed its ~3× trigger at
+    sf0.1 — capped/uncapped saturation 3.14, 102.9 at x10 (density-
+    bound quadratic growth) — while the family grid
+    (multimodal_image_family_grid) measured the wide geometry at
+    planted recall 1.0 ≥ the 64-bit path's 0.9984 on an 18× smaller
+    uncapped budget (68.1k vs 1.25M pairs, max bucket 38 vs 248). The
+    64-bit rows (multimodal_image_near_dup, _capped) stay registered
+    as the legacy/audit twins, exactly like the audio grid arms."""
     from multi_search_retrival_big_data_spark.operators import dedup
 
     docs = tables.load(spark, "documents", sf_dir)
-    fp = mm.dhash_fingerprints(mm.synth_keyframes(mm.as_media_table(docs)))
-    pairs = mm.image_near_duplicates(fp)
+    fp = mm.dhash_fingerprints(
+        mm.synth_keyframes(mm.as_media_table(docs)),
+        rows=mm.WIDE_DHASH_ROWS,
+        fill_empty=True,
+    )
+    pairs = mm.wide_image_near_duplicates(fp, max_bucket=mm.DHASH_MAX_BUCKET)
     comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
     out = (
         fp.select("frame_id")
@@ -1636,3 +1616,39 @@ def multimodal_image_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     ).orderBy("hamming", "id_a", "id_b")
+
+
+# multimodal_image_dedup_keep's oracle (r10 wide-geometry promotion):
+# the keep table now consumes wide_image_near_duplicates, so the
+# closure runs over dup_w — the SAME parameterized CTE chain the
+# near_dup_wide row is pinned pair-for-pair against. Assigned here
+# (not at the @query site) because the wide CTE helpers are defined in
+# this section of the module; the registry dataclass is mutable and
+# every consumer (driver, check_oracle, the manifest arm composition
+# in curation_queries) reads it post-import.
+from multi_search_retrival_big_data_spark.queries import (  # noqa: E402
+    REGISTRY as _REGISTRY,
+)
+
+_REGISTRY["multimodal_image_dedup_keep"].oracle = f"""
+    WITH RECURSIVE {_WIDE_FRAME_BYTE_CTES},
+    {_dhash_param_ctes("_w", mm.WIDE_DHASH_ROWS, mm.WIDE_BAND_WIDTH,
+                       mm.DHASH_MAX_BUCKET, True)},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_w
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup_w
+    ),
+    nodes AS (SELECT DISTINCT src AS nd FROM edges),
+    reach AS (
+      SELECT nd, nd AS m FROM nodes
+      UNION
+      SELECT r.nd, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (SELECT nd AS frame_id, min(m) AS cluster_id FROM reach GROUP BY nd)
+    SELECT fp.frame_id,
+           COALESCE(c.cluster_id, fp.frame_id) AS cluster_id,
+           (fp.frame_id = COALESCE(c.cluster_id, fp.frame_id)) AS keep
+    FROM fp_w fp LEFT JOIN comp c USING (frame_id)
+    ORDER BY fp.frame_id
+    """

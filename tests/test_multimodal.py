@@ -588,6 +588,35 @@ def test_image_dedup_keep_one_frame_per_cluster(spark):
     }
 
 
+def test_image_dedup_keep_wide_path_one_frame_per_cluster(spark):
+    """The r10 promotion path: the keep table now consumes
+    wide_image_near_duplicates over 128-bit interpolated fingerprints —
+    same cluster semantics as the 64-bit twin (one keeper per
+    within-doc frame cluster, distinct docs never merge)."""
+    import random
+
+    from multi_search_retrival_big_data_spark.operators import dedup
+
+    rng = random.Random(13)
+    rows = [
+        (i, "".join(chr(32 + rng.randrange(90)) for _ in range(300)), "s")
+        for i in (0, 3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    fp = mm.dhash_fingerprints(
+        mm.synth_keyframes(mm.as_media_table(docs)),
+        rows=mm.WIDE_DHASH_ROWS,
+        fill_empty=True,
+    )
+    pairs = mm.wide_image_near_duplicates(fp, max_bucket=mm.DHASH_MAX_BUCKET)
+    comp = dedup.connected_components_auto(pairs.select("id_a", "id_b"))
+    got = {
+        r["frame_id"]: r["cluster_id"]
+        for r in comp.select(F.col("node").alias("frame_id"), "cluster_id").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 30: 30, 31: 30, 32: 30}
+
+
 def test_audio_dedup_keep_drops_shifted_clip(spark):
     import random
 
