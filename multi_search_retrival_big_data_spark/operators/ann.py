@@ -30,6 +30,9 @@ from __future__ import annotations
 
 import hashlib
 import math
+
+import numpy as np
+import pandas as pd
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -173,6 +176,68 @@ def signature_bits_packed(
     return F.concat(*[plane_bit(p) for p in planes])
 
 
+def signature_bits_arrow(
+    vec_col: str | Column, planes: Sequence[Sequence[float]]
+) -> Column:
+    """signature_bits_packed's ARROW twin — BIT-IDENTICAL, vectorized.
+
+    Identity argument (why the bits cannot differ from the Catalyst
+    fold / the oracle's list_dot_product):
+    - applying the sign is `x * (±1.0)`, exact in IEEE;
+    - the per-plane total is `np.cumsum(signed, axis=1)[:, -1]` — a
+      prefix scan, which is BY DEFINITION a sequential left fold (a
+      pairwise regrouping could not produce the intermediate
+      prefixes), i.e. the same `((0+x0)+x1)+…` double accumulation as
+      `F.aggregate`'s lambda chain and DuckDB's list fold;
+    - the only divergence window is the fold seed (0.0 + x0 vs x0),
+      which differs solely in the sign of a zero total, and the bit
+      predicate `total >= 0` maps −0.0 and +0.0 to the same bit.
+    `tests/test_ann.py` pins the equality on real embeddings at the
+    production width rather than trusting this argument.
+
+    Why it exists: the packed fold keeps the PLAN small but still
+    evaluates interpreted per-element lambdas — at the production
+    geometry (48 planes × 768 dims, reference CLIP width,
+    data_extraction/create_bin.ipynb cells 3,8) that is ~75k lambda
+    dispatches PER ROW, measured ~180 s for a 2k-row index build.
+    One Arrow batch does the same math as `num_planes` vectorized C
+    passes (~ms). This is the scale path for signature INGEST at
+    100 TB; the Catalyst forms stay the serving/oracle reference at
+    d=64 where the expression tree is small and codegen-fast."""
+    for p in planes:
+        if any(abs(float(c)) != 1.0 for c in p):
+            raise ValueError(
+                "signature_bits_arrow requires ±1 hyperplanes (same "
+                "contract as signature_bits_packed)"
+            )
+    signs = np.asarray(
+        [[1.0 if float(c) > 0 else -1.0 for c in p] for p in planes],
+        dtype=np.float64,
+    )
+
+    @F.pandas_udf("string")
+    def _sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        bits = np.empty((x.shape[0], signs.shape[0]), dtype="U1")
+        for pi in range(signs.shape[0]):
+            tot = np.cumsum(x * signs[pi], axis=1)[:, -1]
+            bits[:, pi] = np.where(tot >= 0, "1", "0")
+        return pd.Series(["".join(row) for row in bits])
+
+    return _sig(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+# one signature dispatch for every build/serving site: small geometries
+# stay on the codegen-friendly literal expression (oracle-proven,
+# zero Python), big ones (the d=768 production width) go Arrow — the
+# packed Catalyst fold remains as the pure-SQL reference twin that the
+# equality test checks the Arrow path against
+def _sig_fn(num_planes: int, dim: int):
+    return signature_bits_arrow if num_planes * dim >= 10_000 else signature_bits
+
+
 def signature_of(vec: Sequence[float], planes: Sequence[Sequence[float]]) -> str:
     """Driver-side signature of a literal query vector (pure Python —
     same ±1 dot, so it can only disagree with the engine if the dot is
@@ -224,7 +289,7 @@ def banded_signatures(
     rows = num_planes // bands
     # the packed variant is bit-identical; switch to it when the
     # literal-array form would become a Catalyst-stalling tree
-    sig_fn = signature_bits_packed if num_planes * dim >= 10_000 else signature_bits
+    sig_fn = _sig_fn(num_planes, dim)
     sig = emb.select(F.col(id_col), sig_fn(vec_col, planes).alias("__sig"))
     return sig.select(
         id_col,
@@ -293,7 +358,7 @@ def ann_lsh_topk(
             .limit(k)
         )
     emb = ensure_min_partitions(emb)  # 16 fold-expressions/row: CPU-bound
-    sig_fn = signature_bits_packed if num_planes * dim >= 10_000 else signature_bits
+    sig_fn = _sig_fn(num_planes, dim)
     sig = sig_fn(vec_col, planes)
     cond = None
     for b, qband in query_bands(qsig, bands, rows):
@@ -421,7 +486,7 @@ def ann_lsh_multiprobe_topk(
             .limit(k)
         )
     emb = ensure_min_partitions(emb)
-    sig_fn = signature_bits_packed if num_planes * dim >= 10_000 else signature_bits
+    sig_fn = _sig_fn(num_planes, dim)
     sig = sig_fn(vec_col, planes)
     cond = None
     for b, vals in probes:

@@ -2566,7 +2566,10 @@ def ann_lsh_d768_tuned_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = num_planes // bands
         planes = ann.hyperplanes(_D768, num_planes)
         qsig = ann.signature_of(qv, planes)
-        sig = wide.withColumn("__sig", ann.signature_bits_packed("embedding", planes))
+        # Arrow signature pass (bit-identical to the packed Catalyst
+        # fold — see ann.signature_bits_arrow); at (48, 768) the
+        # interpreted fold costs ~180 s for a 2k-row corpus
+        sig = wide.withColumn("__sig", ann.signature_bits_arrow("embedding", planes))
         cond = None
         for b, qband in ann.query_bands(qsig, bands, rows):
             c = F.substring(F.col("__sig"), b * rows + 1, rows) == F.lit(qband)

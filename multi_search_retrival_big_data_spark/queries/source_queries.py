@@ -222,7 +222,8 @@ def index_gc_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh_name = index_store._table_name("tfidf", gcd, "11", "documents")
     index_store.tfidf_postings(spark, sf_dir)  # serving generation
     serving_name = index_store._table_name("tfidf", sf_dir, "11", "documents")
-    assert stale_name != fresh_name, "refresh did not change the fingerprint"
+    if stale_name == fresh_name:  # survives python -O (r10 hardening)
+        raise AssertionError("refresh did not change the fingerprint")
 
     import glob as _glob
 

@@ -661,9 +661,9 @@ def index_lifecycle_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(corpus, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_001))
     index_store.tfidf_postings(spark, gcd)
     gen_b = index_store._table_name("tfidf", gcd, "11", "documents")
-    assert gen_b.rsplit("_", 1)[-1] != gen_a.rsplit("_", 1)[-1], (
-        "refresh did not change the fingerprint"
-    )
+    if gen_b.rsplit("_", 1)[-1] == gen_a.rsplit("_", 1)[-1]:
+        # survives python -O (r10 hardening)
+        raise AssertionError("refresh did not change the fingerprint")
     dropped_stale = index_store.gc_stale_index_tables(spark, live)
     wh = spark.conf.get("spark.sql.warehouse.dir")
     base = urllib.parse.unquote(urllib.parse.urlparse(wh).path) or wh

@@ -148,7 +148,8 @@ def run_stream_upsert_latest(
 
     shutil.rmtree(ckpt, ignore_errors=True)
     out = state["table"]
-    assert out is not None, "stream delivered no micro-batches"
+    if out is None:  # survives python -O (r10 hardening)
+        raise AssertionError("stream delivered no micro-batches")
     return out
 
 
@@ -242,7 +243,8 @@ def run_stream_curation_ingest(
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(landing, ignore_errors=True)
     out = state["table"]
-    assert out is not None, "stream delivered no micro-batches"
+    if out is None:  # survives python -O (r10 hardening)
+        raise AssertionError("stream delivered no micro-batches")
     return out
 
 
@@ -343,5 +345,6 @@ def run_stream_semantic_ingest(
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(landing, ignore_errors=True)
     out = state["pairs"]
-    assert out is not None, "stream delivered no micro-batches"
+    if out is None:  # survives python -O (r10 hardening)
+        raise AssertionError("stream delivered no micro-batches")
     return out

@@ -556,3 +556,56 @@ def test_ivf_retrain_arms_cells_stay_flat(spark, sf_dir):
     # build-time count, so its cells hold ~growth x the members
     assert rcells > fcells
     assert rmax < fmax
+
+
+def test_signature_bits_arrow_bit_identical_at_width(spark, sf_dir):
+    """The Arrow signature twin must produce EXACTLY the packed
+    Catalyst fold's bits at the production geometry (48 planes ×
+    d=768) — this is what licenses swapping it into the oracle-checked
+    d=768 rows and the index builds (ann.signature_bits_arrow's
+    identity argument, pinned on real data)."""
+    wide = dense.expand_to_dim(
+        tables.load(spark, "embeddings", sf_dir).limit(40), out_dim=768, in_dim=EMB_DIM
+    )
+    planes = ann.hyperplanes(768, 48)
+    got = wide.select(
+        "vec_id",
+        ann.signature_bits_arrow("embedding", planes).alias("a"),
+        ann.signature_bits_packed("embedding", planes).alias("p"),
+    ).collect()
+    assert len(got) == 40
+    for r in got:
+        assert r["a"] == r["p"], f"vec {r['vec_id']}: arrow != packed"
+
+
+def test_assign_cid_arrow_bit_identical_at_width(spark, sf_dir):
+    """kmeans._assign_cid_arrow vs the literal-struct argmin on real
+    d=768 vectors: same cid for every row (distance folds, sqrt, and
+    the (d, cid) tiebreak all bit-equal)."""
+    from multi_search_retrival_big_data_spark.operators import kmeans
+
+    wide = dense.expand_to_dim(
+        tables.load(spark, "embeddings", sf_dir).limit(40), out_dim=768, in_dim=EMB_DIM
+    )
+    cents = kmeans.stride_init(wide, stride=7)  # several d=768 centroids
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+
+    literal = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    l2_dist("embedding", lit_vec(cv)).alias("d"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+    ).getField("cid")
+    got = wide.select(
+        "vec_id",
+        literal.alias("lit_cid"),
+        kmeans._assign_cid_arrow("embedding", cents).alias("arrow_cid"),
+    ).collect()
+    assert len(got) == 40
+    for r in got:
+        assert r["lit_cid"] == r["arrow_cid"], f"vec {r['vec_id']}"

@@ -391,10 +391,14 @@ def test_manifest_media_state_append_matches_rebuild(spark, sf_dir):
         ).collect()
     }
     assert {tuple(r) for r in st["signatures"].collect()} == scratch_sigs
+    # r10: the media state feeds the WIDE-geometry keep pipeline, so
+    # the persisted fingerprints are the 128-bit interpolated dHash
     scratch_fp = {
         (r["frame_id"], r["dhash"])
         for r in mm.dhash_fingerprints(
-            mm.synth_keyframes(mm.as_media_table(docs))
+            mm.synth_keyframes(mm.as_media_table(docs)),
+            rows=mm.WIDE_DHASH_ROWS,
+            fill_empty=True,
         ).collect()
     }
     assert {
