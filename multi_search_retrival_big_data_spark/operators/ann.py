@@ -992,6 +992,64 @@ def pq_codebook(
     )
 
 
+def pq_codes_arrow(
+    vec_col: str | Column,
+    books: dict[int, list[tuple[int, Sequence[float]]]],
+    dim: int,
+    squared: bool = True,
+) -> Column:
+    """pq_encode's per-row argmin as a BIT-IDENTICAL Arrow column:
+    returns ARRAY<INT> of the M sub-space codes.
+
+    Identity argument (the signature_bits_arrow/_assign_cid_arrow
+    family): `(x−c)` and its square are single IEEE ops; the distance
+    fold is np.cumsum(sq)[:, -1] — the sequential left fold l2_dist
+    evaluates (all addends are squares ≥ +0.0, so the seed difference
+    cannot even flip a zero's sign); np.sqrt is correctly rounded on
+    both engines; `squared` ranks d·d — sqrt THEN square, replicating
+    the join path's `(d * d)` spelling ulp-for-ulp rather than
+    skipping the sqrt; codes are scanned in ascending order with a
+    STRICT `<` update, which is MIN(struct(dist, code))'s tiebreak.
+    tests/test_ann.py pins equality against the join path on real
+    data at the trained d=768 geometry.
+
+    Why: the broadcast-join argmin evaluates interpreted per-element
+    lambdas — corpus × M × KS × dsub × 2 dispatches (~10⁹ at the
+    width×scale cross: 20k rows × 16 × 32 × 48) — minutes of CPU the
+    Arrow batch does in one vectorized pass."""
+    m_count = len(books)
+    dsub = dim // m_count
+    mats, code_ids = [], []
+    for mi in range(m_count):
+        ordered = sorted(books[mi], key=lambda t: int(t[0]))
+        mats.append(
+            np.asarray([[float(x) for x in cv] for _, cv in ordered], dtype=np.float64)
+        )
+        code_ids.append(np.asarray([int(c) for c, _ in ordered], dtype=np.int32))
+
+    @F.pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        out = np.empty((x.shape[0], m_count), dtype=np.int32)
+        for mi in range(m_count):
+            sub = x[:, mi * dsub : (mi + 1) * dsub]
+            best_r = np.full(sub.shape[0], np.inf, dtype=np.float64)
+            best_c = np.full(sub.shape[0], code_ids[mi][0], dtype=np.int32)
+            for j in range(mats[mi].shape[0]):
+                diff = sub - mats[mi][j]
+                d = np.sqrt(np.cumsum(diff * diff, axis=1)[:, -1])
+                rank = d * d if squared else d
+                better = rank < best_r
+                best_r = np.where(better, rank, best_r)
+                best_c = np.where(better, code_ids[mi][j], best_c)
+            out[:, mi] = best_c
+        return pd.Series([row.tolist() for row in out])
+
+    return _enc(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
 def pq_encode(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -1002,6 +1060,7 @@ def pq_encode(
     stride: int = PQ_STRIDE,
     codebook: DataFrame | None = None,
     squared: bool = True,
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """PQ BUILD job (FAISS `IndexPQ.add`): encode every vector as M
     sub-space codes → one WIDE row (id, c0..c{M-1}). Persist this
@@ -1027,6 +1086,27 @@ def pq_encode(
     dsub = dim // m
     if codebook is None:
         codebook = pq_codebook(emb, id_col, vec_col, dim, m, ks, stride)
+    if use_arrow is None:
+        use_arrow = m * ks * dsub >= 10_000
+    if use_arrow:
+        # the codebook is broadcast-sized by construction (M·KS rows)
+        # — collecting it into the Arrow encoder's closure is the same
+        # movement the broadcast join does
+        books: dict[int, list[tuple[int, list[float]]]] = {}
+        for r in codebook.collect():
+            books.setdefault(int(r["m"]), []).append(
+                (int(r["code"]), [float(x) for x in r["cv"]])
+            )
+        codes = pq_codes_arrow(
+            F.col(vec_col).cast("array<double>"), books, dim, squared=squared
+        )
+        return (
+            ensure_min_partitions(emb)
+            .select(F.col(id_col), codes.alias("__codes"))
+            .select(
+                id_col, *[F.col("__codes").getItem(i).alias(f"c{i}") for i in range(m)]
+            )
+        )
     cb = F.broadcast(codebook)
     slices = [
         F.struct(

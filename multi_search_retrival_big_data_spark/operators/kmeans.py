@@ -208,41 +208,73 @@ def train_lloyd_pq(
         for m, book in init.items()
     }
     spark = emb.sparkSession
+    ks = len(next(iter(books.values()))) if books else 0
     for _ in range(iters):
-        book_rows = [
-            (int(mi), int(code), [float(x) for x in cv])
-            for mi, book in sorted(books.items())
-            for code, cv in book
-        ]
-        bdf = F.broadcast(
-            spark.createDataFrame(book_rows, "m INT, code INT, cv ARRAY<DOUBLE>")
-        )
         v = F.col(vec_col).cast("array<double>")
-        slices = [
-            F.struct(
-                F.lit(m).alias("m"), F.slice(v, m * dsub + 1, dsub).alias("sub")
+        if m_count * ks * dsub >= 10_000:
+            # ARROW assignment (ann.pq_codes_arrow, squared=False — the
+            # trainer's unsquared rank): the join argmin's interpreted
+            # fold is corpus × M·KS·dsub lambda dispatches per
+            # iteration, minutes at the d=768 geometry; the Arrow twin
+            # is bit-identical (same fold order, same (d, code)
+            # tiebreak), so the trained books cannot differ
+            from multi_search_retrival_big_data_spark.operators import ann as _ann
+
+            codes = _ann.pq_codes_arrow(v, books, dim, squared=False)
+            wide = emb.select(
+                codes.alias("__codes"),
+                *[
+                    F.slice(v, m * dsub + 1, dsub).alias(f"__s{m}")
+                    for m in range(m_count)
+                ],
             )
-            for m in range(m_count)
-        ]
-        longf = emb.select(
-            F.col(id_col), F.explode(F.array(*slices)).alias("e")
-        ).select(id_col, "e.m", "e.sub")
-        best = (
-            longf.join(bdf, "m")
-            .groupBy(id_col, "m")
-            .agg(
-                F.min(
-                    F.struct(
-                        l2_dist("sub", "cv").alias("d"),
-                        F.col("code").alias("code"),
-                        F.col("sub").alias("sub"),
-                    )
-                ).alias("b")
+            slices2 = [
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.col("__codes").getItem(m).alias("code"),
+                    F.col(f"__s{m}").alias("sub"),
+                )
+                for m in range(m_count)
+            ]
+            exploded = wide.select(F.explode(F.array(*slices2)).alias("e")).select(
+                "e.m", F.col("e.code").alias("code"),
+                F.posexplode("e.sub").alias("dim", "x"),
             )
-        )
-        exploded = best.select(
-            "m", F.col("b.code").alias("code"), F.posexplode("b.sub").alias("dim", "x")
-        )
+        else:
+            book_rows = [
+                (int(mi), int(code), [float(x) for x in cv])
+                for mi, book in sorted(books.items())
+                for code, cv in book
+            ]
+            bdf = F.broadcast(
+                spark.createDataFrame(book_rows, "m INT, code INT, cv ARRAY<DOUBLE>")
+            )
+            slices = [
+                F.struct(
+                    F.lit(m).alias("m"), F.slice(v, m * dsub + 1, dsub).alias("sub")
+                )
+                for m in range(m_count)
+            ]
+            longf = emb.select(
+                F.col(id_col), F.explode(F.array(*slices)).alias("e")
+            ).select(id_col, "e.m", "e.sub")
+            best = (
+                longf.join(bdf, "m")
+                .groupBy(id_col, "m")
+                .agg(
+                    F.min(
+                        F.struct(
+                            l2_dist("sub", "cv").alias("d"),
+                            F.col("code").alias("code"),
+                            F.col("sub").alias("sub"),
+                        )
+                    ).alias("b")
+                )
+            )
+            exploded = best.select(
+                "m", F.col("b.code").alias("code"),
+                F.posexplode("b.sub").alias("dim", "x"),
+            )
         mscale = float(10**sum_scale)
         agg = exploded.groupBy("m", "code", "dim").agg(
             (

@@ -609,3 +609,35 @@ def test_assign_cid_arrow_bit_identical_at_width(spark, sf_dir):
     assert len(got) == 40
     for r in got:
         assert r["lit_cid"] == r["arrow_cid"], f"vec {r['vec_id']}"
+
+
+def test_pq_codes_arrow_bit_identical_at_width(spark, sf_dir):
+    """ann.pq_codes_arrow vs the broadcast-join MIN(struct) argmin at
+    the trained d=768 geometry (M=16, KS=32, dsub=48), BOTH rank
+    spellings — squared (d·d after sqrt, the stride oracle's) and
+    unsquared (the trainer's). Equal codes for every row licenses the
+    Arrow dispatch inside pq_encode/train_lloyd_pq."""
+    wide = dense.expand_to_dim(
+        tables.load(spark, "embeddings", sf_dir).limit(30), out_dim=768, in_dim=EMB_DIM
+    )
+    from multi_search_retrival_big_data_spark.operators import kmeans
+
+    init = kmeans.pq_stride_init(wide, dim=768, m=ann.PQT_M, ks=ann.PQT_KS, stride=1)
+    book_rows = [
+        (int(mi), int(code), [float(x) for x in cv])
+        for mi, book in sorted(init.items())
+        for code, cv in book
+    ]
+    cb = spark.createDataFrame(book_rows, "m INT, code INT, cv ARRAY<DOUBLE>")
+    for squared in (True, False):
+        a = ann.pq_encode(
+            wide, dim=768, m=ann.PQT_M, ks=ann.PQT_KS,
+            codebook=cb, squared=squared, use_arrow=True,
+        ).collect()
+        b = ann.pq_encode(
+            wide, dim=768, m=ann.PQT_M, ks=ann.PQT_KS,
+            codebook=cb, squared=squared, use_arrow=False,
+        ).collect()
+        ka = sorted(tuple(r) for r in a)
+        kb = sorted(tuple(r) for r in b)
+        assert ka == kb, f"squared={squared}: arrow != join"
