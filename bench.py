@@ -46,7 +46,6 @@ from __future__ import annotations
 
 import atexit
 import glob
-import hashlib
 import json
 import math
 import os
@@ -157,59 +156,6 @@ def _scratch_mkdtemp(prefix: str) -> str:
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_scratch")
     os.makedirs(base, exist_ok=True)
     return tempfile.mkdtemp(prefix=prefix, dir=base)
-
-
-def _cached_corpus(tag: str, sf_dir: str, build) -> str:
-    """CONTENT-ADDRESSED tier-corpus cache (r10): the stress/skew/dim
-    corpora are pure functions of (source corpus bytes, generation
-    code), so regenerating them every run — ~40-120 s of parquet
-    writes per tier, every round — buys nothing. The key folds the
-    source documents+embeddings fingerprints with the repo-wide
-    builder epoch (index_store._builder_epoch hashes every operators/
-    functions module, which covers the translate/jitter/expand
-    generation code); any testdata or code change rotates the key and
-    the stale sibling is swept before the rebuild. A `_COMPLETE`
-    marker lands only after a full build, so a killed run leaves a
-    markerless partial that the next run sweeps. Cached corpora stay
-    on the GC live-list, so their index tables persist in the
-    warehouse and the next session ADOPTS them (index_store._try_adopt)
-    instead of rebuilding — together these turn each tier's fixed cost
-    into (first round: full build) then (every later round: ~0)."""
-    from multi_search_retrival_big_data_spark import index_store as _ixs
-
-    key = hashlib.md5(
-        (
-            _ixs._builder_epoch()
-            + _ixs._corpus_fingerprint(sf_dir, "documents")
-            + _ixs._corpus_fingerprint(sf_dir, "embeddings")
-        ).encode()
-    ).hexdigest()[:10]
-    base = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench_scratch", "cache"
-    )
-    os.makedirs(base, exist_ok=True)
-    out = os.path.join(base, f"{tag}_{key}")
-    marker = os.path.join(out, "_COMPLETE")
-    if os.path.exists(marker):
-        return out
-    for d in glob.glob(os.path.join(base, f"{tag}_*")):
-        shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    build(out)
-    with open(marker, "w") as fh:
-        fh.write("ok")
-    return out
-
-
-def _cache_dirs() -> list[str]:
-    """Every live cached tier corpus — kept on the index-GC live list."""
-    base = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench_scratch", "cache"
-    )
-    return sorted(
-        d for d in glob.glob(os.path.join(base, "*_*"))
-        if os.path.exists(os.path.join(d, "_COMPLETE"))
-    )
 
 # r4→r5: four queries drifted +0.4-0.8 s between rounds at sf0.1 —
 # small absolute, but the bench should distinguish scheduler/GC noise
@@ -502,15 +448,10 @@ _REMAP_SRC = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
 
 
 def _build_stress_dir(spark, sf_dir: str, replication: int) -> str:
-    return _cached_corpus(
-        f"stress{replication}", sf_dir,
-        lambda out: _gen_stress_corpus(spark, sf_dir, replication, out),
-    )
-
-
-def _gen_stress_corpus(spark, sf_dir: str, replication: int, out: str) -> None:
     from pyspark.sql import functions as F
 
+    out = _scratch_mkdtemp("msrbd_stress_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     reps = spark.range(replication).select(F.col("id").cast("int").alias("__rep"))
     id_shift = 10_000_000
 
@@ -563,6 +504,7 @@ def _gen_stress_corpus(spark, sf_dir: str, replication: int, out: str) -> None:
         src = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(src):
             os.symlink(src, os.path.join(out, f"{t}.parquet"))
+    return out
 
 
 def _build_skew_dir(spark, sf_dir: str, replication: int) -> str:
@@ -575,15 +517,10 @@ def _build_skew_dir(spark, sf_dir: str, replication: int) -> str:
     vector (tiny per-row jitter), so ~2.8% of the corpus collapses
     into a single viral k-means cell — the shape the SemDeDup
     max_cell guard exists for. Other tables are symlinked."""
-    return _cached_corpus(
-        f"skew{replication}", sf_dir,
-        lambda out: _gen_skew_corpus(spark, sf_dir, replication, out),
-    )
-
-
-def _gen_skew_corpus(spark, sf_dir: str, replication: int, out: str) -> None:
     from pyspark.sql import functions as F
 
+    out = _scratch_mkdtemp("msrbd_skew_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     reps = spark.range(replication).select(F.col("id").cast("int").alias("__rep"))
     id_shift = 10_000_000
 
@@ -653,6 +590,7 @@ def _gen_skew_corpus(spark, sf_dir: str, replication: int, out: str) -> None:
         src = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(src):
             os.symlink(src, os.path.join(out, f"{t}.parquet"))
+    return out
 
 
 DIM_TIER = 768
@@ -694,9 +632,7 @@ def _time_thunks(
     return out
 
 
-def _run_dim_tier(
-    spark, sf_dir: str, paths=None, grids: bool = True, cache_tag: str | None = None
-) -> dict:
+def _run_dim_tier(spark, sf_dir: str, paths=None, grids: bool = True) -> dict:
     """PRODUCTION-DIMENSION tier: the reference serves d=768 CLIP
     vectors (data_extraction/create_bin.ipynb cells 3,8;
     utils/faiss_processing.py:39-41) while the testdata is d=64 — so
@@ -719,14 +655,12 @@ def _run_dim_tier(
     from multi_search_retrival_big_data_spark.queries.common import QUERY_VEC
 
     qv = dim_expand_encode(QUERY_VEC, 64, DIM_TIER)
-
-    def _gen_dim(out: str) -> None:
-        base = tables.load(spark, "embeddings", sf_dir)
-        dense.expand_to_dim(base, out_dim=DIM_TIER, in_dim=64).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out, "embeddings.parquet"))
-
-    dim_dir = _cached_corpus(cache_tag or f"dim{DIM_TIER}", sf_dir, _gen_dim)
+    dim_dir = _scratch_mkdtemp("msrbd_dim768_")
+    atexit.register(shutil.rmtree, dim_dir, ignore_errors=True)
+    base = tables.load(spark, "embeddings", sf_dir)
+    dense.expand_to_dim(base, out_dim=DIM_TIER, in_dim=64).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dim_dir, "embeddings.parquet"))
 
     def emb():
         return tables.load(spark, "embeddings", dim_dir)
@@ -932,6 +866,7 @@ def _run_dim_tier(
                 {"nprobe": nprobe, "candidates": cand_n, "recall_at_k": got}
             )
         out["ivf_recall_grid"] = ivf_grid
+    shutil.rmtree(dim_dir, ignore_errors=True)
     return out
 
 
@@ -1731,10 +1666,7 @@ def main() -> None:
                 "ann_ivf_topk",
                 "ann_pq_rerank_trained",
             )
-            dim_x10 = _run_dim_tier(
-                spark, stress_dir, paths=x10_paths, grids=False,
-                cache_tag=f"dim{DIM_TIER}x{STRESS_REPLICATION}",
-            )
+            dim_x10 = _run_dim_tier(spark, stress_dir, paths=x10_paths, grids=False)
             x1q = result["dim_tier"]["queries"]
             dim_x10["scale_ratio"] = {
                 n: round(t / x1q[n], 2)
@@ -1824,6 +1756,7 @@ def main() -> None:
                 "driver profile: skew candidate counts run on the "
                 "close run (budget=0)"
             )
+        shutil.rmtree(skew_dir, ignore_errors=True)
         emit()
 
     # the ROTATING x1 tail (driver profile only): whatever budget is
@@ -1842,8 +1775,8 @@ def main() -> None:
     # builds land in the shared warehouse under fresh content
     # fingerprints — retire them (and any generation stranded by a
     # prior run) now that the tier timings are recorded
-    # cached tier corpora are NOT removed — they are the next round's
-    # warm start (see _cached_corpus)
+    if stress_dir is not None:
+        shutil.rmtree(stress_dir, ignore_errors=True)
     if want_stress or want_dim:
         # dropping stale generations is a metadata+rmtree sweep, but
         # with many stranded generations it can run minutes (r10: 30
@@ -1852,9 +1785,7 @@ def main() -> None:
         if BUDGET_S <= 0 or _remaining() > 60:
             from multi_search_retrival_big_data_spark import index_store as _ixs
 
-            live = (
-                [sf_dir] + sorted(glob.glob("/root/testdata/sf*")) + _cache_dirs()
-            )
+            live = [sf_dir] + sorted(glob.glob("/root/testdata/sf*"))
             result["index_gc"] = {
                 "dropped": len(_ixs.gc_stale_index_tables(spark, live))
             }

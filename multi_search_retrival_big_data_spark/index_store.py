@@ -48,7 +48,6 @@ retraining.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 import re
 import shutil
@@ -91,18 +90,15 @@ def _table_name(kind: str, sf_dir: str, variant: str, source: str) -> str:
 def _drop_stale_location(spark: SparkSession, name: str) -> None:
     """The default session catalog is in-memory: a NEW session does not
     know the table, but the warehouse directory survives from the
-    previous one and blocks CREATE (LOCATION_ALREADY_EXISTS). For the
-    PURE builders the surviving location is first offered to
-    `_try_adopt` (below) — only a declined adoption (epoch change,
-    missing sidecar) lands here, where the catalog entry (an adopted
-    external table may still be registered when a sibling table of a
-    multi-table builder forces a rebuild of both) and the location are
-    cleared so the rebuild starts from nothing. The warehouse of the
-    in-memory catalog is by definition a local file: URI, so plain
-    filesystem removal suffices (on a metastore-backed cluster the
-    catalog entry survives sessions, adoption never fires, and retire
-    goes through spark.sql('DROP TABLE'), which owns the location)."""
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    previous one and blocks CREATE (LOCATION_ALREADY_EXISTS). Managed-
+    table metadata (bucketing!) lives in the catalog, so re-registering
+    the bare files would silently lose the bucket layout — instead the
+    stale location is removed and the index rebuilt once per session.
+    The warehouse of the in-memory catalog is by definition a local
+    file: URI, so plain filesystem removal suffices (on a
+    metastore-backed cluster the catalog entry survives sessions and
+    this branch never fires; dropping there goes through
+    spark.sql('DROP TABLE'), which owns the location)."""
     wh = spark.conf.get("spark.sql.warehouse.dir")
     parsed = urllib.parse.urlparse(wh)
     if parsed.scheme not in ("", "file"):
@@ -111,123 +107,6 @@ def _drop_stale_location(spark: SparkSession, name: str) -> None:
     path = os.path.join(base, name)
     if os.path.exists(path):
         shutil.rmtree(path, ignore_errors=True)
-
-
-def _builder_epoch() -> str:
-    """Hash of every module whose code determines built index CONTENT
-    (plus the engine version). Adoption of a surviving warehouse
-    location is sound ONLY if the bytes at that location are what the
-    current code would rebuild — the builds are deterministic functions
-    of (corpus, literal params, builder code), the table name already
-    pins corpus + params, and this epoch pins the code: any edit to an
-    operator/function module changes the epoch, every sidecar goes
-    stale, and the next session rebuilds. Over-invalidation (hashing
-    whole modules, not just the functions used) is deliberate — a
-    stale adoption is silent wrongness, a spurious rebuild is seconds."""
-    import pyspark
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    h = hashlib.md5(pyspark.__version__.encode())
-    for sub in ("operators", "functions"):
-        d = os.path.join(here, sub)
-        for f in sorted(os.listdir(d)):
-            if f.endswith(".py"):
-                with open(os.path.join(d, f), "rb") as fh:
-                    h.update(fh.read())
-    for f in ("index_store.py", "tables.py", "encoders.py"):
-        with open(os.path.join(here, f), "rb") as fh:
-            h.update(fh.read())
-    return h.hexdigest()
-
-
-_BUILDER_EPOCH: str | None = None
-_ADOPT_META = "_msrbd_adopt.json"
-
-
-def _epoch() -> str:
-    global _BUILDER_EPOCH
-    if _BUILDER_EPOCH is None:
-        _BUILDER_EPOCH = _builder_epoch()
-    return _BUILDER_EPOCH
-
-
-def _local_warehouse(spark: SparkSession) -> str | None:
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    parsed = urllib.parse.urlparse(wh)
-    if parsed.scheme not in ("", "file"):
-        return None
-    return urllib.parse.unquote(parsed.path) or wh
-
-
-def _record_meta(spark: SparkSession, name: str) -> None:
-    """Sidecar enabling cross-session adoption of a PURE builder's
-    table: the exact CREATE DDL (schema, partitioning, bucket/sort
-    spec — the metadata an in-memory catalog forgets) plus the builder
-    epoch. Lives inside the table location (underscore-prefixed files
-    are invisible to Spark's file index), so it dies with the files.
-    Called ONLY by builders whose content is a pure function of
-    (corpus fingerprint in the name, literal params in the name,
-    builder code in the epoch) — never by the incremental/append
-    family, whose content depends on call history."""
-    base = _local_warehouse(spark)
-    if base is None:
-        return
-    path = os.path.join(base, name)
-    if not os.path.isdir(path):
-        return
-    ddl = spark.sql(f"SHOW CREATE TABLE {name}").first()[0]
-    meta = {
-        "epoch": _epoch(),
-        "ddl": ddl,
-        "partitioned": "PARTITIONED BY" in ddl,
-    }
-    tmp = os.path.join(path, _ADOPT_META + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(path, _ADOPT_META))
-
-
-def _try_adopt(spark: SparkSession, name: str) -> bool:
-    """Re-register a surviving warehouse location as an EXTERNAL table
-    in the current session's catalog — the filesystem stand-in for the
-    durable metastore a production deployment has, where index tables
-    simply persist across sessions. Declines (→ rebuild) unless the
-    sidecar exists and its builder epoch matches the current code.
-    Bucket layout fidelity: the stored DDL carries the CLUSTERED
-    BY/SORTED BY/INTO n BUCKETS spec and saveAsTable's files carry the
-    bucket id in their names, so an adopted table keeps exchange-free
-    bucketed joins (prototype-verified: identical plans, zero
-    ShuffleExchange)."""
-    base = _local_warehouse(spark)
-    if base is None:
-        return False
-    path = os.path.join(base, name)
-    meta_path = os.path.join(path, _ADOPT_META)
-    if not os.path.exists(meta_path):
-        return False
-    try:
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-    except (OSError, ValueError):
-        return False
-    if meta.get("epoch") != _epoch() or not meta.get("ddl"):
-        return False
-    ddl = re.sub(r"LOCATION '[^']*'\n?", "", meta["ddl"]).rstrip()
-    ddl += f"\nLOCATION 'file:{path}'"
-    try:
-        spark.sql(ddl)
-        if meta.get("partitioned"):
-            spark.sql(f"MSCK REPAIR TABLE {name}")
-    except Exception:
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        return False
-    return True
-
-
-def _table_ready(spark: SparkSession, name: str) -> bool:
-    """The PURE builders' guard: registered in this session, or
-    adoptable from a previous one."""
-    return spark.catalog.tableExists(name) or _try_adopt(spark, name)
 
 
 _INDEX_SOURCES = ("documents", "embeddings")
@@ -282,10 +161,9 @@ def gc_stale_index_tables(
 def _read_or_build(
     spark: SparkSession, name: str, build: "callable", buckets: int = POSTINGS_BUCKETS
 ) -> DataFrame:
-    if not _table_ready(spark, name):
+    if not spark.catalog.tableExists(name):
         _drop_stale_location(spark, name)
         sparse.write_postings_bucketed(build(), name, buckets=buckets)
-        _record_meta(spark, name)
     return spark.table(name)
 
 
@@ -355,14 +233,13 @@ def ivf_assignments(
     this the final rank re-probed the whole corpus to fetch vectors,
     which at 100 TB reads 1000× more than the cells it ranks."""
     name = _table_name("ivf", sf_dir, f"s{stride}v2", "embeddings")
-    if not _table_ready(spark, name):
+    if not spark.catalog.tableExists(name):
         _drop_stale_location(spark, name)
         emb = tables.load(spark, "embeddings", sf_dir)
         _, assign = ann.ivf_assign(emb, stride=stride)
         ann.write_ivf_assignments(
             assign.join(emb.select("vec_id", "embedding"), "vec_id"), name
         )
-        _record_meta(spark, name)
     return spark.table(name)
 
 
@@ -385,14 +262,13 @@ def emb_lsh_bands(
     16-hyperplane signature pass over every vector moves to ingest."""
     variant = f"b{bands}p{num_planes}" + (f"d{dim}" if dim != 64 else "")
     name = _table_name("lshband", sf_dir, variant, "embeddings")
-    if not _table_ready(spark, name):
+    if not spark.catalog.tableExists(name):
         _drop_stale_location(spark, name)
         emb = tables.load(spark, "embeddings", sf_dir)
         banded = ann.banded_signatures(
             emb, dim=dim, bands=bands, num_planes=num_planes
         )
         _save_partitioned(banded, name, ["band", "bval"])
-        _record_meta(spark, name)
     return spark.table(name)
 
 
@@ -404,7 +280,7 @@ def doc_shingles(
     aggregation key). The explode+distinct over the corpus — the
     widest stage of the dedup pipeline — runs once at ingest."""
     name = _table_name("shingle", sf_dir, f"k{k}", "documents")
-    if not _table_ready(spark, name):
+    if not spark.catalog.tableExists(name):
         _drop_stale_location(spark, name)
         docs = tables.load(spark, "documents", sf_dir)
         sh = dedup.char_shingles(docs, "doc_id", "text", k)
@@ -415,7 +291,6 @@ def doc_shingles(
             .format("parquet")
             .saveAsTable(name)
         )
-        _record_meta(spark, name)
     return spark.table(name)
 
 
@@ -430,7 +305,7 @@ def minhash_sigs(
     md5-per-shingle permutation pass — the dedup pipeline's dominant
     CPU cost — happens only here, at build time."""
     name = _table_name("minhash", sf_dir, f"k{k}p{num_perm}", "documents")
-    if not _table_ready(spark, name):
+    if not spark.catalog.tableExists(name):
         _drop_stale_location(spark, name)
         sig = dedup.minhash_signatures(doc_shingles(spark, sf_dir, k), "doc_id", num_perm)
         (
@@ -440,7 +315,6 @@ def minhash_sigs(
             .format("parquet")
             .saveAsTable(name)
         )
-        _record_meta(spark, name)
     return spark.table(name)
 
 
@@ -456,11 +330,10 @@ def pq_codes(
     persisted bucketed by vec_id. The ADC query path reads ONLY this
     table — M small ints per vector — never the embeddings."""
     name = _table_name("pq", sf_dir, f"m{m}k{ks}s{stride}", "embeddings")
-    if not _table_ready(spark, name):
+    if not spark.catalog.tableExists(name):
         _drop_stale_location(spark, name)
         emb = tables.load(spark, "embeddings", sf_dir)
         ann.write_pq_codes(ann.pq_encode(emb, m=m, ks=ks, stride=stride), name)
-        _record_meta(spark, name)
     return spark.table(name)
 
 
@@ -488,9 +361,7 @@ def ivf_trained(
         iters = kmeans.KMEANS_ITERS
     cname = _table_name("ivftc", sf_dir, f"s{stride}i{iters}", "embeddings")
     aname = _table_name("ivfta", sf_dir, f"s{stride}i{iters}v2", "embeddings")
-    ready_c = _table_ready(spark, cname)
-    ready_a = _table_ready(spark, aname)
-    if not (ready_c and ready_a):
+    if not spark.catalog.tableExists(cname) or not spark.catalog.tableExists(aname):
         emb = tables.load(spark, "embeddings", sf_dir)
         cents = kmeans.train_lloyd(emb, kmeans.stride_init(emb, stride=stride), iters)
         from pyspark.sql import functions as F
@@ -504,10 +375,8 @@ def ivf_trained(
         kmeans.centroids_df(emb, cents).write.mode("overwrite").format(
             "parquet"
         ).saveAsTable(cname)
-        _record_meta(spark, cname)
         _drop_stale_location(spark, aname)
         ann.write_ivf_assignments(assign, aname)
-        _record_meta(spark, aname)
     return spark.table(cname), spark.table(aname)
 
 
@@ -524,12 +393,11 @@ def dim_corpus(spark: SparkSession, sf_dir: str, out_dim: int = 768) -> DataFram
     from multi_search_retrival_big_data_spark.operators import dense
 
     name = _table_name("dimcorp", sf_dir, f"o{out_dim}", "embeddings")
-    if not _table_ready(spark, name):
+    if not spark.catalog.tableExists(name):
         emb = tables.load(spark, "embeddings", sf_dir)
         wide = dense.expand_to_dim(emb, out_dim=out_dim, in_dim=64)
         _drop_stale_location(spark, name)
         wide.write.mode("overwrite").format("parquet").saveAsTable(name)
-        _record_meta(spark, name)
     return spark.table(name)
 
 
@@ -546,13 +414,12 @@ def model_b_dim_corpus(
     from multi_search_retrival_big_data_spark.operators import dense
 
     name = _table_name("dimcorpb", sf_dir, f"o{out_dim}", "embeddings")
-    if not _table_ready(spark, name):
+    if not spark.catalog.tableExists(name):
         emb = tables.load(spark, "embeddings", sf_dir)
         b48 = dense.model_b_embeddings(emb)
         wide = dense.expand_to_dim(b48, out_dim=out_dim, in_dim=MODEL_B_DIM)
         _drop_stale_location(spark, name)
         wide.write.mode("overwrite").format("parquet").saveAsTable(name)
-        _record_meta(spark, name)
     return spark.table(name)
 
 
@@ -573,9 +440,7 @@ def ivf_trained_dim(
 
     cname = _table_name("ivftcd", sf_dir, f"o{out_dim}s{stride}i{iters}", "embeddings")
     aname = _table_name("ivftad", sf_dir, f"o{out_dim}s{stride}i{iters}", "embeddings")
-    ready_c = _table_ready(spark, cname)
-    ready_a = _table_ready(spark, aname)
-    if not (ready_c and ready_a):
+    if not spark.catalog.tableExists(cname) or not spark.catalog.tableExists(aname):
         emb = dim_corpus(spark, sf_dir, out_dim)
         cents = kmeans.train_lloyd(emb, kmeans.stride_init(emb, stride=stride), iters)
         from pyspark.sql import functions as F
@@ -589,10 +454,8 @@ def ivf_trained_dim(
         kmeans.centroids_df(emb, cents).write.mode("overwrite").format(
             "parquet"
         ).saveAsTable(cname)
-        _record_meta(spark, cname)
         _drop_stale_location(spark, aname)
         ann.write_ivf_assignments(assign, aname)
-        _record_meta(spark, aname)
     return spark.table(cname), spark.table(aname)
 
 
@@ -621,9 +484,7 @@ def pq_trained(
         iters = kmeans.KMEANS_ITERS
     bname = _table_name("pqtb", sf_dir, f"m{m}k{ks}s{stride}i{iters}", "embeddings")
     cname = _table_name("pqtc", sf_dir, f"m{m}k{ks}s{stride}i{iters}", "embeddings")
-    ready_b = _table_ready(spark, bname)
-    ready_c = _table_ready(spark, cname)
-    if not (ready_b and ready_c):
+    if not spark.catalog.tableExists(bname) or not spark.catalog.tableExists(cname):
         emb = tables.load(spark, "embeddings", sf_dir)
         books = kmeans.train_lloyd_pq(
             emb, kmeans.pq_stride_init(emb, dim=dim, m=m, ks=ks, stride=stride), dim,
@@ -637,14 +498,12 @@ def pq_trained(
         book_df = spark.createDataFrame(rows, "m INT, code INT, cv ARRAY<DOUBLE>")
         _drop_stale_location(spark, bname)
         book_df.write.mode("overwrite").format("parquet").saveAsTable(bname)
-        _record_meta(spark, bname)
         codes = ann.pq_encode(
             emb, dim=dim, m=m, ks=ks, stride=stride,
             codebook=spark.table(bname), squared=False,
         )
         _drop_stale_location(spark, cname)
         ann.write_pq_codes(codes, cname)
-        _record_meta(spark, cname)
     return spark.table(bname), spark.table(cname)
 
 
@@ -1535,11 +1394,9 @@ def ivfpq(
     cname = _table_name("ivfpqc", sf_dir, v, "embeddings")
     bname = _table_name("ivfpqb", sf_dir, v, "embeddings")
     kname = _table_name("ivfpqk", sf_dir, v, "embeddings")
-    if not all([
-        _table_ready(spark, cname),
-        _table_ready(spark, bname),
-        _table_ready(spark, kname),
-    ]):
+    if not all(
+        spark.catalog.tableExists(n) for n in (cname, bname, kname)
+    ):
         emb = tables.load(spark, "embeddings", sf_dir)
         cents = kmeans.train_lloyd(
             emb, kmeans.stride_init(emb, stride=coarse_stride), iters
@@ -1563,12 +1420,10 @@ def ivfpq(
             kmeans.centroids_df(emb, cents).write.mode("overwrite").format(
                 "parquet"
             ).saveAsTable(cname)
-            _record_meta(spark, cname)
             _drop_stale_location(spark, bname)
             spark.createDataFrame(
                 book_rows, "m INT, code INT, cv ARRAY<DOUBLE>"
             ).write.mode("overwrite").format("parquet").saveAsTable(bname)
-            _record_meta(spark, bname)
             codes = ann.pq_encode(
                 res, vec_col="r", dim=dim, m=m, ks=ks, stride=pq_stride,
                 codebook=spark.table(bname), squared=False,
@@ -1577,7 +1432,6 @@ def ivfpq(
             codes.write.mode("overwrite").partitionBy("cid").format(
                 "parquet"
             ).saveAsTable(kname)
-            _record_meta(spark, kname)
         finally:
             res.unpersist()
     return spark.table(cname), spark.table(bname), spark.table(kname)
@@ -1591,14 +1445,11 @@ def sq8(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     encode is one projection against the collected dim-row model."""
     bname = _table_name("sq8b", sf_dir, "d64", "embeddings")
     cname = _table_name("sq8c", sf_dir, "d64", "embeddings")
-    ready_b = _table_ready(spark, bname)
-    ready_c = _table_ready(spark, cname)
-    if not (ready_b and ready_c):
+    if not (spark.catalog.tableExists(bname) and spark.catalog.tableExists(cname)):
         emb = tables.load(spark, "embeddings", sf_dir)
         bounds = ann.sq8_train(emb)
         _drop_stale_location(spark, bname)
         bounds.write.mode("overwrite").format("parquet").saveAsTable(bname)
-        _record_meta(spark, bname)
         codes = ann.sq8_encode(emb, spark.table(bname))
         _drop_stale_location(spark, cname)
         (
@@ -1608,5 +1459,4 @@ def sq8(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             .format("parquet")
             .saveAsTable(cname)
         )
-        _record_meta(spark, cname)
     return spark.table(bname), spark.table(cname)

@@ -10,41 +10,16 @@ from multi_search_retrival_big_data_spark import index_store, tables
 from multi_search_retrival_big_data_spark.operators import sparse
 
 
-def _fresh_managed_build(spark, builder, name_prefix):
-    """Force a THIS-SESSION managed build: drop any registration
-    (including a cross-session ADOPTED external table) and its
-    surviving location, then build. Exact-equality tests need this —
-    an adopted table holds a PREVIOUS session's float-sum orderings,
-    which can differ from an inline fit recomputed now by last-ulp
-    amounts (the oracle gate is immune: every oracle-compared float is
-    det_round-quantized, which is exactly why plain SUM never appears
-    in oracle output — see queries/common.py)."""
-    import os
-    import shutil
-    import urllib.parse
-
-    builder()  # ensure the name exists/registers (may adopt)
-    names = [
-        t.name for t in spark.catalog.listTables() if t.name.startswith(name_prefix)
-    ]
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    base = urllib.parse.unquote(urllib.parse.urlparse(wh).path) or wh
-    for n in names:
-        spark.sql(f"DROP TABLE IF EXISTS {n}")
-        shutil.rmtree(os.path.join(base, n), ignore_errors=True)
-    return builder()
-
-
 def test_postings_match_inline_fit(spark, sf_dir):
     docs = tables.load(spark, "documents", sf_dir)
     inline = {
         (r["term"], r["doc_id"]): r["weight"]
         for r in sparse.fit_tfidf(docs).collect()
     }
-    fresh = _fresh_managed_build(
-        spark, lambda: index_store.tfidf_postings(spark, sf_dir), "msrbd_tfidf_11"
-    )
-    stored = {(r["term"], r["doc_id"]): r["weight"] for r in fresh.collect()}
+    stored = {
+        (r["term"], r["doc_id"]): r["weight"]
+        for r in index_store.tfidf_postings(spark, sf_dir).collect()
+    }
     assert stored == inline
 
 
@@ -429,95 +404,3 @@ def test_manifest_media_state_append_matches_rebuild(spark, sf_dir):
     assert {
         (r["frame_id"], r["dhash"]) for r in st["image_fp"].collect()
     } == scratch_fp
-
-
-def _wh_path(spark, name):
-    import urllib.parse
-
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    base = urllib.parse.unquote(urllib.parse.urlparse(wh).path) or wh
-    import os
-
-    return os.path.join(base, name)
-
-
-def _table_type(spark, name):
-    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
-    return next(r["data_type"] for r in rows if r["col_name"] == "Type")
-
-
-def test_cross_session_adoption_bucketed(spark, sf_dir):
-    """A PURE builder's table survives a session boundary: a fresh
-    catalog adopts the surviving warehouse location (exact DDL from
-    the sidecar — schema, bucket/sort spec) instead of rebuilding.
-    Simulated here by dropping the managed table (which deletes its
-    files) and restoring the file set + sidecar from a copy — exactly
-    the state a NEW session sees: empty catalog, surviving location."""
-    import os
-    import shutil
-    import tempfile
-
-    df = _fresh_managed_build(
-        spark, lambda: index_store.tfidf_postings(spark, sf_dir), "msrbd_tfidf_11"
-    )
-    want = {(r["term"], r["doc_id"]): (r["weight"], r["idf"]) for r in df.collect()}
-    name = next(
-        t.name for t in spark.catalog.listTables() if t.name.startswith("msrbd_tfidf_11")
-    )
-    loc = _wh_path(spark, name)
-    assert os.path.exists(os.path.join(loc, index_store._ADOPT_META))
-    backup = tempfile.mkdtemp(prefix="adopt_test_")
-    shutil.rmtree(backup)
-    shutil.copytree(loc, backup)
-    spark.sql(f"DROP TABLE {name}")  # managed drop deletes the location
-    assert not os.path.exists(loc)
-    shutil.copytree(backup, loc)
-    shutil.rmtree(backup)
-
-    got = {
-        (r["term"], r["doc_id"]): (r["weight"], r["idf"])
-        for r in index_store.tfidf_postings(spark, sf_dir).collect()
-    }
-    assert got == want
-    # adopted → EXTERNAL registration with the bucket layout intact
-    assert _table_type(spark, name) == "EXTERNAL"
-    rows = {r["col_name"]: r["data_type"] for r in spark.sql(
-        f"DESCRIBE TABLE EXTENDED {name}"
-    ).collect()}
-    assert rows.get("Num Buckets") == str(index_store.POSTINGS_BUCKETS)
-
-    # leave a clean managed state for the rest of the suite
-    spark.sql(f"DROP TABLE {name}")
-    shutil.rmtree(loc, ignore_errors=True)
-
-
-def test_adoption_declines_on_epoch_change(spark, sf_dir):
-    """A stale sidecar (builder code changed since the files were
-    written) must NOT be adopted — the guard rebuilds instead. A
-    silent stale adoption would serve pre-edit index bytes forever."""
-    import json
-    import os
-    import shutil
-    import tempfile
-
-    _fresh_managed_build(
-        spark, lambda: index_store.bm25_postings(spark, sf_dir), "msrbd_bm25_11"
-    )
-    name = next(
-        t.name for t in spark.catalog.listTables() if t.name.startswith("msrbd_bm25_11")
-    )
-    loc = _wh_path(spark, name)
-    backup = tempfile.mkdtemp(prefix="adopt_test_")
-    shutil.rmtree(backup)
-    shutil.copytree(loc, backup)
-    spark.sql(f"DROP TABLE {name}")
-    shutil.copytree(backup, loc)
-    shutil.rmtree(backup)
-    meta_path = os.path.join(loc, index_store._ADOPT_META)
-    meta = json.load(open(meta_path))
-    meta["epoch"] = "0" * 32
-    json.dump(meta, open(meta_path, "w"))
-
-    index_store.bm25_postings(spark, sf_dir)
-    # declined adoption → rebuilt as a MANAGED table
-    assert _table_type(spark, name) == "MANAGED"
