@@ -244,7 +244,13 @@ def ivf_assignments(
 
 
 def _save_partitioned(df: DataFrame, name: str, cols: list[str]) -> None:
-    df.write.mode("overwrite").partitionBy(*cols).format("parquet").saveAsTable(name)
+    # cluster by the partition columns before the write (r10, guide §6):
+    # otherwise every task writes a file into every partition directory
+    # it holds rows for — tasks × |partition values| tiny files. One
+    # exchange → one file per populated partition; content identical.
+    df.repartition(*[df[c] for c in cols]).write.mode("overwrite").partitionBy(
+        *cols
+    ).format("parquet").saveAsTable(name)
 
 
 def emb_lsh_bands(
@@ -1429,9 +1435,10 @@ def ivfpq(
                 codebook=spark.table(bname), squared=False,
             ).join(res.select("vec_id", "cid"), "vec_id")
             _drop_stale_location(spark, kname)
-            codes.write.mode("overwrite").partitionBy("cid").format(
-                "parquet"
-            ).saveAsTable(kname)
+            # cluster by cid first — see _save_partitioned (guide §6)
+            codes.repartition("cid").write.mode("overwrite").partitionBy(
+                "cid"
+            ).format("parquet").saveAsTable(kname)
         finally:
             res.unpersist()
     return spark.table(cname), spark.table(bname), spark.table(kname)

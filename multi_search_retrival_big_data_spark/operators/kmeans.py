@@ -92,24 +92,67 @@ def _assign_cid_arrow(vec_col: Column | str, cents: Centroids) -> Column:
     - centroids are scanned in ascending-cid order with a STRICT `<`
       update, so ties keep the lowest cid — exactly array_min's
       (d, cid) struct order and the oracle's ORDER BY d, cid.
-    tests/test_ann.py pins the equality on real data at width."""
+    tests/test_ann.py pins the equality on real data at width, and on
+    an adversarial duplicated/near-tie centroid set.
+
+    HOW it is fast (r10 optimization; guide §4.2 "hand whole batches
+    to vectorized native libraries"): the r10-build version evaluated
+    the exact fold against EVERY centroid — n·k·d touched doubles per
+    pass, purely memory-bound (the x10 corpus assignment, k≈5161,
+    moved ~TBs and measured ~39 s/build). The exact fold's ORDER makes
+    that traffic irreducible, so the argmin is split into
+    (a) a BLAS prefilter: d²(x,c) = ‖x‖² − 2x·C + ‖c‖² via one GEMM —
+        compute-bound, n·k output doubles instead of n·k·d temps;
+    (b) a PROVABLY SAFE margin: the float64 GEMM result differs from
+        the exact real distance by ≤ ~(d+8)·u·(‖x‖+‖c‖)² (standard
+        summation error bounds, u = 2⁻⁵³ ≈ 1.1e-16); every centroid
+        within `margin = 1e-10·(‖x‖²+max‖c‖²+1)` of the row's GEMM
+        minimum — four orders of magnitude above that bound — is a
+        candidate, so the EXACT argmin is always among the candidates;
+    (c) the exact sequential fold + (d, cid) strict-< scan re-ranks
+        ONLY the candidates (almost always exactly 1; a handful under
+        planted duplicate/viral-cell ties), reproducing the Catalyst
+        result bit-for-bit including sqrt-rounding ties."""
     ordered = sorted(cents, key=lambda t: int(t[0]))
     cmat = np.asarray([[float(x) for x in cv] for _, cv in ordered], dtype=np.float64)
     cids = np.asarray([int(cid) for cid, _ in ordered], dtype=np.int32)
+
+    def _exact_d(xrow: np.ndarray, c: np.ndarray) -> float:
+        diff = xrow - c
+        return float(np.sqrt(np.cumsum(diff * diff)[-1]))
 
     @F.pandas_udf("int")
     def _assign(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=np.int32)
         x = np.stack(v.to_numpy()).astype(np.float64)
-        best_d = np.full(x.shape[0], np.inf, dtype=np.float64)
-        best_c = np.full(x.shape[0], cids[0] if len(cids) else -1, dtype=np.int32)
-        for j in range(cmat.shape[0]):
-            diff = x - cmat[j]
-            d = np.sqrt(np.cumsum(diff * diff, axis=1)[:, -1])
-            better = d < best_d
-            best_d = np.where(better, d, best_d)
-            best_c = np.where(better, cids[j], best_c)
+        n = x.shape[0]
+        if cmat.shape[0] == 0:
+            return pd.Series(np.full(n, -1, dtype=np.int32))
+        # (a) GEMM prefilter: approximate squared distances, one matmul
+        xx = np.einsum("ij,ij->i", x, x)
+        cc = np.einsum("ij,ij->i", cmat, cmat)
+        g = xx[:, None] + cc[None, :] - 2.0 * (x @ cmat.T)  # (n, k)
+        # (b) sound inclusion margin (≫ the float64 error bound)
+        margin = 1e-10 * (xx + float(cc.max()) + 1.0)  # (n,)
+        gmin = g.min(axis=1)
+        cand_mask = g <= (gmin + margin)[:, None]
+        n_cand = cand_mask.sum(axis=1)
+        best_c = np.empty(n, dtype=np.int32)
+        # rows with a single candidate: that centroid IS the exact argmin
+        single = n_cand == 1
+        if single.any():
+            best_c[single] = cids[np.argmax(cand_mask[single], axis=1)]
+        # rare multi-candidate rows (ties / duplicated centroids): exact
+        # sequential fold + ascending-cid strict-< scan over candidates
+        for i in np.flatnonzero(~single):
+            js = np.flatnonzero(cand_mask[i])
+            bd, bc = np.inf, int(cids[js[0]])
+            for j in js:  # ascending cid order (cids sorted ascending)
+                dj = _exact_d(x[i], cmat[j])
+                if dj < bd:
+                    bd, bc = dj, int(cids[j])
+            best_c[i] = bc
         return pd.Series(best_c)
 
     return _assign(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
@@ -119,9 +162,21 @@ def _quantized_mean_rows(
     assigned: DataFrame, vec_col: str, sum_scale: int
 ) -> list[tuple[int, int, float, int]]:
     """One reduce: (cid, dim, quantized_sum_as_double, n). posexplode
-    is 0-based; callers map to the oracle's 1-based list index."""
+    is 0-based; callers map to the oracle's 1-based list index.
+
+    The input is widened first (r10, guide §2.2/§6): the corpus often
+    arrives as ONE scan partition (single-row-group parquet), so the
+    N·dim posexplode plus the map-side partial aggregation ran in one
+    task (~14 s/iter on the 10× tier) — round-robin repartitioning the
+    N assigned rows is exact here because the quantized DECIMAL(38,0)
+    sums are ORDER-INDEPENDENT by construction (that is their whole
+    point; see functions/rounding.quantized_sum)."""
+    from multi_search_retrival_big_data_spark.partitioning import (
+        ensure_min_partitions,
+    )
+
     m = float(10**sum_scale)
-    exploded = assigned.select(
+    exploded = ensure_min_partitions(assigned).select(
         "__cid", F.posexplode(F.col(vec_col).cast("array<double>")).alias("__dim", "__x")
     )
     agg = exploded.groupBy("__cid", "__dim").agg(

@@ -1100,19 +1100,40 @@ def audio_near_duplicates(
     and it is df-capped first — keys seen in more than max_key_df
     clips (common-motif keys, the audio analogue of stopwords and of
     the MinHash mega-bucket) are dropped, bounding the join output by
-    max_key_df * |landmarks| regardless of skew. Both the df count
-    and the vote aggregation are map-side-combinable groupBys on the
-    same key/pair hash partitioning; the per-pair best-offset window
-    runs on vote rows (pair-count-sized, tiny)."""
+    max_key_df * |landmarks| regardless of skew.
+
+    Plan shape (r10 optimization, guide §2.4 "remove shuffles
+    outright"): the df-cap is a COLLECT_SET-size filter computed over
+    ONE Window.partitionBy(key) — the old groupBy(key)+join spelling
+    re-evaluated the whole landmark lineage (clip synthesis + the
+    mapInPandas extraction) once per side and shuffled it twice; now
+    the landmark table is evaluated once, exchanged by key once, and
+    the self-join on key REUSES that exchange (ReusedExchange in the
+    plan, the lsh_candidate_pairs precedent). The per-pair best offset
+    is a map-side-combinable MIN(struct(-votes, offset)) groupBy —
+    identical selection to the old row_number()=1 window (votes DESC,
+    offset ASC, one winner per pair) without sorting the vote table
+    (7.3M rows on the 10× tier). Measured (interleaved A/B, identical
+    output): uniform x10 14-16 s → 7-8 s, adversarial skew tier
+    (viral boilerplate keys) 9-11 s → 5-7 s. Skew bound: a viral key's
+    rows land in ONE window task before being dropped; per-clip
+    landmark count is bounded (≤ fan·peaks, peaks ≤ windows/2) and the
+    window state is the collect_set of clip ids (≤ #clips), so the
+    straggler task is landmark-row-bound, not pair-bound — at a scale
+    where one key's landmark rows alone overwhelm a task, fall back to
+    the two-pass groupBy+broadcast-join cap (this module's git
+    history), which drops viral rows map-side at the cost of
+    re-evaluating the extraction lineage."""
     from pyspark.sql import Window
 
-    kept = (
-        landmarks.groupBy("key")
-        .agg(F.countDistinct(id_col).alias("__df"))
+    w_key = Window.partitionBy("key")
+    lk = (
+        landmarks.withColumn(
+            "__df", F.size(F.collect_set(id_col).over(w_key))
+        )
         .filter(F.col("__df") <= max_key_df)
-        .select("key")
+        .drop("__df")
     )
-    lk = landmarks.join(kept, "key")
     a = lk.select("key", F.col(id_col).alias("id_a"), F.col("t").alias("ta"))
     b = lk.select("key", F.col(id_col).alias("id_b"), F.col("t").alias("tb"))
     votes = (
@@ -1123,14 +1144,23 @@ def audio_near_duplicates(
         )
         .agg(F.count(F.lit(1)).alias("votes"))
     )
-    w = Window.partitionBy("id_a", "id_b").orderBy(
-        F.col("votes").desc(), F.col("offset").asc()
+    best = (
+        votes.groupBy("id_a", "id_b")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("votes")).alias("nv"), F.col("offset").alias("o")
+                )
+            ).alias("__b")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__b.o").alias("offset"),
+            (-F.col("__b.nv")).alias("votes"),
+        )
     )
-    return (
-        votes.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & (F.col("votes") >= min_votes))
-        .select("id_a", "id_b", "offset", "votes")
-    )
+    return best.filter(F.col("votes") >= min_votes)
 
 
 # ---- video frame-sequence near-duplicate detection --------------------------
@@ -1226,9 +1256,10 @@ def video_near_duplicates(
     and the fingerprint table is thousands of times smaller than the
     video corpus. The vote is a map-side-combinable groupBy on
     (clip_a, clip_b, offset) over frame-match rows (candidate-volume-
-    bound), and the best-offset window runs per clip pair (tiny)."""
-    from pyspark.sql import Window
-
+    bound), and the per-pair best offset is a map-side-combinable
+    MIN(struct(-votes, offset)) groupBy — identical selection to a
+    row_number()=1 window over (votes DESC, offset ASC) without the
+    sort (the audio_near_duplicates spelling, r10)."""
     pairs = image_near_duplicates(
         fingerprints, id_col="frame_id", max_hamming=max_hamming
     )
@@ -1243,11 +1274,20 @@ def video_near_duplicates(
         F.col("clip_b").alias("id_b"),
         (F.col("tb") - F.col("ta")).alias("offset"),
     ).agg(F.count(F.lit(1)).alias("votes"))
-    w = Window.partitionBy("id_a", "id_b").orderBy(
-        F.col("votes").desc(), F.col("offset").asc()
+    best = (
+        votes.groupBy("id_a", "id_b")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("votes")).alias("nv"), F.col("offset").alias("o")
+                )
+            ).alias("__b")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__b.o").alias("offset"),
+            (-F.col("__b.nv")).alias("votes"),
+        )
     )
-    return (
-        votes.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & (F.col("votes") >= min_votes))
-        .select("id_a", "id_b", "offset", "votes")
-    )
+    return best.filter(F.col("votes") >= min_votes)

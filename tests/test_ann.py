@@ -611,6 +611,44 @@ def test_assign_cid_arrow_bit_identical_at_width(spark, sf_dir):
         assert r["lit_cid"] == r["arrow_cid"], f"vec {r['vec_id']}"
 
 
+def test_assign_cid_arrow_bit_identical_under_ties(spark, sf_dir):
+    """Adversarial tie geometry for the GEMM-prefilter argmin: the
+    centroid set contains EXACT DUPLICATES (a planted viral cell's
+    shape — stride_init can sample two near-identical vectors) and a
+    centroid equal to a data row (distance exactly 0). The prefilter's
+    margin must surface every tied candidate and the exact re-rank
+    must keep the LOWEST cid, matching the literal-struct argmin."""
+    from multi_search_retrival_big_data_spark.functions.vector import l2_dist, lit_vec
+    from multi_search_retrival_big_data_spark.operators import kmeans
+
+    emb = tables.load(spark, "embeddings", sf_dir).limit(60)
+    rows = emb.select("embedding").limit(3).collect()
+    v0 = [float(x) for x in rows[0]["embedding"]]
+    v1 = [float(x) for x in rows[1]["embedding"]]
+    # cids deliberately non-contiguous; centroid 7 duplicates 3, and 3
+    # equals a real data row (zero distance, tie between cid 3 and 7)
+    cents = [(3, v0), (5, v1), (7, list(v0)), (11, [x + 1e-13 for x in v0])]
+    literal = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    l2_dist("embedding", lit_vec(cv)).alias("d"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+    ).getField("cid")
+    got = emb.select(
+        "vec_id",
+        literal.alias("lit_cid"),
+        kmeans._assign_cid_arrow("embedding", cents).alias("arrow_cid"),
+    ).collect()
+    assert len(got) == 60
+    for r in got:
+        assert r["lit_cid"] == r["arrow_cid"], f"vec {r['vec_id']}"
+
+
 def test_pq_codes_arrow_bit_identical_at_width(spark, sf_dir):
     """ann.pq_codes_arrow vs the broadcast-join MIN(struct) argmin at
     the trained d=768 geometry (M=16, KS=32, dsub=48), BOTH rank
@@ -641,3 +679,40 @@ def test_pq_codes_arrow_bit_identical_at_width(spark, sf_dir):
         ka = sorted(tuple(r) for r in a)
         kb = sorted(tuple(r) for r in b)
         assert ka == kb, f"squared={squared}: arrow != join"
+
+
+def test_pq_codes_arrow_bit_identical_under_ties(spark, sf_dir):
+    """GEMM-prefilter tie handling in pq_codes_arrow: codebooks with
+    EXACT DUPLICATE codewords (and one codeword equal to a data
+    sub-vector → zero distance) must keep the LOWEST code, matching the
+    broadcast-join MIN(struct(dist, code)) tiebreak, for BOTH rank
+    spellings."""
+    emb = tables.load(spark, "embeddings", sf_dir).limit(40)
+    m_count, dsub = 4, EMB_DIM // 4
+    row = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    book_rows = []
+    for mi in range(m_count):
+        sub = row[mi * dsub : (mi + 1) * dsub]
+        book_rows += [
+            (mi, 0, [x + 0.5 for x in sub]),
+            (mi, 1, list(sub)),       # equals a real sub-vector
+            (mi, 2, list(sub)),       # exact duplicate of code 1
+            (mi, 3, [x + 1e-13 for x in sub]),
+        ]
+    cb = spark.sparkSession.createDataFrame(
+        book_rows, "m INT, code INT, cv ARRAY<DOUBLE>"
+    ) if hasattr(spark, "sparkSession") else spark.createDataFrame(
+        book_rows, "m INT, code INT, cv ARRAY<DOUBLE>"
+    )
+    for squared in (True, False):
+        a = ann.pq_encode(
+            emb, dim=EMB_DIM, m=m_count, ks=4,
+            codebook=cb, squared=squared, use_arrow=True,
+        ).collect()
+        b = ann.pq_encode(
+            emb, dim=EMB_DIM, m=m_count, ks=4,
+            codebook=cb, squared=squared, use_arrow=False,
+        ).collect()
+        ka = sorted(tuple(r) for r in a)
+        kb = sorted(tuple(r) for r in b)
+        assert ka == kb, f"squared={squared}: arrow != join under ties"
