@@ -1102,17 +1102,19 @@ def audio_near_duplicates(
     the MinHash mega-bucket) are dropped, bounding the join output by
     max_key_df * |landmarks| regardless of skew.
 
-    Plan shape (r10 optimization, guide §2.4 "remove shuffles
-    outright"): the df-cap is a COLLECT_SET-size filter computed over
-    ONE Window.partitionBy(key) — the old groupBy(key)+join spelling
-    re-evaluated the whole landmark lineage (clip synthesis + the
-    mapInPandas extraction) once per side and shuffled it twice; now
-    the landmark table is evaluated once, exchanged by key once, and
-    the self-join on key REUSES that exchange (ReusedExchange in the
-    plan, the lsh_candidate_pairs precedent). The per-pair best offset
-    is a map-side-combinable MIN(struct(-votes, offset)) groupBy —
-    identical selection to the old row_number()=1 window (votes DESC,
-    offset ASC, one winner per pair) without sorting the vote table
+    Plan shape (r10 optimization, guide §2.3/§2.4): the df-cap is a
+    COLLECT_SET-size filter computed over ONE Window.partitionBy(key)
+    — the old groupBy(key)+countDistinct+join spelling added a THIRD
+    full evaluation of the landmark lineage (clip synthesis + the
+    mapInPandas extraction) just to compute the cap, plus its own
+    aggregation shuffle; now the cap rides the same exchange the
+    candidate join needs anyway (the join sides still evaluate the
+    lineage once each — the captured plan broadcasts the kept-landmark
+    side, so candidate generation is one exchange + one broadcast).
+    The per-pair best offset is a map-side-combinable
+    MIN(struct(-votes, offset)) groupBy — identical selection to the
+    old row_number()=1 window (votes DESC, offset ASC, one winner per
+    pair) without sorting the vote table
     (7.3M rows on the 10× tier). Measured (interleaved A/B, identical
     output): uniform x10 14-16 s → 7-8 s, adversarial skew tier
     (viral boilerplate keys) 9-11 s → 5-7 s. Skew bound: a viral key's

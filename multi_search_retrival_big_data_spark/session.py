@@ -61,7 +61,18 @@ def get_spark(app_name: str = "msrbd-spark", shuffle_partitions: int | None = No
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.scheduler.mode", "FAIR")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs driver + all executor tasks in ONE JVM: the old
+        # 8g default gave 32 concurrent tasks ~250 MB each plus every
+        # accumulated broadcast/codegen/cache block, and long sessions
+        # (bench grid, oracle gate) degraded measurably as the heap
+        # filled — interleaved A/B at r10: the 10th query of a session
+        # ran 1.3s with headroom vs 3.8s at 8g, a composed facade 4.3s
+        # vs 21.7s (guide §5: size memory to cores × per-task state).
+        # 24g ≈ 0.75 GB/core at the driver's 32 cores — the same
+        # per-core sizing a production executor would get; override
+        # with SPARK_DRIVER_MEMORY (the driver harness's knob) as
+        # before.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
