@@ -339,9 +339,6 @@ def ann_lsh_topk(
     planes = hyperplanes(dim, num_planes)
     rows = num_planes // bands
     qsig = signature_of(query_vec, planes)
-    score = cosine_sim(vec_col, lit_vec(query_vec))
-    if round_to is not None:
-        score = det_round(score, round_to)
 
     if banded is not None:
         cond = None
@@ -351,11 +348,9 @@ def ann_lsh_topk(
         cand = _subset_semi_join(
             banded.filter(cond).select(id_col).distinct(), subset, id_col
         )
-        return (
-            emb.join(cand, id_col, "left_semi")
-            .select(F.col(id_col), score.alias("score"))
-            .orderBy(F.desc("score"), F.asc(id_col))
-            .limit(k)
+        return ranked_cosine_topk(
+            emb.join(cand, id_col, "left_semi"),
+            query_vec, k, id_col, vec_col, round_to,
         )
     emb = ensure_min_partitions(emb)  # 16 fold-expressions/row: CPU-bound
     sig_fn = _sig_fn(num_planes, dim)
@@ -364,11 +359,71 @@ def ann_lsh_topk(
     for b, qband in query_bands(qsig, bands, rows):
         c = F.substring(F.col("__sig"), b * rows + 1, rows) == F.lit(qband)
         cond = c if cond is None else cond | c
-    return _subset_semi_join(
-        emb.withColumn("__sig", sig).filter(cond), subset, id_col
-    ).select(F.col(id_col), score.alias("score")).orderBy(
-        F.desc("score"), F.asc(id_col)
-    ).limit(k)
+    return ranked_cosine_topk(
+        _subset_semi_join(
+            emb.withColumn("__sig", sig).filter(cond), subset, id_col
+        ),
+        query_vec, k, id_col, vec_col, round_to,
+    )
+
+
+# past this width the 3·dim interpreted lambda dispatches per ranked
+# row (dot + two norm folds) dominate the serving rank; the d=64
+# oracle-gate corpora stay far below it on the proven expression form
+ARROW_RANK_MIN_DIM = 256
+
+
+def ranked_cosine_topk(
+    cand: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_to: int | None,
+) -> DataFrame:
+    """det-rounded-cosine descending top-k of a candidate set — the
+    shared final rank of every pruned ANN serving path, with a
+    WIDTH-GATED Arrow twin (r11, guide §4; verdict r10 item 8 applied
+    to the serving side the way r10 did the encode/train side).
+
+    dim < ARROW_RANK_MIN_DIM (or round_to None): the proven Catalyst
+    expression det_round(cosine_sim(...)) — what every oracle-gate
+    corpus (d=64) executes, byte-identical plans to r10.
+
+    dim ≥ ARROW_RANK_MIN_DIM: per Arrow batch the candidate slab
+    scores in ONE BLAS matvec and is quantized INSIDE the UDF with
+    floor(x·10^s + 0.5)/10^s before the top-k sort — exactly
+    dense.topk_cosine_arrow's established determinism contract (its
+    oracle row pins the quantize-then-rank semantics; at d=768 the
+    interpreted 3·768-dispatch fold per row is the measured dominant
+    cost of the tuned LSH/IVF ranks)."""
+    dim = len(query_vec)
+    if round_to is None or dim < ARROW_RANK_MIN_DIM:
+        score = cosine_sim(vec_col, lit_vec(query_vec))
+        if round_to is not None:
+            score = det_round(score, round_to)
+        return (
+            cand.select(F.col(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+    scale = float(10**round_to)
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m_ = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s = (m_ @ q) / (np.sqrt((m_ * m_).sum(axis=1)) * qn)
+            s = np.floor(s * scale + 0.5) / scale
+            yield pd.DataFrame({id_col: pdf[id_col], "score": s})
+
+    scored = cand.select(id_col, vec_col).mapInPandas(
+        _score, f"{id_col} long, score double"
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
 CASCADE_MIN_CANDIDATES = 100  # default gate: 2×k at the k=50 serving default
@@ -769,27 +824,18 @@ def ann_ivf_topk(
         .limit(nprobe)
         .select("cid")
     )
-    score = cosine_sim(vec_col, q)
-    if round_to is not None:
-        score = det_round(score, round_to)
     if vec_col in assign.columns:
         # co-located layout: rank inside the pruned partitions
         cand = _subset_semi_join(
             assign.join(F.broadcast(probed), "cid"), subset, id_col
         )
-        return (
-            cand.select(F.col(id_col), score.alias("score"))
-            .orderBy(F.desc("score"), F.asc(id_col))
-            .limit(k)
-        )
+        return ranked_cosine_topk(cand, query_vec, k, id_col, vec_col, round_to)
     cand_ids = _subset_semi_join(
         assign.join(F.broadcast(probed), "cid").select(id_col), subset, id_col
     )
-    return (
-        emb.join(cand_ids, id_col, "left_semi")
-        .select(F.col(id_col), score.alias("score"))
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
+    return ranked_cosine_topk(
+        emb.join(cand_ids, id_col, "left_semi"),
+        query_vec, k, id_col, vec_col, round_to,
     )
 
 
@@ -1070,6 +1116,14 @@ def pq_codes_arrow(
                 best_c[single] = cids[np.argmax(cand_mask[single], axis=1)]
             for i in np.flatnonzero(~single):
                 js = np.flatnonzero(cand_mask[i])
+                if js.size == 0:
+                    # non-finite sub-vector: no candidate survives the
+                    # GEMM prefilter (NaN comparisons are all False) —
+                    # exact fold over every code; strict `<` never
+                    # fires on NaN, keeping the lowest code, matching
+                    # MIN(struct(dist, code)) under Spark's
+                    # NaN-is-largest ordering (r10 advice).
+                    js = np.arange(cmat.shape[0])
                 br, bc = np.inf, int(cids[js[0]])
                 for j in js:  # ascending code order (cids sorted)
                     r = _exact_rank(sub[i], cmat[j])

@@ -289,37 +289,71 @@ def lsh_bucket_stats(
 
 
 def jaccard_for_pairs(
-    shingles: DataFrame, pairs: DataFrame, id_col: str
+    shingles: DataFrame, pairs: DataFrame, id_col: str,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity for given candidate pairs →
-    (id_a, id_b, intersection, size_a, size_b, jaccard). The candidate
-    set is usually tiny relative to the corpus → broadcast it to both
-    shingle joins so no extra shuffle of the shingle table happens."""
+    (id_a, id_b, intersection, size_a, size_b, jaccard), for the pairs
+    with intersection ≥ 1. The candidate set is usually tiny relative
+    to the corpus → broadcast it to both shingle joins so no extra
+    shuffle of the shingle table happens.
+
+    `min_jaccard` arms the SIZE-RATIO PREFILTER (r11, guide §3.2 —
+    reduce the big side before the expensive join): pairs whose
+    shingle-set sizes satisfy min(|A|,|B|) < t·max(|A|,|B|) are dropped
+    BEFORE the shingle⋈shingle intersection join ever sees them.
+    Threshold-boundary identity: |A∩B| ≤ min(|A|,|B|) and
+    |A∪B| ≥ max(|A|,|B|), so J(A,B) = |A∩B|/|A∪B| ≤ min/max — a pair
+    failing the ratio test has J < t EXACTLY (integer sizes, one IEEE
+    multiply+compare; no estimate anywhere), i.e. it could only ever
+    be emitted with jaccard < min_jaccard. Callers that filter
+    `jaccard >= t` downstream therefore see an IDENTICAL result set;
+    callers that consume sub-threshold pairs must leave min_jaccard
+    unset. The sizes come from the same per-id counts the output
+    carries anyway, so the prefilter costs two broadcast-hash joins on
+    the request-sized pair list and SAVES the per-shingle join fan-out
+    (|shingles(id_a)| × pairs) for every dropped pair."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    bp = F.broadcast(pairs)
-    # restrict BOTH shingle sides to candidate ids before any shuffle —
-    # the (id_b, shingle) join then moves only candidate postings, not
-    # the whole corpus shingle table
+    # attach sizes to the pair list up front (they are output columns
+    # regardless); with min_jaccard set, apply the sound ratio bound
+    sized = pairs.join(
+        F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("size_a"))),
+        "id_a",
+    ).join(
+        F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("size_b"))),
+        "id_b",
+    )
+    if min_jaccard is not None:
+        sized = sized.filter(
+            F.least("size_a", "size_b").cast("double")
+            >= F.lit(float(min_jaccard)) * F.greatest("size_a", "size_b").cast("double")
+        )
+    bp = F.broadcast(sized)
+    # restrict BOTH shingle sides to (surviving) candidate ids before
+    # any shuffle — the (id_b, shingle) join then moves only candidate
+    # postings, not the whole corpus shingle table
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle").join(
-        F.broadcast(pairs.select("id_a").distinct()), "id_a", "left_semi"
+        F.broadcast(sized.select("id_a").distinct()), "id_a", "left_semi"
     )
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle").join(
-        F.broadcast(pairs.select("id_b").distinct()), "id_b", "left_semi"
+        F.broadcast(sized.select("id_b").distinct()), "id_b", "left_semi"
     )
     inter = (
         sa.join(bp, "id_a")
         .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("intersection"))
     )
-    return (
-        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("size_a"))), "id_a")
-        .join(F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("size_b"))), "id_b")
-        .withColumn(
-            "jaccard",
+    return inter.select(
+        "id_a",
+        "id_b",
+        "intersection",
+        "size_a",
+        "size_b",
+        (
             F.col("intersection")
-            / (F.col("size_a") + F.col("size_b") - F.col("intersection")).cast("double"),
-        )
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection")).cast("double")
+        ).alias("jaccard"),
     )
 
 
@@ -363,7 +397,11 @@ def minhash_near_duplicates(
     cand = lsh_candidate_pairs(
         lsh_buckets(sig, id_col, bands, rows_per_band), id_col, max_bucket
     ).cache()
-    verified = jaccard_for_pairs(sh, cand, id_col)
+    # min_jaccard arms the sound size-ratio prefilter (see
+    # jaccard_for_pairs): identical ≥-threshold output, but candidates
+    # that integer set-size arithmetic alone proves sub-threshold never
+    # reach the shingle intersection join
+    verified = jaccard_for_pairs(sh, cand, id_col, min_jaccard=threshold)
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
@@ -780,6 +818,138 @@ def _cosine_verify_pairs(
     )
 
 
+def _cell_cosine_pairs_arrow(
+    cells: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    cid_col: str,
+    round_to: int,
+) -> DataFrame:
+    """Within-cell cosine-duplicate pairs (id_a < id_b, det-rounded
+    cosine ≥ threshold) as ONE grouped Arrow kernel per cell — the
+    r11 replacement for the cell self-join + per-pair Catalyst cosine
+    (guide §4.2 "hand whole batches to vectorized native libraries").
+
+    Why: the join spelling shuffled the vector table TWICE (both join
+    sides carry the embedding + norm, ~0.5 KB/row/side) and evaluated a
+    64-term fold per candidate pair in codegen — candidate-bound cost
+    that grows linearly with the corpus (the x10 tier's 10× pair
+    budget made dedup_semantic_keep the worst scale ratio in the
+    bench). Here each cell's members arrive once as an Arrow batch and
+    the m² candidate cosines are ONE BLAS GEMM — no pair ever exists
+    as a row unless it survives.
+
+    BIT-IDENTITY argument (the _assign_cid_arrow pattern, r10):
+    - PREFILTER: approximate cosines C̃ = (X·Xᵀ)/outer(n,n) from one
+      GEMM; float64 GEMM differs from the exact sequential fold by
+      ≤ ~(d+3)·u·(1+|cos|) ≈ 1e-14 ≪ the 2e-6 margin, so every pair
+      whose det-rounded exact cosine could reach the threshold
+      (exact ≥ t − 0.5·10^-round_to − ulp) satisfies
+      C̃ ≥ t − 2e-6 and survives; NaN comparisons keep the pair (see
+      below). Prefilter perturbations (BLAS blocking/threading) only
+      move pairs whose exact cosine is ≥ 1e-6 BELOW the bar — they
+      fail the exact re-verify either way, so the output is stable.
+    - EXACT RE-VERIFY (survivors only): per-element product then a
+      sequential left fold — np.cumsum after normalizing the first
+      addend with `+ 0.0` IS the aggregate(zip_with(a,b,x*y), 0.0,
+      acc+x) evaluation (the seed can only flip a -0.0 first product
+      to +0.0, exactly what the fold's 0.0 + x does; x + (−x) = +0.0
+      in IEEE round-to-nearest, so no later partial sum is −0.0);
+      norms are the same fold over squares plus the correctly-rounded
+      np.sqrt == Math.sqrt; cosine = dot/(n_a·n_b) is the identical
+      single-divide spelling; det_round = floor(x·10^s + 0.5)/10^s is
+      exact IEEE multiply/add/floor in both engines.
+    - NaN/Inf SEMANTICS: det_round runs floor() THEN a cast to long
+      (Spark's FLOOR(double) → LONG), so a NaN cosine (zero-norm
+      vector) becomes (long) NaN = 0 → 0.0 after the divide — the old
+      plan therefore DROPPED NaN pairs at any positive threshold, and
+      ±Inf saturates at ±Long.MAX. The kernel replicates exactly that
+      (np.where on isnan, clip at ±2⁶³) instead of IEEE NaN
+      propagation; the prefilter keeps NaN candidates so the decision
+      is always made by this exact replica.
+    - PAIR SET: ids are sorted ascending per cell and pairs taken from
+      the strict upper triangle — exactly the join's id_a < id_b set.
+
+    Memory: the GEMM runs in row blocks of ≤512, so per-task temps are
+    ≤ 512·m doubles even on the uncapped audit path's mega cells (the
+    old join streamed those m² rows instead — both are quadratic TIME
+    by contract there; the capped production route never sends a cell
+    larger than max_cell here)."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    mscale = float(10**round_to)
+    out_schema = "id_a BIGINT, id_b BIGINT, cosine DOUBLE"
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        # exact per-vector norms (the l2_norm fold, vectorized)
+        sq = X * X
+        sq[:, 0] = sq[:, 0] + 0.0
+        norms = np.sqrt(np.cumsum(sq, axis=1)[:, -1])
+        ias, ibs, coss = [], [], []
+        blk = 512
+        for s in range(0, m - 1, blk):
+            e = min(s + blk, m - 1)
+            g = X[s:e] @ X.T  # (e-s, m) approximate dots
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ct = g / (norms[s:e, None] * norms[None, :])
+            # strict upper triangle only: j > i
+            jgrid = np.arange(m)[None, :] > np.arange(s, e)[:, None]
+            keep = jgrid & ((ct >= thr - 2e-6) | np.isnan(ct))
+            ii, jj = np.nonzero(keep)
+            if ii.size == 0:
+                continue
+            ii = ii + s
+            # exact re-verify: sequential fold per surviving pair
+            P = X[ii] * X[jj]
+            P[:, 0] = P[:, 0] + 0.0
+            dots = np.cumsum(P, axis=1)[:, -1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (norms[ii] * norms[jj])
+                fl = np.floor(cos * mscale + 0.5)
+                # Spark FLOOR(double) casts to LONG: (long) NaN = 0,
+                # ±Inf saturates at ±Long.MAX — replicate the cast
+                fl = np.where(np.isnan(fl), 0.0, fl)
+                fl = np.clip(fl, -9.223372036854776e18, 9.223372036854776e18)
+                cosr = fl / mscale
+            ok = cosr >= thr
+            if ok.any():
+                ias.append(ids[ii[ok]])
+                ibs.append(ids[jj[ok]])
+                coss.append(cosr[ok])
+        if not ias:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(ias).astype(np.int64),
+                "id_b": np.concatenate(ibs).astype(np.int64),
+                "cosine": np.concatenate(coss),
+            }
+        )
+
+    return (
+        cells.select(F.col(cid_col), F.col(id_col), F.col(vec_col))
+        .groupBy(cid_col)
+        .applyInPandas(_cell, out_schema)
+    )
+
+
 def semantic_candidate_pairs(
     assign: DataFrame,
     threshold: float,
@@ -818,36 +988,12 @@ def semantic_candidate_pairs(
     clique — a spanning set would miss real pairs — so the guard
     trades recall probabilistically like any LSH band
     (dedup_semantic_capped_recall_audit measures what it drops)."""
-    from multi_search_retrival_big_data_spark.functions.rounding import det_round
-    from multi_search_retrival_big_data_spark.functions.vector import dot, l2_norm
-
-    # per-vector norm projected BEFORE the cell self-join (see
-    # _cosine_verify_pairs — same bit-parity argument, ~3x cheaper
-    # per-candidate expression at production pair volumes)
-    def _sides():
-        a = assign.select(
-            F.col(cid_col),
-            F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("__va"),
-            l2_norm(vec_col).alias("__na"),
-        )
-        b = assign.select(
-            F.col(cid_col),
-            F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("__vb"),
-            l2_norm(vec_col).alias("__nb"),
-        )
-        return a, b
-
-    pair_cos = det_round(
-        dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), round_to
-    )
-
     if max_cell is None:
-        a, b = _sides()
-        pairs = a.join(b, cid_col).filter(F.col("id_a") < F.col("id_b"))
-        return pairs.select("id_a", "id_b", pair_cos.alias("cosine")).filter(
-            F.col("cosine") >= threshold
+        # within-cell scoring as ONE grouped Arrow GEMM kernel (r11,
+        # guide §4.2) — replaces the cell self-join + per-pair fold;
+        # bit-identical output (see _cell_cosine_pairs_arrow)
+        return _cell_cosine_pairs_arrow(
+            assign, threshold, id_col, vec_col, cid_col, round_to
         )
 
     # Route on a tiny driver probe of the cell-size histogram: a
@@ -863,29 +1009,13 @@ def semantic_candidate_pairs(
         return semantic_candidate_pairs(
             assign, threshold, id_col, vec_col, cid_col, round_to
         )
-    # Small (healthy) cells are scored INLINE in the cell self-join —
-    # vectors are already co-located on cid, so the cosine costs no
-    # extra join (the exact plan the uncapped path runs). Only MEGA
-    # cells pay the sub-bucket + refetch-verify machinery.
+    # Small (healthy) cells run the same grouped Arrow GEMM kernel the
+    # uncapped path runs (exact plan, cells co-located on cid). Only
+    # MEGA cells pay the sub-bucket + refetch-verify machinery.
     sized = assign.join(F.broadcast(sizes), cid_col)
     small = sized.filter(F.col("__m") <= max_cell)
-    sa = small.select(
-        F.col(cid_col),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        l2_norm(vec_col).alias("__na"),
-    )
-    sb = small.select(
-        F.col(cid_col),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        l2_norm(vec_col).alias("__nb"),
-    )
-    small_scored = (
-        sa.join(sb, cid_col)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", pair_cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    small_scored = _cell_cosine_pairs_arrow(
+        small, threshold, id_col, vec_col, cid_col, round_to
     )
     mega_pairs = _mega_cell_band_pairs(
         sized.filter(F.col("__m") > max_cell), id_col, vec_col, cid_col, dim,
@@ -1197,13 +1327,32 @@ def duplicate_span_windows(
             ).alias("h"),
         )
     )
-    dup = (
+    # ONE evaluation of the window-hash pass (r11, guide §2.4): the old
+    # groupBy(h)+count_distinct gate joined back against `win`, which
+    # re-ran the tokenize+md5 pass per side (the aggregate side's
+    # exchange carries partial-agg rows, so Spark cannot reuse it for
+    # the join side — the same 2× the audio df-cap had). Collecting
+    # each hash's (id, pos) occurrences into ONE member array rides a
+    # single exchange on h; the distinct-doc gate is
+    # size(array_distinct(ids)) — the same count the old gate computed
+    # — and the explode returns exactly the rows the join emitted.
+    # Memory bound: one hash's occurrence list sits in one agg buffer
+    # (~16 B/occurrence); even the skew tier's viral boilerplate hash
+    # (every byte-identical copy marks the same windows) is
+    # thousands of entries, kilobytes — duplication-sized, never
+    # corpus-sized.
+    per_hash = (
         win.groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
-        .filter(F.col("__df") >= min_docs)
-        .select("h")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("pos").alias("pos"))
+            ).alias("__L")
+        )
+        .filter(F.size(F.array_distinct(F.col("__L.id"))) >= min_docs)
     )
-    return win.join(dup, "h").select(id_col, "pos")
+    return per_hash.select(F.explode("__L").alias("__e")).select(
+        F.col("__e.id").alias(id_col), F.col("__e.pos").alias("pos")
+    )
 
 
 def duplicate_spans(

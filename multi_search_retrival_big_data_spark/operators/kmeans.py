@@ -147,6 +147,14 @@ def _assign_cid_arrow(vec_col: Column | str, cents: Centroids) -> Column:
         # sequential fold + ascending-cid strict-< scan over candidates
         for i in np.flatnonzero(~single):
             js = np.flatnonzero(cand_mask[i])
+            if js.size == 0:
+                # non-finite embedding (NaN/Inf): every GEMM comparison
+                # is False, so no candidate survives the prefilter —
+                # fall back to the exact fold over EVERY centroid. The
+                # strict `<` never fires on NaN distances, keeping the
+                # lowest cid, exactly array_min's (d, cid) result under
+                # Spark's NaN-is-largest double ordering (r10 advice).
+                js = np.arange(cmat.shape[0])
             bd, bc = np.inf, int(cids[js[0]])
             for j in js:  # ascending cid order (cids sorted ascending)
                 dj = _exact_d(x[i], cmat[j])

@@ -741,26 +741,39 @@ def wide_image_near_duplicates(
     ).select(id_col, *[f"p{w}" for w in range(words)], "e.chunk_idx", "e.chunk")
     wnames = [f"p{w}" for w in range(words)]
     if max_bucket is None:
-        a = chunked.select(
-            F.col(id_col).alias("id_a"),
-            *[F.col(p).alias(f"a{w}") for w, p in enumerate(wnames)],
-            "chunk_idx",
-            "chunk",
+        # one evaluation of the fingerprint lineage via per-bucket
+        # member arrays + chained generators — the
+        # textanalysis.simhash_near_duplicates uncapped spelling (see
+        # its comment for the identity + memory-bound argument),
+        # generalized to `words` packed halves
+        per_bucket = chunked.groupBy("chunk_idx", "chunk").agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    *[F.col(p).alias(p) for p in wnames],
+                )
+            ).alias("__L")
         )
-        b = chunked.select(
-            F.col(id_col).alias("id_b"),
-            *[F.col(p).alias(f"b{w}") for w, p in enumerate(wnames)],
-            "chunk_idx",
-            "chunk",
-        )
+        ex = per_bucket.select(F.col("__L"), F.explode("__L").alias("__x"))
         cand = (
-            a.join(b, ["chunk_idx", "chunk"])
-            .filter(F.col("id_a") < F.col("id_b"))
+            ex.select(
+                F.col("__x.id").alias("id_a"),
+                *[
+                    F.col(f"__x.{p}").alias(f"a{w}")
+                    for w, p in enumerate(wnames)
+                ],
+                F.explode(
+                    F.filter(F.col("__L"), lambda y: y["id"] > F.col("__x.id"))
+                ).alias("__y"),
+            )
             .select(
                 "id_a",
-                "id_b",
+                F.col("__y.id").alias("id_b"),
                 *[f"a{w}" for w in range(words)],
-                *[f"b{w}" for w in range(words)],
+                *[
+                    F.col(f"__y.{p}").alias(f"b{w}")
+                    for w, p in enumerate(wnames)
+                ],
             )
             .distinct()
         )
@@ -1102,47 +1115,53 @@ def audio_near_duplicates(
     the MinHash mega-bucket) are dropped, bounding the join output by
     max_key_df * |landmarks| regardless of skew.
 
-    Plan shape (r10 optimization, guide §2.3/§2.4): the df-cap is a
-    COLLECT_SET-size filter computed over ONE Window.partitionBy(key)
-    — the old groupBy(key)+countDistinct+join spelling added a THIRD
-    full evaluation of the landmark lineage (clip synthesis + the
-    mapInPandas extraction) just to compute the cap, plus its own
-    aggregation shuffle; now the cap rides the same exchange the
-    candidate join needs anyway (the join sides still evaluate the
-    lineage once each — the captured plan broadcasts the kept-landmark
-    side, so candidate generation is one exchange + one broadcast).
-    The per-pair best offset is a map-side-combinable
-    MIN(struct(-votes, offset)) groupBy — identical selection to the
-    old row_number()=1 window (votes DESC, offset ASC, one winner per
-    pair) without sorting the vote table
-    (7.3M rows on the 10× tier). Measured (interleaved A/B, identical
-    output): uniform x10 14-16 s → 7-8 s, adversarial skew tier
-    (viral boilerplate keys) 9-11 s → 5-7 s. Skew bound: a viral key's
-    rows land in ONE window task before being dropped; per-clip
-    landmark count is bounded (≤ fan·peaks, peaks ≤ windows/2) and the
-    window state is the collect_set of clip ids (≤ #clips), so the
-    straggler task is landmark-row-bound, not pair-bound — at a scale
-    where one key's landmark rows alone overwhelm a task, fall back to
-    the two-pass groupBy+broadcast-join cap (this module's git
-    history), which drops viral rows map-side at the cost of
-    re-evaluating the extraction lineage."""
-    from pyspark.sql import Window
-
-    w_key = Window.partitionBy("key")
-    lk = (
-        landmarks.withColumn(
-            "__df", F.size(F.collect_set(id_col).over(w_key))
+    Plan shape (r11, guide §2.4 — the landmark lineage evaluated ONCE;
+    supersedes the r10 window+join spelling which still evaluated clip
+    synthesis + the mapInPandas extraction once per candidate-join
+    side, the r10 verdict's biggest named leftover): the landmarks
+    groupBy(key) into ONE per-key member array; the df-cap is
+    size(array_distinct(ids)) ≤ max_key_df on that array (the same
+    distinct-clip count the old collect_set window computed); candidate
+    votes come from pair-generating WITHIN the array via two chained
+    generators (explode the members, then per-member explode its
+    higher-id partners — never the m² pair array at once), so the whole
+    matcher is one exchange on key + two map-side-combinable groupBys,
+    with zero self-joins and zero re-evaluation. The generated pair
+    multiset {(x, y): same key, y.id > x.id} with offset t_y − t_x is
+    exactly the old join's id_a < id_b output, so the vote counts are
+    identical row-for-row. The per-pair best offset stays the
+    MIN(struct(-votes, offset)) groupBy — identical selection to a
+    row_number()=1 window (votes DESC, offset ASC) without sorting the
+    vote table. Skew bound: a viral key's rows land in ONE collect_list
+    buffer (~24 B/landmark) before the cap filter drops it — the same
+    task-local, landmark-row-bound state the r10 window spelling held;
+    at a scale where one key's landmark rows alone overwhelm a task,
+    fall back to the two-pass groupBy+broadcast-join cap (this module's
+    git history), which drops viral rows map-side at the cost of
+    re-evaluating the extraction lineage (parity at the adversarial
+    shape is pinned by tests/test_multimodal.py's viral-key test)."""
+    per_key = (
+        landmarks.groupBy("key")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("t").alias("t"))
+            ).alias("__L")
         )
-        .filter(F.col("__df") <= max_key_df)
-        .drop("__df")
+        .filter(F.size(F.array_distinct(F.col("__L.id"))) <= max_key_df)
     )
-    a = lk.select("key", F.col(id_col).alias("id_a"), F.col("t").alias("ta"))
-    b = lk.select("key", F.col(id_col).alias("id_b"), F.col("t").alias("tb"))
+    ex = per_key.select(F.col("__L"), F.explode("__L").alias("__x"))
     votes = (
-        a.join(b, "key")
-        .filter(F.col("id_a") < F.col("id_b"))
+        ex.select(
+            F.col("__x.id").alias("id_a"),
+            F.col("__x.t").alias("__ta"),
+            F.explode(
+                F.filter(F.col("__L"), lambda y: y["id"] > F.col("__x.id"))
+            ).alias("__y"),
+        )
         .groupBy(
-            "id_a", "id_b", (F.col("tb") - F.col("ta")).alias("offset")
+            "id_a",
+            F.col("__y.id").alias("id_b"),
+            (F.col("__y.t") - F.col("__ta")).alias("offset"),
         )
         .agg(F.count(F.lit(1)).alias("votes"))
     )

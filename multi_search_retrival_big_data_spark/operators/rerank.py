@@ -109,9 +109,21 @@ def mmr_rerank(
     from multi_search_retrival_big_data_spark.functions.vector import cosine_sim
 
     spark = candidates.sparkSession
+    # ONE evaluation of the candidate pipeline (r11, guide §5/§2.4):
+    # without the materialization, the first-stage pipeline feeding
+    # `candidates` runs THREE times — once under the relevance collect
+    # and once per side of the n² similarity self-join (measured on
+    # endpoint_diverse_search: the sparse+dense+RRF+hydration lineage
+    # re-evaluated per action dominated the 3.5-4.3 s anchor; after:
+    # one evaluation + two reads of a ≤cap-row checkpoint). Eager
+    # localCheckpoint is within-query lineage control: the candidate
+    # list is request-sized BY CONTRACT (the fence below enforces the
+    # cap with bounded driver ingest; executor-side materialization of
+    # a miscalled corpus-sized input is bounded by the same storage
+    # that any shuffle of it would use).
     sel = candidates.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(rel_col).alias("rel")
-    )
+    ).localCheckpoint()
     a = sel.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
     b = sel.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
     # zero-norm guard: a degenerate candidate's cosine is undefined

@@ -154,18 +154,49 @@ def simhash_near_duplicates(
         ).alias("e"),
     ).select(id_col, "p0", "p1", "e.chunk_idx", "e.chunk")
     if max_bucket is None:
-        a = chunked.select(
-            F.col(id_col).alias("id_a"), F.col("p0").alias("a0"),
-            F.col("p1").alias("a1"), "chunk_idx", "chunk",
+        # ONE evaluation of the fingerprint lineage (r11, guide §2.4):
+        # the old a⋈b self-join on (chunk_idx, chunk) re-ran the whole
+        # upstream per side — for the image/video consumers that is two
+        # decode+dHash mapInPandas passes over the media corpus (the
+        # captured r10 plans broadcast one side, so no exchange reuse
+        # saved it). Grouping the bucket members into ONE array and
+        # pair-generating with nested higher-order functions rides a
+        # single exchange and evaluates the lineage once; the pair SET
+        # (all x,y per bucket with y.id > x.id, then distinct) is
+        # identical to the join's. Memory bound: a bucket's members sit
+        # in one collect_list buffer (~24 B/member) instead of one join
+        # partition — same task-locality as before; the per-x partner
+        # arrays are ≤ bucket size, streamed through two generators,
+        # never the m² pair array at once. The uncapped branch is the
+        # AUDIT path (quadratic by contract); duplicate storms belong
+        # on the capped branch either way.
+        per_bucket = chunked.groupBy("chunk_idx", "chunk").agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("p0").alias("p0"),
+                    F.col("p1").alias("p1"),
+                )
+            ).alias("__L")
         )
-        b = chunked.select(
-            F.col(id_col).alias("id_b"), F.col("p0").alias("b0"),
-            F.col("p1").alias("b1"), "chunk_idx", "chunk",
-        )
+        ex = per_bucket.select(F.col("__L"), F.explode("__L").alias("__x"))
         cand = (
-            a.join(b, ["chunk_idx", "chunk"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "a0", "a1", "b0", "b1")
+            ex.select(
+                F.col("__x.id").alias("id_a"),
+                F.col("__x.p0").alias("a0"),
+                F.col("__x.p1").alias("a1"),
+                F.explode(
+                    F.filter(F.col("__L"), lambda y: y["id"] > F.col("__x.id"))
+                ).alias("__y"),
+            )
+            .select(
+                "id_a",
+                F.col("__y.id").alias("id_b"),
+                "a0",
+                "a1",
+                F.col("__y.p0").alias("b0"),
+                F.col("__y.p1").alias("b1"),
+            )
             .distinct()
         )
     else:

@@ -671,7 +671,9 @@ def dedup_delta_batch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = index_store.minhash_sigs(spark, sf_dir)
     buckets = dedup.lsh_buckets(sig, "doc_id", LSH_BANDS, LSH_ROWS)
     cand = dedup.lsh_delta_candidate_pairs(buckets, delta_ids, "doc_id").cache()
-    verified = dedup.jaccard_for_pairs(sh, cand, "doc_id")
+    verified = dedup.jaccard_for_pairs(
+        sh, cand, "doc_id", min_jaccard=JACCARD_THRESHOLD
+    )
     return (
         verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", det_round(F.col("jaccard")).alias("jaccard"))
@@ -1217,7 +1219,8 @@ def decontamination_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFra
         is_eval("id_a") != is_eval("id_b")
     )
     verified = dedup.jaccard_for_pairs(
-        index_store.doc_shingles(spark, sf_dir), cand, "doc_id"
+        index_store.doc_shingles(spark, sf_dir), cand, "doc_id",
+        min_jaccard=JACCARD_THRESHOLD,
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     a_is_eval = F.md5(F.col("id_a").cast("string")) < F.lit(_EVAL_THR)
     return verified.select(

@@ -44,6 +44,27 @@ def scratch_dir() -> str:
     return root
 
 
+def _default_driver_memory() -> str:
+    """Default local-mode heap: min(24g, half of system RAM), floored
+    at 2g. 24g is the measured sweet spot for long 32-core local[N]
+    sessions (see the config comment below), but a blanket -Xmx24g on
+    a smaller host/CI container *starts* fine and then gets the
+    process OOM-killed under load (r10 advice) — so the default is
+    derived from MemTotal and only reaches 24g where the RAM exists.
+    SPARK_DRIVER_MEMORY still overrides unconditionally."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    break
+            else:
+                return "24g"
+    except OSError:
+        return "24g"
+    return f"{max(2, min(24, int(total_gib / 2)))}g"
+
+
 def get_spark(app_name: str = "msrbd-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
@@ -72,7 +93,12 @@ def get_spark(app_name: str = "msrbd-spark", shuffle_partitions: int | None = No
         # per-core sizing a production executor would get; override
         # with SPARK_DRIVER_MEMORY (the driver harness's knob) as
         # before.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # ...capped by available system RAM (r10 advice): a 24g -Xmx on
+        # a 16 GiB CI container starts, then dies to the OOM killer.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -17,6 +17,7 @@ def test_hyperplanes_deterministic_and_pm1():
     assert all(v in (1.0, -1.0) for plane in p1 for v in plane)
 
 
+@pytest.mark.slow
 def test_engine_signature_matches_python(spark, sf_dir):
     emb = tables.load(spark, "embeddings", sf_dir).limit(20)
     planes = ann.hyperplanes(EMB_DIM, ann.NUM_PLANES)
@@ -39,6 +40,7 @@ def test_ann_topk_subset_of_exact_with_same_scores(spark, sf_dir):
         assert math.isclose(exact[r["vec_id"]], r["score"], abs_tol=1e-9)
 
 
+@pytest.mark.slow
 def test_near_dup_lsh_subset_of_exact(spark, sf_dir):
     emb = tables.load(spark, "embeddings", sf_dir)
     t = 0.3
@@ -53,6 +55,7 @@ def test_near_dup_lsh_subset_of_exact(spark, sf_dir):
     assert lsh <= exact
 
 
+@pytest.mark.slow
 def test_identical_vectors_always_collide(spark):
     # identical vectors share every band → LSH near-dup must find them
     base = [math.sin(i) for i in range(8)]
@@ -122,6 +125,7 @@ def test_near_dup_arrow_strategy_matches_expr(spark, sf_dir):
         assert abs(ca - ce) < 1e-6
 
 
+@pytest.mark.slow
 def test_lsh_recall_grid_monotone_in_bands(spark, sf_dir):
     """More, shorter bands probe more buckets: candidate volume and
     recall are non-decreasing in the band count."""
@@ -303,6 +307,7 @@ def test_batch_pq_adc_matches_single_query(spark, sf_dir):
         assert got == [(r["vec_id"], r["approx_dist"]) for r in single]
 
 
+@pytest.mark.slow
 def test_literal_lut_matches_join_path(spark, sf_dir):
     """The serving fast path (driver-collected codebook -> literal
     element_at LUTs, zero joins) must reproduce the join-LUT plan's
@@ -649,6 +654,7 @@ def test_assign_cid_arrow_bit_identical_under_ties(spark, sf_dir):
         assert r["lit_cid"] == r["arrow_cid"], f"vec {r['vec_id']}"
 
 
+@pytest.mark.slow
 def test_pq_codes_arrow_bit_identical_at_width(spark, sf_dir):
     """ann.pq_codes_arrow vs the broadcast-join MIN(struct) argmin at
     the trained d=768 geometry (M=16, KS=32, dsub=48), BOTH rank
@@ -716,3 +722,74 @@ def test_pq_codes_arrow_bit_identical_under_ties(spark, sf_dir):
         ka = sorted(tuple(r) for r in a)
         kb = sorted(tuple(r) for r in b)
         assert ka == kb, f"squared={squared}: arrow != join under ties"
+
+
+def test_ranked_cosine_topk_arrow_matches_expr_at_768(spark, sf_dir):
+    """The width-gated serving rank (r11): at d=768 the Arrow BLAS path
+    must produce the same top-k ids and quantized scores as the proven
+    Catalyst fold (which d<256 corpora keep executing)."""
+    from multi_search_retrival_big_data_spark import tables
+    from multi_search_retrival_big_data_spark.encoders import dim_expand_encode
+    from multi_search_retrival_big_data_spark.operators import dense
+    from multi_search_retrival_big_data_spark.queries.common import QUERY_VEC
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    wide = dense.expand_to_dim(emb, out_dim=768, in_dim=64)
+    qv = dim_expand_encode(QUERY_VEC, 64, 768)
+    assert len(qv) >= ann.ARROW_RANK_MIN_DIM  # the gate actually fires
+    got = ann.ranked_cosine_topk(wide, qv, 25, "vec_id", "embedding", 6).collect()
+    # reference: the sub-gate expression spelling on the same rows
+    from multi_search_retrival_big_data_spark.functions.rounding import det_round
+    from multi_search_retrival_big_data_spark.functions.vector import cosine_sim, lit_vec
+
+    want = (
+        wide.select(
+            "vec_id", det_round(cosine_sim("embedding", lit_vec(qv)), 6).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(25)
+        .collect()
+    )
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    assert [r.score for r in got] == [r.score for r in want]
+
+
+def test_argmin_arrow_nonfinite_row_keeps_lowest_id(spark):
+    """r10 advice: a NaN/Inf embedding makes every GEMM-prefilter
+    comparison False; the kernels must fall back to the exact fold over
+    all centroids/codes (lowest id under NaN, matching array_min /
+    MIN(struct) with Spark's NaN-is-largest ordering) instead of
+    raising IndexError."""
+    import pandas as pd
+
+    from multi_search_retrival_big_data_spark.operators import kmeans
+
+    cents = [(3, [0.0] * 8), (7, [1.0] * 8)]
+    # wide fake geometry to force the Arrow twin through the dispatch
+    wide_cents = [(i, [float(i)] * 1300) for i in range(8)]
+    df = spark.createDataFrame(
+        [
+            (1, [float("nan")] * 1300),
+            (2, [float("inf")] * 1300),
+            (3, [1.0] * 1300),
+        ],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in df.select(
+            "vec_id", kmeans.assign_cid("embedding", wide_cents).alias("cid")
+        ).collect()
+    }
+    assert got[1] == 0          # NaN row: lowest cid, no crash
+    assert got[3] == 1          # finite row still assigns exactly
+    # pq_codes_arrow: same guard per sub-space
+    books = {
+        mi: [(c, [float(c)] * 50) for c in range(4)] for mi in range(26)
+    }
+    codes = df.select(
+        "vec_id", ann.pq_codes_arrow("embedding", books, 1300).alias("c")
+    ).collect()
+    by_id = {r["vec_id"]: r["c"] for r in codes}
+    assert by_id[1] == [0] * 26  # NaN: lowest code everywhere, no crash
+    assert by_id[3] == [1] * 26

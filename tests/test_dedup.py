@@ -593,3 +593,140 @@ def test_semantic_cap_sound_at_gate_scale(spark):
         "no longer mirrors the capped plan — retrain the quantizer "
         "(ann.ivf_nlist) or move the row to the capped-mirror oracle"
     )
+
+
+def test_cell_cosine_kernel_matches_join_fold(spark):
+    """The r11 grouped-GEMM within-cell kernel must be BIT-identical to
+    the old cell self-join + Catalyst fold spelling — including rounding
+    boundaries (exact-duplicate vectors, cosine exactly 1.0), NaN
+    semantics (a zero-norm vector pairs with everything under Spark's
+    NaN-is-largest `>=`), and multi-block cells (block size exercised
+    via many members in one cell)."""
+    import random
+
+    from multi_search_retrival_big_data_spark.functions.rounding import det_round
+    from multi_search_retrival_big_data_spark.functions.vector import dot, l2_norm
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    # cell 0: 60 vectors clustered around one direction (many pairs at
+    # and just below the threshold), including two exact duplicates
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    for i in range(60):
+        v = [x + rng.uniform(-0.12, 0.12) for x in base]
+        rows.append((vid, v, 0)); vid += 1
+    rows.append((vid, list(base), 0)); vid += 1
+    rows.append((vid, list(base), 0)); vid += 1   # exact dup: cosine == 1.0
+    rows.append((vid, [0.0] * 16, 0)); vid += 1   # zero norm: NaN cosine
+    # cell 1: a few scattered vectors
+    for i in range(7):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(16)], 1)); vid += 1
+    assign = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, cid INT"
+    )
+
+    def join_fold(assign, threshold, round_to=6):
+        a = assign.select(
+            "cid", F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("__va"), l2_norm("embedding").alias("__na"),
+        )
+        b = assign.select(
+            "cid", F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("__vb"), l2_norm("embedding").alias("__nb"),
+        )
+        cos = det_round(dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), round_to)
+        return (
+            a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    for thr in (0.9, 0.99, 1.0):
+        got = sorted(map(tuple, dedup.semantic_candidate_pairs(assign, thr).collect()))
+        want = sorted(
+            map(tuple, join_fold(assign, thr).collect()),
+            key=lambda t: (t[0], t[1]),
+        )
+        # NaN != NaN under tuple equality: compare with repr (NaN prints 'nan')
+        assert [tuple(map(repr, t)) for t in got] == [
+            tuple(map(repr, t)) for t in want
+        ], f"threshold {thr}"
+        assert got, f"threshold {thr} produced no pairs — test shape broken"
+
+
+def test_jaccard_prefilter_identity_and_effect(spark, dup_cluster_docs):
+    """min_jaccard arms the size-ratio prefilter: the >=-threshold
+    result set is IDENTICAL, and the prefilter demonstrably drops
+    sub-threshold candidates before the shingle join."""
+    sh = dedup.char_shingles(dup_cluster_docs, "doc_id", "text")
+    buckets = dedup.lsh_buckets(
+        dedup.minhash_signatures(sh, "doc_id"), "doc_id"
+    )
+    cand = dedup.lsh_candidate_pairs(buckets, "doc_id")
+    thr = 0.8
+    plain = dedup.jaccard_for_pairs(sh, cand, "doc_id")
+    armed = dedup.jaccard_for_pairs(sh, cand, "doc_id", min_jaccard=thr)
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    got = sorted(
+        (key(r), r["intersection"], r["size_a"], r["size_b"], r["jaccard"])
+        for r in armed.filter(F.col("jaccard") >= thr).collect()
+    )
+    want = sorted(
+        (key(r), r["intersection"], r["size_a"], r["size_b"], r["jaccard"])
+        for r in plain.filter(F.col("jaccard") >= thr).collect()
+    )
+    assert got == want and got
+    # soundness of the bound itself: every pair the prefilter would
+    # drop is strictly sub-threshold in the unfiltered result
+    for r in plain.collect():
+        lo, hi = sorted((r["size_a"], r["size_b"]))
+        if lo < thr * hi:
+            assert r["jaccard"] < thr
+
+
+def test_duplicate_span_windows_array_gate_matches_join(spark):
+    """The r11 single-evaluation marked-window gate (per-hash member
+    arrays) must emit exactly the (id, pos) rows of the old
+    groupBy+join spelling, including a doc repeating the same window
+    content at two positions."""
+    shared = " ".join(f"tok{i}" for i in range(dedup.SPAN_MIN_TOKENS))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} filler one"),
+            (2, f"prefix words here {shared}"),
+            (3, f"{shared} middle junk {shared}"),   # same window twice
+            (4, "totally unrelated text with enough tokens to window over"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = sorted(
+        map(tuple, dedup.duplicate_span_windows(docs, "doc_id", "text").collect())
+    )
+    # reference: the old join spelling, inlined
+    from multi_search_retrival_big_data_spark.functions.text import tokenize
+
+    ml = dedup.SPAN_MIN_TOKENS
+    win = (
+        docs.select("doc_id", tokenize(F.col("text")).alias("__t"))
+        .filter(F.size("__t") >= ml)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("__t") - F.lit(ml - 1))).alias("pos"),
+            F.col("__t"),
+        )
+        .select(
+            "doc_id", "pos",
+            F.md5(F.array_join(F.slice(F.col("__t"), F.col("pos"), F.lit(ml)), " ")).alias("h"),
+        )
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("__df"))
+        .filter(F.col("__df") >= dedup.SPAN_MIN_DOCS)
+        .select("h")
+    )
+    want = sorted(map(tuple, win.join(dup, "h").select("doc_id", "pos").collect()))
+    assert got == want and got
+    # doc 3's duplicated window must appear at BOTH its positions
+    assert sum(1 for i, _ in got if i == 3) >= 2

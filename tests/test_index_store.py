@@ -4,6 +4,8 @@ object_retrieval.py:117-145)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from multi_search_retrival_big_data_spark import index_store, tables
@@ -129,6 +131,7 @@ def test_lsh_incremental_append_matches_rebuild(spark, sf_dir):
     assert sorted(map(key, t.collect())) == sorted(map(key, full.collect()))
 
 
+@pytest.mark.slow
 def test_lsh_stream_incremental_matches_rebuild(spark, sf_dir):
     from multi_search_retrival_big_data_spark.operators import ann
 
@@ -183,6 +186,7 @@ def test_incremental_split_filters_nonempty(spark, sf_dir):
     assert n_base + n1 + n2 == emb.count()
 
 
+@pytest.mark.slow
 def test_stream_latedata_dedups_replays(spark, sf_dir):
     """The watermarked stream ingests 3 micro-batches containing
     replayed rows; the final table must hold each vector's bands

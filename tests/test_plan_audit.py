@@ -5,6 +5,8 @@ which never occurs in a plan string)."""
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 
 from pyspark.sql import functions as F
@@ -77,6 +79,7 @@ def test_real_ivf_query_is_dynamically_pruned(spark):
     assert audit("ann_ivf_topk_cosine", plan) == []
 
 
+@pytest.mark.slow
 def test_full_registry_plans_clean(spark):
     """CI gate over the ENTIRE registry: every batch query's executed
     plan must audit clean — any new unallowlisted nested-loop join,

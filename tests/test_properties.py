@@ -46,6 +46,7 @@ def test_single_list_fusion_is_identity(spark, rows):
 
 @SETTINGS
 @given(rows_a=score_lists, rows_b=score_lists)
+@pytest.mark.slow
 def test_fusion_is_source_order_invariant(spark, rows_a, rows_b):
     a, b = _df(spark, rows_a), _df(spark, rows_b)
     ab = {(r["id"], r["score"]) for r in fusion.merge_by_addition([a, b], round_to=9).collect()}
@@ -112,6 +113,7 @@ doc_texts = st.lists(
 
 @SETTINGS
 @given(texts=doc_texts)
+@pytest.mark.slow
 def test_minhash_lsh_subset_of_exact_property(spark, texts):
     from multi_search_retrival_big_data_spark.operators import dedup
 
@@ -124,6 +126,7 @@ def test_minhash_lsh_subset_of_exact_property(spark, texts):
 
 @SETTINGS
 @given(texts=doc_texts)
+@pytest.mark.slow
 def test_simhash_identical_docs_zero_hamming(spark, texts):
     from multi_search_retrival_big_data_spark.operators import textanalysis as ta
 
@@ -231,6 +234,7 @@ def _kv(spark, rows):
 
 @SETTINGS
 @given(base=kv_lists, delta=kv_lists)
+@pytest.mark.slow
 def test_upsert_is_idempotent_and_delta_wins(spark, base, delta):
     b, d = _kv(spark, base), _kv(spark, delta)
     once = {r["k"]: r["v"] for r in curation.upsert(b, d, ["k"]).collect()}

@@ -3,6 +3,8 @@ query, every query executes at sf0.001."""
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -21,6 +23,7 @@ def test_entry_returns_rows(spark):
     assert df.count() > 0
 
 
+@pytest.mark.slow
 def test_all_queries_run_sf0001(spark, sf_dir):
     for name, fn in se.queries().items():
         df = fn(spark, sf_dir)
